@@ -1,0 +1,230 @@
+"""hOCR kernel: spec-conformant emitter + parser + text-placement math.
+
+The parser reimplements, verbatim-in-semantics, the parse half of the
+reference's ``PyPdf.add_text_layer`` (ref: pypdfocr/pypdfocr_pdf.py:269-351):
+
+* garbage-tolerant: any XML parse error → the page contributes no text and
+  no error is raised (ref: pypdfocr/pypdfocr_pdf.py:276-281);
+* body → ``ocr_page`` div with ``id == 'page_%d'`` → all XHTML ``span``
+  descendants with ``class == 'ocr_line'`` → child ``ocrx_word`` spans;
+* ``title`` attribute regexes — identical patterns to the reference
+  (ref: pypdfocr/pypdfocr_pdf.py:83-86):
+    - bbox:      ``bbox((\\s+\\d+){4})``
+    - baseline:  ``baseline((\\s+[\\d\\.\\-]+){2})`` (absent → ``[0, 0]``,
+      ref :304-307)
+    - fontspec:  ``x_font\\s+(.+);\\s+x_fsize\\s+(\\d+)`` (absent →
+      fontsize 8, ref :357-364)
+    - textangle: ``textangle\\s+(\\d+)`` (absent → 0, ref :298-302)
+* word text = ``' '.join`` of every descendant ``.text`` (ref :315-319),
+  then ``.strip()`` at draw time (ref :347);
+* placement: angle → anchor-corner map ``{0:(x0,y0), 90:(x0,y1),
+  180:(x2,y3), 270:(x2,y1)}``, any other angle falls back to ``(x0,y1[sic 0])``
+  — exactly ``coords.get(textangle, (box[0], box[1]))``
+  (ref: pypdfocr/pypdfocr_pdf.py:332-337);
+* point coordinates: ``(x*72/dpi, height − y*72/dpi)``
+  (ref: pypdfocr/pypdfocr_pdf.py:349).
+
+The emitter is the deterministic stand-in for Tesseract (``tesseract img
+base -psm 1 -c hocr_font_info=1 -l <lang> hocr``, ref:
+pypdfocr/pypdfocr_tesseract.py:154-183): this sandbox has no tesseract
+binary, so the corpus generator renders word boxes to hOCR and the parser
+consumes them — exercising the parser, defaults, placement math, and
+reassembly for real. A subprocess-backed Tesseract kernel drops in behind
+the same function signature on a real cluster (mirroring the reference's
+``binary:`` config override, ref: pypdfocr/pypdfocr.py:314-324).
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape
+from xml.etree.ElementTree import Element, fromstring
+
+# Identical regexes to the reference (pypdfocr/pypdfocr_pdf.py:83-86).
+REGEX_BBOX = re.compile(r"bbox((\s+\d+){4})")
+REGEX_BASELINE = re.compile(r"baseline((\s+[\d\.\-]+){2})")
+REGEX_FONTSPEC = re.compile(r"x_font\s+(.+);\s+x_fsize\s+(\d+)")
+REGEX_TEXTANGLE = re.compile(r"textangle\s+(\d+)")
+
+XHTML_NS = "http://www.w3.org/1999/xhtml"
+
+# Angle → anchor corner, exactly pypdfocr/pypdfocr_pdf.py:332-337.
+_CORNER = {
+    0: lambda b: (b[0], b[1]),
+    90: lambda b: (b[0], b[3]),  # facing right
+    180: lambda b: (b[2], b[3]),  # upside down
+    270: lambda b: (b[2], b[1]),  # facing left
+}
+
+
+def _atoi(text: str):
+    """int if all digits else unchanged (ref: pypdfocr/pypdfocr_pdf.py:258-259)."""
+    return int(text) if text.isdigit() else text
+
+
+def natural_keys(text: str) -> list:
+    """Human-order sort key (ref: pypdfocr/pypdfocr_pdf.py:261-267).
+
+    Kept for parity/testing only — the engine carries an explicit
+    ``page_no`` int column instead of recovering order from filenames
+    (SURVEY §2.7 O1).
+    """
+    return [_atoi(c) for c in re.split(r"(\d+)", text)]
+
+
+def get_font_spec(title: str) -> tuple[str, int]:
+    """Font name/size from a title attr; absent → ('', 8)
+    (ref: pypdfocr/pypdfocr_pdf.py:357-364)."""
+    m = REGEX_FONTSPEC.search(title)
+    if not m:
+        return ("", 8)
+    fontname, fontsize = m.groups()
+    return (fontname, _atoi(fontsize))
+
+
+def parse_hocr_page(hocr_xml: str, page_num: int, height: float, dpi: float) -> list[dict]:
+    """Parse one hOCR document and return the line/word spans for page
+    ``page_num`` with placement already computed.
+
+    Returns a list of line dicts::
+
+        {"bbox": [x0,y0,x1,y1], "textangle": int, "baseline": [a,b],
+         "words": [{"text": str, "bbox": [..4 floats..], "font_size": int,
+                    "x_pt": float, "y_pt": float, "angle": int}]}
+
+    Any parse failure returns ``[]`` — the page contributes no text, the
+    pipeline never dies on a garbage page
+    (ref: pypdfocr/pypdfocr_pdf.py:276-281).
+    """
+    try:
+        root = fromstring(hocr_xml)
+    except Exception:
+        return []
+
+    body = None
+    for child in root:
+        if child.tag in ("body", f"{{{XHTML_NS}}}body"):
+            body = child
+    if body is None:
+        # Tolerate a bare <body> root or page divs at top level.
+        body = root
+
+    page: Element | None = None
+    for cand in body:
+        if cand.attrib.get("class") != "ocr_page":
+            continue
+        if cand.attrib.get("id") == "page_%d" % page_num:
+            page = cand
+            break
+    if page is None:
+        return []
+
+    lines: list[dict] = []
+    for line in page.findall(f".//{{{XHTML_NS}}}span"):
+        if line.attrib.get("class") != "ocr_line":
+            continue
+        title = line.attrib.get("title", "")
+        bbox_m = REGEX_BBOX.search(title)
+        if bbox_m is None:
+            # reference would raise AttributeError per line; we degrade
+            # per-page like its outer try (no text rather than crash)
+            continue
+        linebox = [float(i) for i in bbox_m.group(1).split()]
+
+        angle_m = REGEX_TEXTANGLE.search(title)
+        textangle = _atoi(angle_m.group(1)) if angle_m else 0
+
+        base_m = REGEX_BASELINE.search(title)
+        baseline = [float(i) for i in base_m.group(1).split()] if base_m else [0.0, 0.0]
+
+        words = []
+        for word in line:
+            if word.attrib.get("class") != "ocrx_word":
+                continue
+            # ' '.join of every descendant .text (ref :315-319)
+            word_text = " ".join(t for t in (c.text for c in word.iter()) if t)
+            box_m = REGEX_BBOX.search(word.attrib.get("title", ""))
+            if box_m is None:
+                continue
+            box = [float(i) for i in box_m.group(1).split()]
+            x, y = _CORNER.get(textangle, _CORNER[0])(box)
+            _, font_size = get_font_spec(word.attrib.get("title", ""))
+            words.append(
+                {
+                    "text": word_text.strip(),
+                    "bbox": box,
+                    "font_size": int(font_size) if isinstance(font_size, int) else 8,
+                    "x_pt": x * 72.0 / dpi,
+                    "y_pt": height - y * 72.0 / dpi,
+                    "angle": textangle,
+                }
+            )
+        lines.append(
+            {"bbox": linebox, "textangle": textangle, "baseline": baseline, "words": words}
+        )
+    return lines
+
+
+def page_text_from_spans(lines: list[dict]) -> str:
+    """Reassemble page text: word texts joined by ``' '`` within a line,
+    lines joined by ``'\\n'`` — the deterministic text surface the byte-
+    identity contract checks (SURVEY §1.1 #5; cf. extractText-based golden
+    checks in the reference's test/test_pypdfocr.py:20-28)."""
+    out = []
+    for line in lines:
+        words = [w["text"] for w in line["words"] if w["text"]]
+        if words:
+            out.append(" ".join(words))
+    return "\n".join(out)
+
+
+def emit_hocr(pages: list[dict]) -> str:
+    """Deterministic hOCR emitter (Tesseract stand-in, see module doc).
+
+    ``pages`` is a list of page dicts with ``words`` =
+    ``[{"t": text, "b": [x0,y0,x1,y1], "l": line_no}]`` laid out on a
+    px grid (FIXTURES.md F2). Emits one multi-page hOCR document with
+    line-level bbox/baseline/textangle and word-level bbox + fontspec —
+    the attribute shapes Tesseract produces under
+    ``-psm 1 -c hocr_font_info=1``.
+    """
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<html xmlns="{XHTML_NS}">',
+        "<head><title></title></head>",
+        "<body>",
+    ]
+    for pno, page in enumerate(pages, start=1):
+        w_px = page.get("w_px", 2550)
+        h_px = page.get("h_px", 3300)
+        angle = int(page.get("rotate", 0))
+        parts.append(
+            f'<div class="ocr_page" id="page_{pno}" '
+            f'title="image page_{pno}; bbox 0 0 {w_px} {h_px}; ppageno {pno - 1}">'
+        )
+        by_line: dict[int, list[dict]] = {}
+        for w in page["words"]:
+            by_line.setdefault(int(w["l"]), []).append(w)
+        for lno in sorted(by_line):
+            ws = by_line[lno]
+            x0 = min(w["b"][0] for w in ws)
+            y0 = min(w["b"][1] for w in ws)
+            x1 = max(w["b"][2] for w in ws)
+            y1 = max(w["b"][3] for w in ws)
+            title = f"bbox {x0} {y0} {x1} {y1}; baseline 0 -2"
+            if angle:
+                title += f"; textangle {angle}"
+            parts.append(f'<span class="ocr_line" title="{title}">')
+            for w in ws:
+                b = w["b"]
+                wt = (
+                    f'bbox {b[0]} {b[1]} {b[2]} {b[3]}; '
+                    f"x_wconf 95; x_font Helvetica; x_fsize {int(w.get('fs', 10))}"
+                )
+                parts.append(
+                    f'<span class="ocrx_word" title="{wt}">{escape(w["t"])}</span>'
+                )
+            parts.append("</span>")
+        parts.append("</div>")
+    parts.append("</body></html>")
+    return "".join(parts)
