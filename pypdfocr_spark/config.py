@@ -1,0 +1,37 @@
+"""Job configuration (the reference's YAML config → a plain dataclass;
+SURVEY §1.1 #7). Keyword→folder routing stays an *ordered* sequence —
+dict insertion order in the reference config decides first-match routing
+(ref: pypdfocr/pypdfocr.py:301-307, pypdfocr/pypdfocr_pdffiler.py:53-58)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .kernels.route import normalize_targets
+
+# Demo routing config over the synthetic corpus vocabulary (F4 shape;
+# mirrors the reference's test/test_pypdfocr_config.yaml folder:keywords map).
+DEFAULT_TARGETS: list[tuple[str, list[str]]] = normalize_targets(
+    [
+        ("spark_docs", ["spark"]),
+        ("analytics", ["window", "vector"]),
+        ("storage", ["column", "table"]),
+    ]
+)
+DEFAULT_ROUTE = "default"
+
+# Payloads larger than this take the exploded per-page path (skew
+# breaking for multi-hundred-page docs; BASELINE.json north_star).
+HEAVY_PAYLOAD_BYTES = 200_000
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Everything the extraction pipeline needs; broadcast by closure
+    into the Arrow UDFs (small, picklable)."""
+
+    targets: list[tuple[str, list[str]]] = field(default_factory=lambda: list(DEFAULT_TARGETS))
+    default_route: str = DEFAULT_ROUTE
+    use_filename: bool = True  # the reference's -n flag (pypdfocr.py:169-170)
+    heavy_payload_bytes: int = HEAVY_PAYLOAD_BYTES
+    page_partitions: int | None = None  # None → 4 × defaultParallelism

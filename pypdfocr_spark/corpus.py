@@ -153,10 +153,37 @@ def build_corpus_row(doc_id: int, text: str, lang: str, source: str) -> dict:
 
 
 # ---------------------------------------------------------------- extraction
+def extract_doc(payload: bytes) -> tuple[list[str], str]:
+    """Single-pass extraction: payload → (per-page texts, status).
+
+    The one kernel both Spark paths and the oracle call; the document
+    text is ``"\\n".join(pages)`` and the per-page list feeds the
+    page-early-exit routing (P2, ref: pypdfocr_pdffiler.py:66-68).
+    """
+    if codec.is_syn_pdf(payload):
+        pages = codec.decode_doc(payload)
+        if pages is None:
+            return ([], "decode_error")
+        if not pages:
+            return ([], "ok")
+        geom = codec.detect_geometry(pages)
+        raster = codec.rasterize(pages, geom["output_dpi"])
+        hocr_doc = hocr.emit_hocr(raster)
+        spans_by_page = hocr.parse_hocr_all(hocr_doc, geom["height_pt"], geom["output_dpi"])
+        return ([hocr.page_text_from_spans(s) for s in spans_by_page], "ok")
+    head = payload.lstrip()[:15].lower()
+    if head.startswith(b"<!doctype") or head.startswith(b"<html"):
+        try:
+            text = htmlx.strip_boilerplate(payload.decode("utf-8", errors="replace"))
+        except Exception:
+            return ([], "html_error")
+        return ([text], "ok")
+    return ([], "unsupported")
+
+
 def extract_payload(payload: bytes) -> tuple[str, int, str]:
     """The single-document extraction kernel: payload → (extracted_text,
-    n_pages, status). Runs identically inside the Spark mapInPandas stages
-    and as the plain-Python oracle.
+    n_pages, status). Thin wrapper over :func:`extract_doc`.
 
     PDF path = the reference dataflow: decode ("pdfimages/identify",
     ref: pypdfocr_gs.py:117-166) → geometry → rasterize at output dpi
@@ -164,49 +191,14 @@ def extract_payload(payload: bytes) -> tuple[str, int, str]:
     ref: pypdfocr_tesseract.py:154-183) → parse + reassemble
     (ref: pypdfocr_pdf.py:269-351). HTML path = boilerplate strip.
     """
-    if codec.is_syn_pdf(payload):
-        pages = codec.decode_doc(payload)
-        if pages is None:
-            return ("", 0, "decode_error")
-        if not pages:
-            return ("", 0, "ok")
-        geom = codec.detect_geometry(pages)
-        raster = codec.rasterize(pages, geom["output_dpi"])
-        hocr_doc = hocr.emit_hocr(raster)
-        page_texts = []
-        for pno in range(1, len(raster) + 1):
-            spans = hocr.parse_hocr_page(
-                hocr_doc, pno, geom["height_pt"], geom["output_dpi"]
-            )
-            page_texts.append(hocr.page_text_from_spans(spans))
-        return ("\n".join(page_texts), len(raster), "ok")
-    head = payload.lstrip()[:15].lower()
-    if head.startswith(b"<!doctype") or head.startswith(b"<html"):
-        try:
-            text = htmlx.strip_boilerplate(payload.decode("utf-8", errors="replace"))
-        except Exception:
-            return ("", 0, "html_error")
-        return (text, 1, "ok")
-    return ("", 0, "unsupported")
+    pages, status = extract_doc(payload)
+    return ("\n".join(pages), len(pages), status)
 
 
 def extract_page_texts(payload: bytes) -> list[str]:
     """Per-page extracted texts (for the page-early-exit routing, P2)."""
-    if codec.is_syn_pdf(payload):
-        pages = codec.decode_doc(payload)
-        if not pages:
-            return []
-        geom = codec.detect_geometry(pages)
-        raster = codec.rasterize(pages, geom["output_dpi"])
-        hocr_doc = hocr.emit_hocr(raster)
-        return [
-            hocr.page_text_from_spans(
-                hocr.parse_hocr_page(hocr_doc, pno, geom["height_pt"], geom["output_dpi"])
-            )
-            for pno in range(1, len(raster) + 1)
-        ]
-    text, n, status = extract_payload(payload)
-    return [text] if status == "ok" else []
+    pages, status = extract_doc(payload)
+    return pages
 
 
 def oracle_extract(rows: list[dict], targets, default: str) -> list[dict]:
@@ -219,8 +211,8 @@ def oracle_extract(rows: list[dict], targets, default: str) -> list[dict]:
     for r in rows:
         if r["url"].endswith(EXCLUDED_SUFFIXES):
             continue
-        text, n_pages, status = extract_payload(r["html"])
-        raw_pages = extract_page_texts(r["html"])
+        raw_pages, status = extract_doc(r["html"])
+        text, n_pages = "\n".join(raw_pages), len(raw_pages)
         norm_pages = [normalize_page_text(p) for p in raw_pages]
         route = route_document(
             norm_pages, r["url"], targets, use_filename=True, default=default

@@ -82,6 +82,15 @@ def get_font_spec(title: str) -> tuple[str, int]:
     return (fontname, _atoi(fontsize))
 
 
+def _find_body(root: Element) -> Element:
+    body = None
+    for child in root:
+        if child.tag in ("body", f"{{{XHTML_NS}}}body"):
+            body = child
+    # Tolerate a bare <body> root or page divs at top level.
+    return body if body is not None else root
+
+
 def parse_hocr_page(hocr_xml: str, page_num: int, height: float, dpi: float) -> list[dict]:
     """Parse one hOCR document and return the line/word spans for page
     ``page_num`` with placement already computed.
@@ -101,16 +110,8 @@ def parse_hocr_page(hocr_xml: str, page_num: int, height: float, dpi: float) -> 
     except Exception:
         return []
 
-    body = None
-    for child in root:
-        if child.tag in ("body", f"{{{XHTML_NS}}}body"):
-            body = child
-    if body is None:
-        # Tolerate a bare <body> root or page divs at top level.
-        body = root
-
     page: Element | None = None
-    for cand in body:
+    for cand in _find_body(root):
         if cand.attrib.get("class") != "ocr_page":
             continue
         if cand.attrib.get("id") == "page_%d" % page_num:
@@ -118,7 +119,27 @@ def parse_hocr_page(hocr_xml: str, page_num: int, height: float, dpi: float) -> 
             break
     if page is None:
         return []
+    return _parse_page_element(page, height, dpi)
 
+
+def parse_hocr_all(hocr_xml: str, height: float, dpi: float) -> list[list[dict]]:
+    """Parse the hOCR tree ONCE and return spans for every ``ocr_page``
+    div in document order — linear in document size, unlike calling
+    :func:`parse_hocr_page` per page (which re-parses the XML each time;
+    that shape only exists on the per-page exploded path where each task
+    holds a single-page hOCR)."""
+    try:
+        root = fromstring(hocr_xml)
+    except Exception:
+        return []
+    return [
+        _parse_page_element(cand, height, dpi)
+        for cand in _find_body(root)
+        if cand.attrib.get("class") == "ocr_page"
+    ]
+
+
+def _parse_page_element(page: Element, height: float, dpi: float) -> list[dict]:
     lines: list[dict] = []
     for line in page.findall(f".//{{{XHTML_NS}}}span"):
         if line.attrib.get("class") != "ocr_line":

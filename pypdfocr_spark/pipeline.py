@@ -1,0 +1,243 @@
+"""The distributed extraction pipeline (SURVEY §3.1 rebuild trace).
+
+Logical plan::
+
+    scan(parquet documents)                         # driver table
+      → mapInPandas(build_corpus)                   # F1 rows (url, ts, html, text, lang)
+      → where(NOT url endswith _ocr.pdf/_test.pdf)  # S3 source filter, JVM-side
+      ├─ light docs (payload ≤ threshold):
+      │    mapInPandas(extract_doc)                 # whole doc in one task, NO shuffle
+      └─ heavy docs (payload > threshold):          # the skew tail
+           mapInPandas(explode_pages)               # doc → per-page rows
+           → repartition(K, xxhash64(url, page_no)) # salt: spread one doc's pages
+           → mapInPandas(extract_page)              # per-page OCR+parse
+           → groupBy(url).applyInPandas(reassemble) # page-order concat + route
+      → unionByName
+
+Why this shape at 100 TB:
+
+* The S3 filter and the light/heavy split are Catalyst expressions
+  (``endswith``, ``length(html)``) — pushed/pruned JVM-side, no Python.
+* 99% of documents never shuffle: one Arrow round-trip, map-only.
+* The 1% multi-hundred-page tail — which would otherwise pin a task per
+  AQE's inability to split a single row — is exploded to page granularity
+  *before* the expensive stage and hash-spread across the cluster
+  (SURVEY §4: salt *pages*, AQE can't split a row).
+* The reassembly shuffle only carries (url, page_no, page_text) — the
+  extracted strings, not the raster payloads.
+* All Python work is Arrow-batched ``mapInPandas``; per-batch failure
+  capture keeps data errors out of task retries
+  (graceful degradation, ref: pypdfocr/pypdfocr_pdf.py:276-281).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import corpus as ck
+from .config import ExtractConfig
+from .kernels import codec, hocr, htmlx
+from .kernels.normalize import normalize_page_text
+from .kernels.route import route_document
+from .schema import (
+    CORPUS_SCHEMA,
+    EXTRACTED_SCHEMA,
+    PAGE_SCHEMA,
+    PAGE_TEXT_SCHEMA,
+)
+
+EXCLUDED_SUFFIXES = ck.EXCLUDED_SUFFIXES
+
+
+# --------------------------------------------------------------- corpus build
+def build_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the F1 Common-Crawl-style corpus from the driver's
+    ``documents`` parquet — deterministic per doc_id (corpus.py rules),
+    built executor-side in Arrow batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                ck.build_corpus_row(int(d), t, l, s)
+                for d, t, l, s in zip(pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in CORPUS_SCHEMA.fields])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # The driver parquet is a single small file → a single input split →
+    # every downstream Python stage would serialize onto one task. Spread
+    # the (tiny) seed rows across the cluster before the payload-building
+    # stage. At 100 TB the scan has natural split parallelism
+    # (maxPartitionBytes) and this branch is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs.mapInPandas(gen, CORPUS_SCHEMA)
+
+
+# ----------------------------------------------------------- light-path UDFs
+def _extract_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    out = []
+    for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
+        payload = bytes(payload)
+        try:
+            pages, status = ck.extract_doc(payload)
+            text, n_pages = "\n".join(pages), len(pages)
+            norm_pages = [normalize_page_text(p) for p in pages]
+            route = route_document(
+                norm_pages, url, cfg.targets,
+                use_filename=cfg.use_filename, default=cfg.default_route,
+            )
+        except Exception as exc:  # data error → row, never task failure
+            text, n_pages, status, route = "", 0, f"error:{type(exc).__name__}", cfg.default_route
+        out.append(
+            (url, ts, lang, text, normalize_page_text(text), route, n_pages, status, len(payload))
+        )
+    return pd.DataFrame(out, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+
+
+# ----------------------------------------------------------- heavy-path UDFs
+def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    out = []
+    for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
+        payload = bytes(payload)
+        nbytes = len(payload)
+        pages = codec.decode_doc(payload)
+        if pages:
+            geom = codec.detect_geometry(pages)
+            raster = codec.rasterize(pages, geom["output_dpi"])
+            n = len(raster)
+            for pno, page in enumerate(raster):
+                out.append(
+                    (url, ts, lang, pno, n, geom["height_pt"], geom["output_dpi"],
+                     json.dumps(page, separators=(",", ":")), nbytes)
+                )
+        else:
+            # non-PDF heavy payload (e.g. a huge HTML doc): single pseudo-page
+            out.append(
+                (url, ts, lang, 0, 1, 792.0, 300,
+                 json.dumps({"raw": payload.decode("utf-8", errors="replace")}),
+                 nbytes)
+            )
+    return pd.DataFrame(out, columns=[f.name for f in PAGE_SCHEMA.fields])
+
+
+def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for url, ts, lang, pno, n, height, dpi, pjson, nbytes in zip(
+        pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_no"], pdf["n_pages"],
+        pdf["height_pt"], pdf["output_dpi"], pdf["page_json"], pdf["byte_count"],
+    ):
+        try:
+            page = json.loads(pjson)
+            if "raw" in page:
+                text = htmlx.strip_boilerplate(page["raw"])
+            else:
+                hocr_doc = hocr.emit_hocr([page])
+                spans = hocr.parse_hocr_page(hocr_doc, 1, float(height), int(dpi))
+                text = hocr.page_text_from_spans(spans)
+        except Exception:
+            text = ""
+        out.append((url, ts, lang, int(pno), int(n), text, int(nbytes)))
+    return pd.DataFrame(out, columns=[f.name for f in PAGE_TEXT_SCHEMA.fields])
+
+
+def _make_reassemble(cfg: ExtractConfig):
+    cols = [f.name for f in EXTRACTED_SCHEMA.fields]
+
+    def reassemble(pdf):
+        pdf = pdf.sort_values("page_no")
+        url = pdf["url"].iloc[0]
+        page_texts = ["" if t is None else t for t in pdf["page_text"]]
+        text = "\n".join(page_texts)
+        norm_pages = [normalize_page_text(p) for p in page_texts]
+        route = route_document(
+            norm_pages, url, cfg.targets,
+            use_filename=cfg.use_filename, default=cfg.default_route,
+        )
+        return pd.DataFrame(
+            [(url, pdf["warc_ts"].iloc[0], pdf["lang"].iloc[0], text,
+              normalize_page_text(text), route, int(pdf["n_pages"].iloc[0]), "ok",
+              int(pdf["byte_count"].iloc[0]))],
+            columns=cols,
+        )
+
+    return reassemble
+
+
+# ------------------------------------------------------------------ pipeline
+def source_filter(corpus_df: DataFrame) -> DataFrame:
+    """S3/P5: drop the engine's own outputs before any Python runs
+    (ref: pypdfocr/pypdfocr_watcher.py:95-96)."""
+    cond = None
+    for suf in EXCLUDED_SUFFIXES:
+        c = ~F.col("url").endswith(suf)
+        cond = c if cond is None else (cond & c)
+    return corpus_df.where(cond)
+
+
+def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
+    """Full extraction: corpus rows → EXTRACTED_SCHEMA rows (module doc)."""
+    cfg = cfg or ExtractConfig()
+    spark = corpus_df.sparkSession
+    src = source_filter(corpus_df)
+
+    is_heavy = F.length(F.col("html")) > cfg.heavy_payload_bytes
+    light = src.where(~is_heavy)
+    heavy = src.where(is_heavy)
+
+    light_out = light.mapInPandas(
+        lambda it: (_extract_rows(pdf, cfg) for pdf in it), EXTRACTED_SCHEMA
+    )
+
+    k = cfg.page_partitions or spark.sparkContext.defaultParallelism * 4
+    heavy_out = (
+        heavy.mapInPandas(lambda it: (_explode_rows(pdf, cfg) for pdf in it), PAGE_SCHEMA)
+        .repartition(k, F.xxhash64("url", "page_no"))
+        .mapInPandas(lambda it: (_page_text_rows(pdf) for pdf in it), PAGE_TEXT_SCHEMA)
+        .groupBy("url")
+        .applyInPandas(_make_reassemble(cfg), EXTRACTED_SCHEMA)
+    )
+    return light_out.unionByName(heavy_out)
+
+
+def materialize_corpus(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Write the derived corpus as a parquet table and return a reader.
+
+    In production the Common-Crawl corpus IS a table (Iceberg) — the
+    pipeline scans it, it is not generated mid-query. Materializing makes
+    the sandbox match that shape and keeps the light/heavy branch split
+    from re-running the (expensive) payload construction: each branch
+    re-scans parquet with its own pushed filter instead.
+    """
+    build_corpus_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def extract_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: ExtractConfig | None = None,
+    corpus_path: str | None = None,
+) -> DataFrame:
+    """Convenience: driver documents table → corpus → extraction.
+
+    With ``corpus_path`` the corpus is materialized (or reused if already
+    written) and extraction scans it like the production table.
+    """
+    if corpus_path is None:
+        return extract(build_corpus_df(spark, sf_dir), cfg)
+    try:
+        corpus_df = spark.read.parquet(corpus_path)
+        if corpus_df.rdd.isEmpty():
+            raise ValueError("empty corpus")
+    except Exception:
+        corpus_df = materialize_corpus(spark, sf_dir, corpus_path)
+    return extract(corpus_df, cfg)

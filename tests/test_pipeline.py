@@ -1,0 +1,92 @@
+"""Spark pipeline integration tests: byte-identity vs the pure-Python
+oracle, skew path equivalence, lineage accounting, resume semantics.
+
+This is the rebuild analog of the reference's end-to-end golden tests
+(test/test_pypdfocr.py:51-83): run the real pipeline over a corpus,
+assert the extracted text — here byte-identical per url, which is
+strictly stronger than the reference's keyword-tolerant check.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pypdfocr_spark import corpus as ck
+from pypdfocr_spark import lineage, pipeline
+from pypdfocr_spark.config import DEFAULT_ROUTE, DEFAULT_TARGETS, ExtractConfig
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def oracle_rows():
+    tbl = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pylist()
+    rows = [
+        ck.build_corpus_row(r["doc_id"], r["text"], r["lang"], r["source"]) for r in tbl
+    ]
+    return ck.oracle_extract(rows, DEFAULT_TARGETS, DEFAULT_ROUTE)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = pipeline.extract_from_documents(spark, SF_SMOKE, ExtractConfig())
+    return {r["url"]: r.asDict() for r in df.collect()}
+
+
+def test_byte_identity_per_url(oracle_rows, extracted):
+    """Every url's extracted_text is byte-identical to the single-machine
+    oracle — including the heavy docs that took the exploded page path."""
+    assert len(extracted) == len(oracle_rows)
+    for o in oracle_rows:
+        s = extracted[o["url"]]
+        assert s["extracted_text"] == o["extracted_text"], o["url"]
+        assert s["extracted_norm"] == o["extracted_norm"], o["url"]
+        assert s["route"] == o["route"], o["url"]
+        assert s["n_pages"] == o["n_pages"], o["url"]
+        assert s["status"] == o["status"], o["url"]
+
+
+def test_heavy_docs_took_page_path(oracle_rows, extracted):
+    heavy = [o for o in oracle_rows if o["n_pages"] > 50]
+    assert heavy, "corpus must contain a skew tail"
+    for o in heavy:
+        assert extracted[o["url"]]["extracted_text"] == o["extracted_text"]
+
+
+def test_source_filter_excludes_own_outputs(spark):
+    df = pipeline.build_corpus_df(spark, SF_SMOKE)
+    total = df.count()
+    kept = pipeline.source_filter(df).count()
+    assert total == 500 and kept == 400  # 20% _ocr.pdf/_test.pdf
+
+
+def test_lineage_accounts_every_doc(spark, tmp_path):
+    cfg = ExtractConfig()
+    out = pipeline.extract_from_documents(spark, SF_SMOKE, cfg)
+    stats = lineage.commit(out, str(tmp_path), run_id="r1")
+    assert stats["run_id"] == "r1"
+    lin = spark.read.parquet(f"{tmp_path}/lineage")
+    agg = lin.agg(F.sum("doc_count").alias("n"), F.sum("byte_count").alias("b")).first()
+    assert agg["n"] == 400
+    assert agg["b"] > 0
+    assert lin.where(F.col("run_id") != "r1").count() == 0
+
+
+def test_resume_skips_committed(spark, tmp_path):
+    cfg = ExtractConfig()
+    corpus_df = pipeline.source_filter(pipeline.build_corpus_df(spark, SF_SMOKE))
+    # commit the first half (by url hash), then resume over the full input
+    first_half = corpus_df.where(F.xxhash64("url") % 2 == 0)
+    lineage.commit(pipeline.extract(first_half, cfg), str(tmp_path), run_id="half")
+    remaining = lineage.resume_filter(corpus_df, str(tmp_path))
+    committed_n = first_half.count()
+    assert remaining.count() == 400 - committed_n
+    # nothing already committed reappears
+    done = {r["url"] for r in spark.read.parquet(f"{tmp_path}/extracted").select("url").collect()}
+    todo = {r["url"] for r in remaining.select("url").collect()}
+    assert not (done & todo)
+
+
+def test_resume_noop_without_snapshot(spark, tmp_path):
+    corpus_df = pipeline.source_filter(pipeline.build_corpus_df(spark, SF_SMOKE))
+    assert lineage.resume_filter(corpus_df, str(tmp_path / "nope")).count() == 400
