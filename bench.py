@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship extraction pipeline plus the
+headline operator queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "docs_per_sec_extract", "value": N, "unit": "sec"?, ...}
+
+The headline metric is end-to-end extraction throughput (docs/sec over
+the non-excluded corpus), matching BASELINE.json's north-star metric.
+Corpus materialization (a test-fixture step, not a pipeline stage) is
+timed separately and excluded from the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pypdfocr_spark import pipeline  # noqa: E402
+from pypdfocr_spark.config import ExtractConfig  # noqa: E402
+from pypdfocr_spark.session import get_spark  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "extract_text",
+    "route_first_match",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_topk",
+    "embedding_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+    "sessionize_events",
+    "tumbling_events",
+    "lineage_rollup",
+    "mktsegment_revenue",
+    "top_orders_3way",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("pypdfocr-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus_path = f"/tmp/pypdfocr_spark_corpus_{tag}"
+    t0 = time.monotonic()
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        pipeline.materialize_corpus(spark, sf_dir, corpus_path)
+    corpus_build_sec = time.monotonic() - t0
+
+    # headline: end-to-end extraction throughput
+    corpus_df = spark.read.parquet(corpus_path)
+    t0 = time.monotonic()
+    n_docs = pipeline.extract(corpus_df, ExtractConfig()).count()
+    extract_sec = time.monotonic() - t0
+    docs_per_sec = n_docs / extract_sec
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {"extract_pipeline": round(extract_sec, 3)}
+    for name in HEADLINE_QUERIES:
+        if name == "extract_text":
+            continue  # already measured as extract_pipeline
+        t0 = time.monotonic()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "docs_per_sec_extract",
+                "value": round(docs_per_sec, 2),
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": tag,
+                "n_docs_extracted": n_docs,
+                "cpus": int(cpus),
+                "corpus_build_sec": round(corpus_build_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

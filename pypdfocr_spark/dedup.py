@@ -1,0 +1,209 @@
+"""Deduplication operators for the training-data pipeline (brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Everything except SimHash is pure built-in DataFrame algebra — shingling
+uses higher-order array functions (``transform``/``sequence``/``slice``),
+hashing uses ``md5``+``conv``, so the hot path stays inside whole-stage
+codegen with zero Python. SimHash needs per-bit vote accumulation →
+vectorized pandas UDF over Arrow batches.
+
+Scale notes (100 TB):
+
+* exact: one hash-aggregate shuffle on a 32-hex key; map-side partial agg.
+* n-gram Jaccard: the shingle self-join explodes on hot shingles — cap
+  candidate fan-out by dropping shingles with document-frequency above
+  ``max_df`` (stopword-shingles contribute candidates, not evidence).
+* MinHash LSH: band-bucket join produces candidates linear in near-dup
+  count, not quadratic in corpus size; signatures are 16 BIGINTs/doc.
+* embedding near-dup: bucket by LSH sign-bits first at scale; the
+  all-pairs form here is the small-dim verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kernels.textstats import MINHASH_P, minhash_coeffs, simhash64
+
+# ---------------------------------------------------------------- exact dedup
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5 over the raw text (the reference's only
+    content hash is md5, ref: pypdfocr/pypdfocr_filer_evernote.py:221-227).
+
+    Returns (content_hash, keeper_id, dup_count) — keeper = min id, the
+    deterministic survivor convention.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------- shingles (shared)
+def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Explode distinct token k-gram shingles per document — entirely
+    JVM-side: split → sequence/transform sliding window → array_distinct
+    → explode."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    kgrams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(kgrams)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs by token k-gram Jaccard ≥ threshold.
+
+    shingle self-join on equal shingles → per-pair intersection count →
+    Jaccard = |∩| / (|A| + |B| − |∩|). ``max_df`` drops ubiquitous
+    shingles before the join (skew + fan-out control at scale).
+    """
+    sh = with_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash + LSH
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_hashes`` columns ``mh0..mhN`` —
+    same arithmetic as kernels.textstats.minhash_signature and the SQL
+    oracle: x = md5-prefix-int(shingle) mod P; mh_i = min((a_i·x+b_i) mod P).
+
+    Aggregation is a single groupBy with N min() aggregates — map-side
+    combinable, one shuffle of (id, N longs).
+    """
+    sh = with_shingles(df, id_col, text_col, k)
+    x = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    ).alias("x")
+    sh = sh.select(id_col, x)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, bands: int = 4, k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any full band are candidates.
+    The band-bucket equi-join replaces the all-pairs O(n²) comparison."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    bands_df = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc via an Arrow-batched mapInPandas stage
+    (per-bit vote accumulation has no built-in expression form). Returned
+    as the signed-64 reinterpretation for BIGINT storage."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            sigs = [
+                (v - (1 << 64) if (v := simhash64(t or "")) >= (1 << 63) else v)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": pd.Series(sigs, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs verifier form).
+
+    Cosine is computed with JVM higher-order functions (zip_with +
+    aggregate in doubles) — no Python. At corpus scale, pre-bucket with
+    :func:`pypdfocr_spark.similarity.lsh_bucket_topk` and run this inside
+    buckets only.
+    """
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,70 @@
+"""Event-stream operators in batch form — the relational mirror of the
+reference's watch-mode semantics (SURVEY §2.9): quiescence debounce →
+gap-based sessionization; per-interval rollup → tumbling windows.
+
+Both are pure window/agg algebra (no Python); the Structured Streaming
+variants live in stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+) -> DataFrame:
+    """Gap sessionization: a new session starts when the time since the
+    previous event of the same key exceeds ``gap_seconds`` — the batch
+    analog of the watcher's quiescence debounce (a file is 'done' after
+    scan_interval with no touches, ref: pypdfocr/pypdfocr_watcher.py:125-149,
+    default 3 s, ref :37).
+
+    Returns one row per session: (key, session_id, n_events, session_start,
+    session_end).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # microsecond integer arithmetic — exact, and bit-reproducible by the
+    # DuckDB oracle (epoch_us); second-granularity casts would round
+    # sub-second gaps differently across engines
+    # cast covers TIMESTAMP_NTZ parquet columns; the zone shift cancels in
+    # the lag difference
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    starts = df.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = starts.withColumn(
+        "session_id", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_sid.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly tumbling-window rollup per event type — ``date_trunc`` keyed
+    so the oracle SQL can reproduce the exact same grouping column."""
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+            F.col(by_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )

@@ -13,9 +13,10 @@ from __future__ import annotations
 
 import hashlib
 
-# 61-bit Mersenne prime keeps (a*x+b) % P inside signed-64 without overflow
-# concerns in either engine (products computed in Python ints / SQL HUGEINT).
-MERSENNE61 = (1 << 61) - 1
+# MinHash arithmetic stays far below 2^63 so the identical formula runs in
+# Spark SQL and DuckDB BIGINTs with no overflow: shingle → md5 prefix int
+# (< 2^60) → reduce mod P → (a·x + b) mod P with small a, b.
+MINHASH_P = 1_000_000_007
 
 # Deterministic MinHash coefficient schedule — shared with the SQL oracle.
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
@@ -41,12 +42,12 @@ def shingles(text: str, k: int = 3) -> list[str]:
 
 def minhash_signature(text: str, num_hashes: int = 16, k: int = 3) -> list[int]:
     """MinHash over token k-gram shingles with the shared coefficient
-    schedule; empty docs → all MERSENNE61 (sentinel max)."""
+    schedule; empty docs → all MINHASH_P (sentinel max)."""
     sh = shingles(text, k)
     if not sh:
-        return [MERSENNE61] * num_hashes
-    xs = [md5_prefix_int(s) for s in sh]
-    return [min((a * x + b) % MERSENNE61 for x in xs) for a, b in minhash_coeffs(num_hashes)]
+        return [MINHASH_P] * num_hashes
+    xs = [md5_prefix_int(s) % MINHASH_P for s in sh]
+    return [min((a * x + b) % MINHASH_P for x in xs) for a, b in minhash_coeffs(num_hashes)]
 
 
 def simhash64(text: str) -> int:

@@ -1,0 +1,132 @@
+"""Training-data ops + driver-contract tests: Spark results agree with the
+pure kernels; entry() smoke; queries()/oracle_sql() contract shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from pypdfocr_spark import dedup, similarity, textops
+from pypdfocr_spark.kernels import textstats
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_minhash_matches_kernel(spark, docs):
+    row = docs.where(F.col("doc_id") == 5).first()
+    sig_kernel = textstats.minhash_signature(row["text"], num_hashes=8, k=3)
+    sig_spark = (
+        dedup.minhash_signatures(docs.where(F.col("doc_id") == 5), num_hashes=8, k=3)
+        .first()
+    )
+    assert [sig_spark[f"mh{i}"] for i in range(8)] == sig_kernel
+
+
+def test_simhash_matches_kernel(spark, docs):
+    row = docs.where(F.col("doc_id") == 5).first()
+    expected = textstats.simhash64(row["text"])
+    expected_signed = expected - (1 << 64) if expected >= (1 << 63) else expected
+    got = dedup.simhash_signatures(docs.where(F.col("doc_id") == 5)).first()["simhash"]
+    assert got == expected_signed
+
+
+def test_exact_dedup_finds_injected_duplicate(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["keeper_id"]: r["dup_count"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_flags_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),  # 7/9 bigrams shared-ish
+            (3, "q r s t u v w z"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, k=2, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_lsh_pairs_superset_sanity(spark):
+    # identical docs must share all bands
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "z1 z2 z3 z4 z5 z6")],
+        ["doc_id", "text"],
+    )
+    pairs = {(p["id_a"], p["id_b"]) for p in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_topk_shape_and_self_exclusion(spark, emb):
+    out = similarity.brute_force_topk(emb, query_ids=[0, 1], k=5).collect()
+    assert len(out) == 10
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+    ranks = sorted(r["rank"] for r in out if r["query_id"] == 0)
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_neighbors_share_bucket(spark, emb):
+    out = similarity.lsh_bucket_topk(emb, query_ids=[0], k=3).collect()
+    assert 0 < len(out) <= 3
+
+
+def test_lang_id_matches_kernel(spark, docs):
+    sample = docs.limit(20)
+    spark_out = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id_df(sample).collect()}
+    for row in sample.collect():
+        assert spark_out[row["doc_id"]] == textstats.lang_id(row["text"])
+
+
+def test_quality_matches_kernel(spark, docs):
+    row = docs.where(F.col("doc_id") == 9).first()
+    q = textstats.quality_stats(row["text"])
+    got = textops.quality_score_df(docs.where(F.col("doc_id") == 9)).first()
+    assert got["n_tokens"] == q["n_tokens"]
+    assert abs(got["stopword_ratio"] - q["stopword_ratio"]) < 1e-12
+    assert abs(got["mean_token_len"] - q["mean_token_len"]) < 1e-12
+
+
+def test_fingerprint_matches_kernel(spark, docs):
+    row = docs.where(F.col("doc_id") == 9).first()
+    got = textops.fingerprint_df(docs.where(F.col("doc_id") == 9)).first()
+    assert got["fingerprint"] == textstats.bag_fingerprint(row["text"])
+
+
+def test_multimodal_roundtrip(spark, emb):
+    from pypdfocr_spark import multimodal
+    import numpy as np
+
+    feats = multimodal.extract_features(multimodal.media_table(emb.limit(5))).collect()
+    assert len(feats) == 5
+    src = {r["vec_id"]: r["embedding"] for r in emb.limit(5).collect()}
+    for f in feats:
+        assert f["dim"] == len(src[f["vec_id"]])
+        assert f["n_bytes"] == 4 * f["dim"]
+        expected_norm = float(np.sqrt(sum(float(np.float32(x)) ** 2 for x in src[f["vec_id"]])))
+        assert abs(f["l2_norm"] - expected_norm) < 1e-9
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the SQL-expressible coverage should dominate
+    assert len(oracles) >= 20
