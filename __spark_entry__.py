@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pypdfocr_spark import dedup, events, multimodal, pipeline, similarity, textops
+from pypdfocr_spark import dedup, events, multimodal, pipeline, similarity, spans, textops
 from pypdfocr_spark.config import ExtractConfig
 from pypdfocr_spark.corpus import HEAVY_REPEAT
 
@@ -345,6 +345,33 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint_df(_docs(spark, sf_dir))
 
 
+def _q_extract_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level pipeline (the central nested type, SURVEY §1.1 #4):
+    per-doc line/word counts over the parsed span tree — SQL-checkable
+    because the corpus layout is deterministic (8 words/line on the PDF
+    path, 12 per <p> on the HTML path)."""
+    try:
+        corpus_df = spark.read.parquet(_corpus_path(sf_dir))
+    except Exception:
+        corpus_df = pipeline.materialize_corpus(spark, sf_dir, _corpus_path(sf_dir))
+    df = spans.extract_spans(corpus_df, ExtractConfig())
+    n_lines = F.aggregate(
+        F.col("spans"), F.lit(0), lambda acc, p: acc + F.size(p["lines"])
+    )
+    n_words = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.aggregate(p["lines"], F.lit(0), lambda a2, ln: a2 + F.size(ln["words"])),
+    )
+    return df.select(
+        "url",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        n_lines.cast("long").alias("n_lines"),
+        n_words.cast("long").alias("n_words"),
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_table(_emb(spark, sf_dir))
     return multimodal.extract_features(media)
@@ -379,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
+        "extract_spans_stats": _q_extract_spans_stats,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -579,6 +607,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
             FROM documents
+        """,
+        "extract_spans_stats": f"""
+            SELECT url, {NPAGES_SQL} AS n_pages,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN ceil(T / 12.0) ELSE ceil(T / 8.0) END AS BIGINT) AS n_lines,
+                   CAST(T AS BIGINT) AS n_words
+            FROM (
+                SELECT doc_id, text, {URL_SQL} AS url,
+                       (CASE WHEN doc_id % 100 = 0 THEN {NTOK_SQL} * {HEAVY_REPEAT} ELSE {NTOK_SQL} END) AS T
+                FROM documents
+            )
+            WHERE NOT (url LIKE '%!_ocr.pdf' ESCAPE '!') AND NOT (url LIKE '%!_test.pdf' ESCAPE '!')
         """,
         # minhash_lsh_pairs, simhash, embedding_lsh_topk, multimodal_features:
         # genuinely non-SQL (banded bucket join / bit votes / deterministic

@@ -1,0 +1,83 @@
+"""spark-submit entry point (north rule: launched with
+``spark-submit --py-files pypdfocr_spark.zip`` on a multi-executor
+cluster; in the sandbox it runs under plain ``python`` on local[N]).
+
+Usage::
+
+    python -m pypdfocr_spark.cli --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/out [--resume] [--watch INPUT_DIR --checkpoint DIR]
+
+Mirrors the reference CLI surface (ref: pypdfocr/pypdfocr.py:107-227):
+single-input batch mode vs ``--watch`` streaming mode are mutually
+exclusive, routing config comes from a YAML/JSON file (``--config``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from . import lineage, pipeline
+from .config import DEFAULT_ROUTE, DEFAULT_TARGETS, ExtractConfig
+from .kernels.route import normalize_targets
+from .session import get_spark
+
+
+def load_config(path: str | None) -> ExtractConfig:
+    if not path:
+        return ExtractConfig()
+    with open(path) as f:
+        raw = json.load(f)  # JSON subset of the reference YAML config
+    targets = normalize_targets(list(raw.get("folders", {}).items())) or list(DEFAULT_TARGETS)
+    return ExtractConfig(
+        targets=targets,
+        default_route=raw.get("default_folder", DEFAULT_ROUTE),
+        use_filename=bool(raw.get("match_using_filename", True)),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pypdfocr-spark")
+    p.add_argument("--sf-dir", help="driver table dir to derive the corpus from")
+    p.add_argument("--corpus", help="existing corpus parquet path (F1 schema)")
+    p.add_argument("--out", required=True, help="output/lineage table dir")
+    p.add_argument("--config", help="routing config (JSON)")
+    p.add_argument("--resume", action="store_true", help="skip committed urls")
+    p.add_argument("--watch", help="streaming: watch this dir for corpus files")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    if bool(args.watch) == bool(args.sf_dir or args.corpus):
+        p.error("exactly one of --watch or (--sf-dir | --corpus) is required")
+
+    spark = get_spark("pypdfocr-spark-cli", master=args.master)
+    cfg = load_config(args.config)
+
+    if args.watch:
+        if not args.checkpoint:
+            p.error("--watch requires --checkpoint")
+        from .stream import watch_extract
+
+        q = watch_extract(spark, args.watch, args.out, args.checkpoint, cfg)
+        q.awaitTermination()
+        return 0
+
+    corpus_df = (
+        spark.read.parquet(args.corpus)
+        if args.corpus
+        else pipeline.build_corpus_df(spark, args.sf_dir)
+    )
+    if args.resume:
+        corpus_df = lineage.resume_filter(corpus_df, args.out)
+    t0 = time.monotonic()
+    result = pipeline.extract(corpus_df, cfg)
+    stats = lineage.commit(result, args.out)
+    print(json.dumps({"run_id": stats["run_id"], "wall_sec": round(time.monotonic() - t0, 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

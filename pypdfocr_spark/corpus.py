@@ -64,7 +64,10 @@ def doc_url(doc_id: int, source: str) -> str:
 
 
 def doc_ts(doc_id: int) -> datetime:
-    return EPOCH + timedelta(seconds=37 * doc_id)
+    # mod keeps replicated ids (offset 10^7 per copy, see
+    # pipeline.build_corpus_df) inside the pandas ns-timestamp range;
+    # original driver ids (< 10^7) are unaffected
+    return EPOCH + timedelta(seconds=37 * (doc_id % 10_000_000))
 
 
 def content_tokens(doc_id: int, text: str) -> list[str]:
@@ -153,6 +156,48 @@ def build_corpus_row(doc_id: int, text: str, lang: str, source: str) -> dict:
 
 
 # ---------------------------------------------------------------- extraction
+def extract_doc_spans(payload: bytes) -> tuple[list[list[dict]], str]:
+    """Single-pass extraction to the span level: payload → (per-page span
+    lists, status). Spans are the engine's central nested type (SURVEY
+    §1.1 #4): line dicts with bbox/textangle/baseline and positioned words
+    (parse+placement, ref: pypdfocr/pypdfocr_pdf.py:269-351). HTML docs
+    carry no geometry → their single page is one synthetic line whose
+    words have empty boxes.
+    """
+    if codec.is_syn_pdf(payload):
+        pages = codec.decode_doc(payload)
+        if pages is None:
+            return ([], "decode_error")
+        if not pages:
+            return ([], "ok")
+        geom = codec.detect_geometry(pages)
+        raster = codec.rasterize(pages, geom["output_dpi"])
+        hocr_doc = hocr.emit_hocr(raster)
+        return (
+            hocr.parse_hocr_all(hocr_doc, geom["height_pt"], geom["output_dpi"]),
+            "ok",
+        )
+    head = payload.lstrip()[:15].lower()
+    if head.startswith(b"<!doctype") or head.startswith(b"<html"):
+        try:
+            text = htmlx.strip_boilerplate(payload.decode("utf-8", errors="replace"))
+        except Exception:
+            return ([], "html_error")
+        lines = [
+            {
+                "bbox": [], "textangle": 0, "baseline": [0.0, 0.0],
+                "words": [
+                    {"text": w, "bbox": [], "font_size": 0,
+                     "x_pt": 0.0, "y_pt": 0.0, "angle": 0}
+                    for w in ln.split(" ") if w
+                ],
+            }
+            for ln in text.split("\n") if ln
+        ]
+        return ([lines], "ok")
+    return ([], "unsupported")
+
+
 def extract_doc(payload: bytes) -> tuple[list[str], str]:
     """Single-pass extraction: payload → (per-page texts, status).
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 import json
 import math
 
-MAGIC = b"%SYNPDF1%"
+MAGIC = b"%SYNPDF2%"
 MIN_DPI = 300  # rasterization floor (ref: pypdfocr/pypdfocr_gs.py:60,156)
 
 
@@ -45,12 +45,31 @@ def round_half_away(x: float) -> int:
 
 
 def encode_doc(pages: list[dict]) -> bytes:
-    """Encode a page list as a synthetic 'PDF' payload."""
-    return MAGIC + json.dumps({"pages": pages}, separators=(",", ":")).encode("utf-8")
+    """Encode a page list as a synthetic 'PDF' payload: magic header +
+    one JSON line per page. The line-delimited layout makes the
+    page-explode stage a byte split with NO parse — splitting a
+    multi-hundred-page document costs O(bytes), and each page is decoded
+    exactly once, on the task that OCRs it."""
+    if not pages:
+        return MAGIC
+    return MAGIC + b"\n".join(
+        json.dumps(p, separators=(",", ":")).encode("utf-8") for p in pages
+    )
 
 
 def is_syn_pdf(payload: bytes) -> bool:
     return payload[: len(MAGIC)] == MAGIC
+
+
+def split_pages(payload: bytes) -> list[bytes] | None:
+    """Zero-parse page split: payload → per-page JSON byte strings;
+    garbage → ``None``; valid empty doc → ``[]``."""
+    if not is_syn_pdf(payload):
+        return None
+    body = payload[len(MAGIC):]
+    if not body:
+        return []
+    return body.split(b"\n")
 
 
 def decode_doc(payload: bytes) -> list[dict] | None:
@@ -58,11 +77,12 @@ def decode_doc(payload: bytes) -> list[dict] | None:
     degradation, matching the reference's never-die-mid-corpus behavior,
     ref: pypdfocr/pypdfocr_pdf.py:276-281). A valid empty document
     decodes to ``[]`` — distinct from garbage."""
-    if not is_syn_pdf(payload):
+    lines = split_pages(payload)
+    if lines is None:
         return None
     try:
-        pages = json.loads(payload[len(MAGIC):].decode("utf-8"))["pages"]
-        return pages if isinstance(pages, list) else None
+        pages = [json.loads(ln.decode("utf-8")) for ln in lines]
+        return pages if all(isinstance(p, dict) for p in pages) else None
     except Exception:
         return None
 

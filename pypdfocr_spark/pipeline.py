@@ -55,10 +55,15 @@ EXCLUDED_SUFFIXES = ck.EXCLUDED_SUFFIXES
 
 
 # --------------------------------------------------------------- corpus build
-def build_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_corpus_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """Derive the F1 Common-Crawl-style corpus from the driver's
     ``documents`` parquet — deterministic per doc_id (corpus.py rules),
-    built executor-side in Arrow batches."""
+    built executor-side in Arrow batches.
+
+    ``replicate`` > 1 deterministically replicates the seed rows with
+    disjoint doc_id ranges (offset 10^7 per copy) — used to build a
+    corpus large enough that compute dominates scheduling overhead in the
+    scaling-efficiency measurement (BASELINE.md protocol)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,6 +76,11 @@ def build_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    if replicate > 1:
+        copies = spark.range(replicate).select((F.col("id") * 10_000_000).alias("doc_offset"))
+        docs = docs.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("doc_offset")).alias("doc_id"), "text", "lang", "source"
+        )
     # The driver parquet is a single small file → a single input split →
     # every downstream Python stage would serialize onto one task. Spread
     # the (tiny) seed rows across the cluster before the payload-building
@@ -105,19 +115,27 @@ def _extract_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 
 # ----------------------------------------------------------- heavy-path UDFs
 def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """Split a heavy document into per-page rows — a cheap splitter only
+    (decode + per-page re-encode). The expensive work (rasterize at the
+    output dpi, hOCR, parse) happens downstream in the salted per-page
+    stage; doing it here would pin one task per multi-hundred-page doc,
+    exactly the skew the explode exists to break."""
     out = []
     for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
         payload = bytes(payload)
         nbytes = len(payload)
-        pages = codec.decode_doc(payload)
-        if pages:
-            geom = codec.detect_geometry(pages)
-            raster = codec.rasterize(pages, geom["output_dpi"])
-            n = len(raster)
-            for pno, page in enumerate(raster):
+        page_lines = codec.split_pages(payload)  # byte split, no parse
+        if page_lines:
+            try:
+                first = json.loads(page_lines[0].decode("utf-8"))
+            except Exception:
+                first = {}
+            geom = codec.detect_geometry([first] if first else [])
+            n = len(page_lines)
+            for pno, line in enumerate(page_lines):
                 out.append(
                     (url, ts, lang, pno, n, geom["height_pt"], geom["output_dpi"],
-                     json.dumps(page, separators=(",", ":")), nbytes)
+                     line.decode("utf-8"), nbytes)
                 )
         else:
             # non-PDF heavy payload (e.g. a huge HTML doc): single pseudo-page
@@ -130,6 +148,9 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 
 
 def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-page OCR kernel: rasterize the native-dpi page at the document
+    output dpi, emit+parse hOCR, reassemble text — the compute-heavy stage,
+    running on hash-spread page rows."""
     out = []
     for url, ts, lang, pno, n, height, dpi, pjson, nbytes in zip(
         pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_no"], pdf["n_pages"],
@@ -140,7 +161,8 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
             if "raw" in page:
                 text = htmlx.strip_boilerplate(page["raw"])
             else:
-                hocr_doc = hocr.emit_hocr([page])
+                raster = codec.rasterize([page], int(dpi))
+                hocr_doc = hocr.emit_hocr(raster)
                 spans = hocr.parse_hocr_page(hocr_doc, 1, float(height), int(dpi))
                 text = hocr.page_text_from_spans(spans)
         except Exception:
@@ -199,7 +221,11 @@ def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame
 
     k = cfg.page_partitions or spark.sparkContext.defaultParallelism * 4
     heavy_out = (
-        heavy.mapInPandas(lambda it: (_explode_rows(pdf, cfg) for pdf in it), PAGE_SCHEMA)
+        # spread the few heavy docs before splitting them: input-file
+        # clustering would otherwise queue several multi-MB docs on one
+        # task (heavy rows are rare, so this shuffle is tiny)
+        heavy.repartition(spark.sparkContext.defaultParallelism, F.xxhash64("url"))
+        .mapInPandas(lambda it: (_explode_rows(pdf, cfg) for pdf in it), PAGE_SCHEMA)
         .repartition(k, F.xxhash64("url", "page_no"))
         .mapInPandas(lambda it: (_page_text_rows(pdf) for pdf in it), PAGE_TEXT_SCHEMA)
         .groupBy("url")
