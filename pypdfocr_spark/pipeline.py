@@ -67,10 +67,11 @@ def build_corpus_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                ck.build_corpus_row(int(d), t, l, s)
-                for d, t, l, s in zip(pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"])
-            ]
+            rows = []
+            for d, t, l, s in zip(pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]):
+                r = ck.build_corpus_row(int(d), t, l, s)
+                r["n_bytes"] = len(r["html"])
+                rows.append(r)
             yield pd.DataFrame(rows, columns=[f.name for f in CORPUS_SCHEMA.fields])
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -211,7 +212,14 @@ def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame
     spark = corpus_df.sparkSession
     src = source_filter(corpus_df)
 
-    is_heavy = F.length(F.col("html")) > cfg.heavy_payload_bytes
+    # prefer the stats-bearing n_bytes column: `n_bytes > T` prunes at the
+    # parquet/Iceberg row-group level (min/max stats), so each branch's
+    # scan skips the other branch's row groups; `length(html)` cannot push
+    if "n_bytes" in corpus_df.columns:
+        size_col = F.coalesce(F.col("n_bytes"), F.length(F.col("html")))
+    else:
+        size_col = F.length(F.col("html"))
+    is_heavy = size_col > cfg.heavy_payload_bytes
     light = src.where(~is_heavy)
     heavy = src.where(is_heavy)
 

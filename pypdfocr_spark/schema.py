@@ -20,6 +20,9 @@ from pyspark.sql.types import (
 )
 
 # F1 input table (BASELINE.json input_hint): Common-Crawl-style pages.
+# n_bytes (payload size) is carried as a stats-bearing column so the
+# light/heavy split can prune at the parquet/Iceberg row-group level —
+# `length(html) > T` cannot push down, `n_bytes > T` can (min/max stats).
 CORPUS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -27,6 +30,7 @@ CORPUS_SCHEMA = StructType(
         StructField("html", BinaryType(), False),
         StructField("text", StringType(), True),
         StructField("lang", StringType(), True),
+        StructField("n_bytes", LongType(), True),
     ]
 )
 

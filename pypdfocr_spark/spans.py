@@ -135,7 +135,11 @@ def extract_spans(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> Dat
     spark = corpus_df.sparkSession
     src = source_filter(corpus_df)
 
-    is_heavy = F.length(F.col("html")) > cfg.heavy_payload_bytes
+    if "n_bytes" in corpus_df.columns:
+        size_col = F.coalesce(F.col("n_bytes"), F.length(F.col("html")))
+    else:
+        size_col = F.length(F.col("html"))
+    is_heavy = size_col > cfg.heavy_payload_bytes
     light = src.where(~is_heavy)
     heavy = src.where(is_heavy)
 
