@@ -81,20 +81,25 @@ def main() -> None:
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "docs_per_sec_extract",
-                "value": round(docs_per_sec, 2),
-                "unit": "docs/sec",
-                "queries": timings,
-                "sf": tag,
-                "n_docs_extracted": n_docs,
-                "cpus": int(cpus),
-                "corpus_build_sec": round(corpus_build_sec, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "docs_per_sec_extract",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": tag,
+        "n_docs_extracted": n_docs,
+        "cpus": int(cpus),
+        "corpus_build_sec": round(corpus_build_sec, 3),
+    }
+    # fold in the latest two-level scaling evidence if present
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling_efficiency"] = s.get("scaling_efficiency")
+        out["scaling_levels"] = [s.get("low", {}).get("cores"), s.get("high", {}).get("cores")]
+        out["machine_ceiling"] = s.get("machine_calibration", {}).get("machine_efficiency")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -26,10 +26,19 @@ from .session import get_spark
 
 
 def load_config(path: str | None) -> ExtractConfig:
+    """YAML (like the reference, ref: pypdfocr/pypdfocr.py:92-103) or JSON
+    routing config. Mapping key order is preserved — first-match routing
+    depends on it (ref: pypdfocr/pypdfocr.py:301-307)."""
     if not path:
         return ExtractConfig()
     with open(path) as f:
-        raw = json.load(f)  # JSON subset of the reference YAML config
+        text = f.read()
+    try:
+        import yaml  # safe_load keeps dict insertion order on py>=3.7
+
+        raw = yaml.safe_load(text) or {}
+    except ImportError:  # pragma: no cover - yaml is present in sandbox
+        raw = json.loads(text)
     targets = normalize_targets(list(raw.get("folders", {}).items())) or list(DEFAULT_TARGETS)
     return ExtractConfig(
         targets=targets,

@@ -149,6 +149,8 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/scaling.json", "w") as f:
+        json.dump(result, f)
     k_lo = cal[f"kernel_docs_per_sec_{lo_n}p"]
     k_hi = cal[f"kernel_docs_per_sec_{hi_n}p"]
     now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
