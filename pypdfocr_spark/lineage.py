@@ -36,18 +36,32 @@ def new_run_id() -> str:
 
 
 def lineage_rows(extracted: DataFrame, run_id: str, wall_ms: int = 0) -> DataFrame:
-    """Per-partition metrics over the extraction output."""
+    """Per-partition metrics over the extraction output.
+
+    ``wall_ms`` per partition is the sum of the per-row Python compute
+    shares measured inside the Arrow stages (EXTRACTED_SCHEMA.wall_ms);
+    the caller's job-level wall is the fallback when the column is absent.
+    """
+    wall_col = (
+        F.round(F.coalesce(F.sum("row_wall_ms"), F.lit(float(wall_ms)))).cast("long")
+        if "wall_ms" in extracted.columns
+        else F.lit(wall_ms).cast("long")
+    )
+    sel = [
+        F.spark_partition_id().alias("partition_id"),
+        F.col("byte_count"),
+        F.when(F.col("status") != "ok", F.col("url")).alias("failure_url"),
+    ]
+    if "wall_ms" in extracted.columns:
+        sel.append(F.col("wall_ms").alias("row_wall_ms"))
     return (
-        extracted.select(
-            F.spark_partition_id().alias("partition_id"),
-            F.col("byte_count"),
-            F.when(F.col("status") != "ok", F.col("url")).alias("failure_url"),
-        )
+        extracted.select(*sel)
         .groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.coalesce(F.sum("byte_count"), F.lit(0)).alias("byte_count"),
             F.filter(F.collect_list("failure_url"), lambda x: x.isNotNull()).alias("failures"),
+            wall_col.alias("wall_ms"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -55,7 +69,7 @@ def lineage_rows(extracted: DataFrame, run_id: str, wall_ms: int = 0) -> DataFra
             F.col("doc_count"),
             F.col("byte_count"),
             F.col("failures"),
-            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.col("wall_ms"),
         )
     )
 

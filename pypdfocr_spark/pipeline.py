@@ -33,6 +33,7 @@ Why this shape at 100 TB:
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -95,6 +96,7 @@ def build_corpus_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
 
 # ----------------------------------------------------------- light-path UDFs
 def _extract_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    t0 = time.monotonic()
     out = []
     for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
         payload = bytes(payload)
@@ -111,7 +113,11 @@ def _extract_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         out.append(
             (url, ts, lang, text, normalize_page_text(text), route, n_pages, status, len(payload))
         )
-    return pd.DataFrame(out, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+    # per-row share of this batch's Python compute → lineage wall_ms
+    share = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
+    res = pd.DataFrame(out, columns=[f.name for f in EXTRACTED_SCHEMA.fields][:-1])
+    res["wall_ms"] = share
+    return res
 
 
 # ----------------------------------------------------------- heavy-path UDFs
@@ -152,6 +158,7 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-page OCR kernel: rasterize the native-dpi page at the document
     output dpi, emit+parse hOCR, reassemble text — the compute-heavy stage,
     running on hash-spread page rows."""
+    t0 = time.monotonic()
     out = []
     for url, ts, lang, pno, n, height, dpi, pjson, nbytes in zip(
         pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_no"], pdf["n_pages"],
@@ -169,7 +176,10 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         except Exception:
             text = ""
         out.append((url, ts, lang, int(pno), int(n), text, int(nbytes)))
-    return pd.DataFrame(out, columns=[f.name for f in PAGE_TEXT_SCHEMA.fields])
+    share = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
+    res = pd.DataFrame(out, columns=[f.name for f in PAGE_TEXT_SCHEMA.fields][:-1])
+    res["wall_ms"] = share
+    return res
 
 
 def _make_reassemble(cfg: ExtractConfig):
@@ -188,7 +198,7 @@ def _make_reassemble(cfg: ExtractConfig):
         return pd.DataFrame(
             [(url, pdf["warc_ts"].iloc[0], pdf["lang"].iloc[0], text,
               normalize_page_text(text), route, int(pdf["n_pages"].iloc[0]), "ok",
-              int(pdf["byte_count"].iloc[0]))],
+              int(pdf["byte_count"].iloc[0]), float(pdf["wall_ms"].sum()))],
             columns=cols,
         )
 
@@ -250,8 +260,16 @@ def materialize_corpus(spark: SparkSession, sf_dir: str, path: str) -> DataFrame
     the sandbox match that shape and keeps the light/heavy branch split
     from re-running the (expensive) payload construction: each branch
     re-scans parquet with its own pushed filter instead.
+
+    Rows are sorted by ``n_bytes`` within each output file so row groups
+    are size-homogeneous — the light branch's pushed ``n_bytes <= T``
+    filter then actually skips the heavy row groups (and vice versa)
+    instead of matching min/max stats everywhere. Iceberg mapping: a
+    sort order / z-order on the size column at ingest.
     """
-    build_corpus_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+    build_corpus_df(spark, sf_dir).sortWithinPartitions("n_bytes").write.mode(
+        "overwrite"
+    ).parquet(path)
     return spark.read.parquet(path)
 
 

@@ -76,6 +76,9 @@ EXTRACTED_SCHEMA = StructType(
         StructField("n_pages", IntegerType(), True),
         StructField("status", StringType(), True),
         StructField("byte_count", LongType(), True),
+        # per-row share of the Arrow batch's Python compute time; summed
+        # per physical partition into the lineage wall_ms metric
+        StructField("wall_ms", DoubleType(), True),
     ]
 )
 
@@ -103,6 +106,7 @@ PAGE_TEXT_SCHEMA = StructType(
         StructField("n_pages", IntegerType(), False),
         StructField("page_text", StringType(), True),
         StructField("byte_count", LongType(), True),
+        StructField("wall_ms", DoubleType(), True),
     ]
 )
 

@@ -14,6 +14,7 @@ per-page exploded), with the parsed spans carried as data:
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -50,6 +51,7 @@ EXTRACTED_SPANS_SCHEMA = StructType(EXTRACTED_SCHEMA.fields + [PAGE_SPANS_FIELD]
 
 
 def _doc_rows_with_spans(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    t0 = time.monotonic()
     out = []
     for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
         payload = bytes(payload)
@@ -70,12 +72,15 @@ def _doc_rows_with_spans(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             text, status, route, spans, page_texts = "", f"error:{type(exc).__name__}", cfg.default_route, [], []
         out.append(
             (url, ts, lang, text, normalize_page_text(text), route,
-             len(page_texts), status, len(payload), spans)
+             len(page_texts), status, len(payload), 0.0, spans)
         )
-    return pd.DataFrame(out, columns=[f.name for f in EXTRACTED_SPANS_SCHEMA.fields])
+    res = pd.DataFrame(out, columns=[f.name for f in EXTRACTED_SPANS_SCHEMA.fields])
+    res["wall_ms"] = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
+    return res
 
 
 def _page_rows_with_spans(pdf: pd.DataFrame) -> pd.DataFrame:
+    t0 = time.monotonic()
     out = []
     for url, ts, lang, pno, n, height, dpi, pjson, nbytes in zip(
         pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_no"], pdf["n_pages"],
@@ -95,11 +100,13 @@ def _page_rows_with_spans(pdf: pd.DataFrame) -> pd.DataFrame:
         except Exception:
             text, spans_json = "", "[]"
         out.append((url, ts, lang, int(pno), int(n), int(nbytes), text, spans_json))
-    return pd.DataFrame(
+    res = pd.DataFrame(
         out,
         columns=["url", "warc_ts", "lang", "page_no", "n_pages", "byte_count",
                  "page_text", "spans_json"],
     )
+    res["wall_ms"] = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
+    return res
 
 
 def _make_reassemble_spans(cfg: ExtractConfig):
@@ -122,7 +129,7 @@ def _make_reassemble_spans(cfg: ExtractConfig):
         return pd.DataFrame(
             [(url, pdf["warc_ts"].iloc[0], pdf["lang"].iloc[0], text,
               normalize_page_text(text), route, int(pdf["n_pages"].iloc[0]), "ok",
-              int(pdf["byte_count"].iloc[0]), spans)],
+              int(pdf["byte_count"].iloc[0]), float(pdf["wall_ms"].sum()), spans)],
             columns=cols,
         )
 
@@ -150,7 +157,7 @@ def extract_spans(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> Dat
     k = cfg.page_partitions or spark.sparkContext.defaultParallelism * 4
     page_text_spans_schema = (
         "url string, warc_ts timestamp, lang string, page_no int, n_pages int, "
-        "byte_count long, page_text string, spans_json string"
+        "byte_count long, page_text string, spans_json string, wall_ms double"
     )
     heavy_out = (
         heavy.repartition(spark.sparkContext.defaultParallelism, F.xxhash64("url"))
