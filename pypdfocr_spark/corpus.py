@@ -86,8 +86,10 @@ def native_dpi(doc_id: int) -> int:
 
 
 def build_html_payload(doc_id: int, tokens: list[str]) -> bytes:
+    from html import escape
+
     paras = [
-        "<p>" + " ".join(tokens[i : i + 12]) + "</p>"
+        "<p>" + escape(" ".join(tokens[i : i + 12])) + "</p>"
         for i in range(0, len(tokens), 12)
     ]
     page = (

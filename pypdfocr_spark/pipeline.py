@@ -224,14 +224,18 @@ def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame
 
     # prefer the stats-bearing n_bytes column: `n_bytes > T` prunes at the
     # parquet/Iceberg row-group level (min/max stats), so each branch's
-    # scan skips the other branch's row groups; `length(html)` cannot push
+    # scan skips the other branch's row groups. A coalesce() wrapper
+    # would defeat pushdown, so the bare column is compared and rows with
+    # a null n_bytes fall to the light branch (Or(IsNull, LtEq) pushes).
     if "n_bytes" in corpus_df.columns:
-        size_col = F.coalesce(F.col("n_bytes"), F.length(F.col("html")))
+        light = src.where(
+            F.col("n_bytes").isNull() | (F.col("n_bytes") <= cfg.heavy_payload_bytes)
+        )
+        heavy = src.where(F.col("n_bytes") > cfg.heavy_payload_bytes)
     else:
-        size_col = F.length(F.col("html"))
-    is_heavy = size_col > cfg.heavy_payload_bytes
-    light = src.where(~is_heavy)
-    heavy = src.where(is_heavy)
+        is_heavy = F.length(F.col("html")) > cfg.heavy_payload_bytes
+        light = src.where(~is_heavy)
+        heavy = src.where(is_heavy)
 
     light_out = light.mapInPandas(
         lambda it: (_extract_rows(pdf, cfg) for pdf in it), EXTRACTED_SCHEMA

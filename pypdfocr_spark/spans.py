@@ -142,13 +142,17 @@ def extract_spans(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> Dat
     spark = corpus_df.sparkSession
     src = source_filter(corpus_df)
 
+    # bare-column comparison so the size filter pushes to the scan
+    # (see pipeline.extract)
     if "n_bytes" in corpus_df.columns:
-        size_col = F.coalesce(F.col("n_bytes"), F.length(F.col("html")))
+        light = src.where(
+            F.col("n_bytes").isNull() | (F.col("n_bytes") <= cfg.heavy_payload_bytes)
+        )
+        heavy = src.where(F.col("n_bytes") > cfg.heavy_payload_bytes)
     else:
-        size_col = F.length(F.col("html"))
-    is_heavy = size_col > cfg.heavy_payload_bytes
-    light = src.where(~is_heavy)
-    heavy = src.where(is_heavy)
+        is_heavy = F.length(F.col("html")) > cfg.heavy_payload_bytes
+        light = src.where(~is_heavy)
+        heavy = src.where(is_heavy)
 
     light_out = light.mapInPandas(
         lambda it: (_doc_rows_with_spans(pdf, cfg) for pdf in it), EXTRACTED_SPANS_SCHEMA

@@ -63,6 +63,57 @@ def watch_extract(
     return writer.start()
 
 
+def debounced_ready_stateful(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    gap_seconds: int = 3,
+) -> DataFrame:
+    """The watcher state machine as a custom stateful operator
+    (``applyInPandasWithState``) — the closest engine analog of the
+    reference's ``{path: last_touch}`` dict + poll loop
+    (ref: pypdfocr/pypdfocr_watcher.py:28-50,95-149):
+
+    * every event for a key updates ``(n_events, last_touch)`` in the
+      state store (the dict entry, ref :97-108);
+    * a processing-time timeout of ``gap_seconds`` is (re)armed on each
+      update (the quiescence scan_interval, ref :37,125-149);
+    * when the timeout fires — no events for the whole gap — the key is
+      emitted as ready and its state removed (the ``-1`` sentinel purge,
+      ref :102-104,139-145).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "n_events": [n],
+                    "last_touch": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+        else:
+            n, last_us = state.get if state.exists else (0, 0)
+            for pdf in pdf_iter:
+                if len(pdf):
+                    n += len(pdf)
+                    last_us = max(last_us, int(pdf[ts_col].max().value // 1000))
+            state.update((n, last_us))
+            state.setTimeoutDuration(gap_seconds * 1000)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="url string, n_events long, last_touch timestamp",
+        stateStructType="n long, last long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def debounced_ready(
     df: DataFrame,
     key_col: str = "url",

@@ -102,6 +102,16 @@ def test_size_split_uses_stats_column(spark):
     with tempfile.TemporaryDirectory() as d:
         pipeline.build_corpus_df(spark, SF_SMOKE).write.parquet(f"{d}/c")
         corpus = spark.read.parquet(f"{d}/c")
-        plan = pipeline.extract(corpus, ExtractConfig())._jdf.queryExecution().toString()
-        assert "PushedFilters" in plan
-        assert "n_bytes" in plan
+        df = pipeline.extract(corpus, ExtractConfig())
+        # formatted explain keeps full (untruncated) PushedFilters lines
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the size predicate itself must reach the scans' pushed filters,
+        # not merely appear in ReadSchema (light branch: Or(IsNull, LtEq);
+        # heavy branch: GreaterThan)
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("GreaterThan(n_bytes" in ln for ln in pushed), pushed
+        assert any(
+            "Or(IsNull(n_bytes)" in ln or "LessThanOrEqual(n_bytes" in ln for ln in pushed
+        ), pushed
