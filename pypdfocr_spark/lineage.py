@@ -81,12 +81,14 @@ def commit(extracted: DataFrame, out_dir: str, run_id: str | None = None) -> dic
     ``metrics.writeTo(tbl_metrics).append()`` in one job; resume reads the
     committed snapshot. Parquet append is the sandbox equivalent.
     """
+    from . import catalog
+
     run_id = run_id or new_run_id()
     extracted = extracted.persist()  # one computation feeds both writes
     t0 = time.monotonic()
-    extracted.write.mode("append").parquet(f"{out_dir}/extracted")
+    catalog.append(extracted, f"{out_dir}/extracted")
     wall_ms = int((time.monotonic() - t0) * 1000)
-    lineage_rows(extracted, run_id, wall_ms).write.mode("append").parquet(f"{out_dir}/lineage")
+    catalog.append(lineage_rows(extracted, run_id, wall_ms), f"{out_dir}/lineage")
     extracted.unpersist()
     return {"run_id": run_id, "wall_ms": wall_ms}
 
