@@ -123,7 +123,8 @@ def main() -> None:
             "from pypdfocr_spark.session import get_spark;"
             "from pypdfocr_spark import pipeline;"
             f"s = get_spark('mat', master='local[32]'); s.sparkContext.setLogLevel('ERROR');"
-            f"df = pipeline.build_corpus_df(s, {sf_dir!r}, replicate={mult}).repartition(192); "
+            f"df = pipeline.build_corpus_df(s, {sf_dir!r}, replicate={mult}).repartition(192)"
+            f".sortWithinPartitions('n_bytes'); "
             f"df.write.mode('overwrite').parquet({corpus_path!r})"
         )
         subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
