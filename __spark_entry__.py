@@ -281,6 +281,14 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "n_common", F.round("jaccard", 9).alias("jaccard"))
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the n-gram Jaccard
+    near-dup pair graph (iterative min-label propagation — checked
+    against a DuckDB recursive-CTE transitive closure)."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.5, max_df=150)
+    return dedup.connected_components(pairs).select("node", "component")
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=8, k=3)
 
@@ -396,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_events": _q_tumbling_events,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -539,6 +548,34 @@ def oracle_sql() -> dict[str, str]:
                    round(n_common / (sa.n + sb.n - n_common), 9) AS jaccard
             FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
             WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE sh0 AS (
+                SELECT doc_id, unnest({shingle2}) AS shingle FROM documents
+            ),
+            keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 150),
+            sh AS (SELECT doc_id, shingle FROM sh0 JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM cand
+                JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n
+            )
+            SELECT n AS node, min(r) AS component FROM reach GROUP BY n
         """,
         "minhash_signatures": f"""
             SELECT doc_id, {mh_aggs}

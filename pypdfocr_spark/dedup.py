@@ -185,6 +185,68 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clusters from near-dup pairs: connected components by
+    iterative min-label propagation (each node repeatedly adopts the
+    minimum label among itself and its neighbors until fixpoint).
+
+    The iterative-algorithm pattern on DataFrames: per round one
+    join + map-side-combinable min aggregate; ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1; the driver-side convergence check is a count on the label
+    table (small — one row per node appearing in any pair). Near-dup
+    graphs have tiny diameters, so rounds ≈ a handful even at corpus
+    scale; for adversarial diameters swap in large-star/small-star.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95,

@@ -130,3 +130,15 @@ def test_entry_contract(spark):
     assert set(oracles) <= set(qs)
     # the SQL-expressible coverage should dominate
     assert len(oracles) >= 20
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 plus island pair (10, 11): two components, min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
