@@ -258,11 +258,17 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window key = epoch seconds by integer arithmetic (timezone-proof on
+    # both engines regardless of the driver session's TZ); pin UTC too so
+    # an NTZ→timestamp cast can't shift under a non-UTC driver session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _events(spark, sf_dir).withColumn(
         "value_cents", F.round(F.col("value") * 100).cast("long")
     )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    window_start = (F.floor(us / F.lit(3_600_000_000)) * 3600).cast("long")
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type")
+        window_start.alias("window_start"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("sum_value_cents"),
@@ -523,8 +529,8 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY user_id, session_id
         """,
         "tumbling_events": """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS n_events,
+            SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS window_start,
+                   event_type, count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,

@@ -55,14 +55,23 @@ def tumbling_counts(
     ts_col: str = "ts",
     by_col: str = "event_type",
     value_col: str = "value",
+    window_seconds: int = 3600,
 ) -> DataFrame:
-    """Hourly tumbling-window rollup per event type — ``date_trunc`` keyed
-    so the oracle SQL can reproduce the exact same grouping column."""
+    """Tumbling-window rollup per event type.
+
+    The window key is **epoch seconds** (long), floored by integer
+    arithmetic on ``unix_micros`` — never ``date_trunc`` on a timestamp:
+    truncation/rendering of timestamps depends on the session timezone
+    (Spark shifts, DuckDB doesn't), which made the round-1 driver check
+    hash-diverge when its TZ ≠ UTC. Integer epochs are zone-free on both
+    engines (oracle: ``(epoch_us(ts) // w·10^6) * w``).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    window_start = (
+        F.floor(us / F.lit(window_seconds * 1_000_000)) * window_seconds
+    ).cast("long")
     return (
-        df.groupBy(
-            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
-            F.col(by_col),
-        )
+        df.groupBy(window_start.alias("window_start"), F.col(by_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 6).alias("sum_value"),

@@ -36,6 +36,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Pin the session zone: timestamp semantics (date_trunc, NTZ casts,
+        # collect() rendering) must not depend on the host's TZ — the
+        # round-1 tumbling-window hash diverged exactly this way when the
+        # driver ran with a non-UTC zone.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
