@@ -316,7 +316,9 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.lsh_bucket_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+    out = similarity.lsh_bucket_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=5, probe_bits=1
+    )
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
         F.round("cosine", 9).alias("cosine"),
@@ -328,6 +330,15 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb, threshold=0.3).select(
         "id_a", "id_b", F.round("cosine", 9).alias("cosine")
     )
+
+
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100-TB near-dup path: sign-LSH bucket + 1-bit multiprobe
+    # candidates, exact-cosine filtered. Oracle reproduces the identical
+    # candidate rule via bit_count(xor(bucket_a, bucket_b)) <= 1.
+    return dedup.embedding_near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.3, n_planes=8, probe_bits=1
+    ).select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,8 +398,22 @@ def _q_extract_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SQL-checkable projection: every selected value is decoded *from
+    # the binary tensor payload* on the Spark side but computed from the
+    # original float column by the oracle — equality proves the binary
+    # round-trip byte-for-byte. (The md5 checksum column stays in
+    # FEATURE_SCHEMA and is pytest-verified; IEEE-754 bit extraction is
+    # not expressible in DuckDB SQL.)
     media = multimodal.media_table(_emb(spark, sf_dir))
-    return multimodal.extract_features(media)
+    return multimodal.extract_features(media).select(
+        "vec_id",
+        "n_bytes",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("first_val", 9).alias("first_val"),
+        F.round("last_val", 9).alias("last_val"),
+        F.round("sum_val", 9).alias("sum_val"),
+        F.round("l2_norm", 9).alias("l2_norm"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -417,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
@@ -444,11 +470,30 @@ def oracle_sql() -> dict[str, str]:
         lang: f"len(list_filter(string_split(text,' '), t -> lower(t) IN {m}))"
         for lang, m in LANG_MARKERS_SQL.items()
     }
-    # argmax with lexicographic tie-break and score>0 (matches the Spark chain)
-    lang_case = (
-        f"CASE WHEN s_de > greatest(s_en_0, 0) THEN 'de' "
-        f"WHEN s_en > greatest(s_de_only, 0) THEN 'en' "
-        f"ELSE 'unk' END"
+    # 16-hash MinHash signature aggregates (LSH banding: 4 bands × 4 rows)
+    mh16 = ", ".join(
+        f"min((({2*i+1}::BIGINT * x + {7919*(i+1)}) % 1000000007)) AS mh{i}"
+        for i in range(16)
+    )
+    lsh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || '_' || ".join(f"mh{bi*4+r}::VARCHAR" for r in range(4))
+        + " AS bucket FROM sig"
+        for bi in range(4)
+    )
+    # sign-LSH bucket over an embedding column — the IDENTICAL md5-derived
+    # plane weights as similarity.hyperplane_bucket (table 0), inlined as
+    # exact round-trip double literals
+    from pypdfocr_spark.similarity import plane_weights
+
+    def _wlit(w: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in w) + "]"
+
+    emb_bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), "
+        f"d -> embedding[d]::DOUBLE * ({_wlit(w)})[d])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(plane_weights(8, 64, table=0))
     )
     return {
         "extract_text": f"""
@@ -591,6 +636,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, unnest({shingle3}) AS shingle FROM documents)
             ) GROUP BY doc_id
         """,
+        "minhash_lsh_pairs": f"""
+            WITH x AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+                FROM (SELECT doc_id, unnest({shingle3}) AS shingle FROM documents)
+            ),
+            sig AS (SELECT doc_id, {mh16} FROM x GROUP BY doc_id),
+            bands AS ({lsh_bands})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "simhash": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+            bits AS (
+                SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+                GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN
+                            CASE WHEN b = 63 THEN -9223372036854775808
+                                 ELSE (1::BIGINT << b) END
+                       ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "embedding_lsh_topk": f"""
+            WITH bk AS (SELECT vec_id, embedding, {emb_bucket} AS bucket FROM embeddings)
+            SELECT query_id, rank, neighbor_id, round(cosine, 9) AS cosine FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                                    n.vec_id
+                       ) AS rank
+                FROM bk q JOIN bk n
+                  ON bit_count(xor(q.bucket::BIGINT, n.bucket::BIGINT)) <= 1
+                 AND n.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "embedding_neardup_lsh": f"""
+            WITH bk AS (SELECT vec_id, embedding, {emb_bucket} AS bucket FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cosine
+            FROM bk a JOIN bk b
+              ON bit_count(xor(a.bucket::BIGINT, b.bucket::BIGINT)) <= 1
+             AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "multimodal_features": """
+            SELECT vec_id, CAST(4 * len(embedding) AS BIGINT) AS n_bytes,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   round(embedding[1]::DOUBLE, 9) AS first_val,
+                   round(embedding[len(embedding)]::DOUBLE, 9) AS last_val,
+                   round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 9) AS sum_val,
+                   round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 9) AS l2_norm
+            FROM embeddings
+        """,
         "embedding_topk": """
             SELECT query_id, rank, neighbor_id, round(cosine, 9) AS cosine FROM (
                 SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -662,7 +768,4 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE NOT (url LIKE '%!_ocr.pdf' ESCAPE '!') AND NOT (url LIKE '%!_test.pdf' ESCAPE '!')
         """,
-        # minhash_lsh_pairs, simhash, embedding_lsh_topk, multimodal_features:
-        # genuinely non-SQL (banded bucket join / bit votes / deterministic
-        # projection / binary tensor decode) → rows-only checks.
     }

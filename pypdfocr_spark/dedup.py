@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kernels.textstats import MINHASH_P, minhash_coeffs, simhash64
+from .kernels.textstats import MINHASH_P, minhash_coeffs, simhash64_many
 
 # ---------------------------------------------------------------- exact dedup
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -170,16 +170,16 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------------- SimHash
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc via an Arrow-batched mapInPandas stage
-    (per-bit vote accumulation has no built-in expression form). Returned
+    (per-bit vote accumulation has no built-in expression form). The
+    kernel is numpy-vectorized with a per-batch token→hash cache
+    (kernels.textstats.simhash64_many); identical output to the scalar
+    reference ``simhash64`` and to the DuckDB bit-vote oracle. Returned
     as the signed-64 reinterpretation for BIGINT storage."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            sigs = [
-                (v - (1 << 64) if (v := simhash64(t or "")) >= (1 << 63) else v)
-                for t in pdf[text_col]
-            ]
+            sigs = simhash64_many(list(pdf[text_col]))
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": pd.Series(sigs, dtype="int64")})
 
     return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
@@ -190,18 +190,24 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Dedup clusters from near-dup pairs: connected components by
-    iterative min-label propagation (each node repeatedly adopts the
-    minimum label among itself and its neighbors until fixpoint).
+    iterative min-label propagation accelerated with pointer jumping.
 
-    The iterative-algorithm pattern on DataFrames: per round one
-    join + map-side-combinable min aggregate; ``localCheckpoint``
-    truncates the growing lineage so round N doesn't replay rounds
-    1..N-1; the driver-side convergence check is a count on the label
-    table (small — one row per node appearing in any pair). Near-dup
-    graphs have tiny diameters, so rounds ≈ a handful even at corpus
-    scale; for adversarial diameters swap in large-star/small-star.
+    Each round does (1) one edge-join + map-side-combinable min aggregate
+    (every node adopts the min label among itself and its neighbors), then
+    (2) one pointer-jump on the label table itself (every node adopts its
+    current *label's* label). The jump is what makes long chains converge
+    in O(log diameter) rounds instead of O(diameter) — a depth-1000 path
+    graph finishes in ~10 rounds, so ``max_iter`` is an anomaly backstop,
+    not a tuning knob. ``localCheckpoint`` truncates the growing lineage
+    so round N doesn't replay rounds 1..N-1; the driver-side convergence
+    check is a count on the label table (one row per node in any pair).
+
+    If the loop exhausts ``max_iter`` with labels still changing, the
+    result would be silently wrong — so it raises (default) or warns,
+    per ``on_nonconverged`` ('raise' | 'warn').
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -217,20 +223,29 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("neigh_component"))
         )
+        propagated = labels.join(neigh_min, labels.node == neigh_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neigh_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jump: component ← component's component (path halving)
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_component")
+        )
         new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            propagated.join(parent, propagated.component == parent.p_node, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neigh_component"), F.col("component")),
-                ).alias("component"),
+                F.coalesce(F.col("p_component"), F.col("component")).alias("component"),
             )
             .localCheckpoint()
         )
@@ -242,29 +257,103 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels would be wrong — raise max_iter"
+        )
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
     return labels
 
 
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs verifier form).
+    """Embedding-cosine near-duplicate pairs — **all-pairs verifier form**,
+    O(n²) by construction. Refuses inputs above ``max_rows`` (the cross
+    join is a scale-killer); use :func:`embedding_near_dup_pairs_lsh` for
+    the bucketed linear-ish scale path and keep this form for small-slice
+    exact verification (pass ``max_rows=None`` to bypass the guard).
 
     Cosine is computed with JVM higher-order functions (zip_with +
-    aggregate in doubles) — no Python. At corpus scale, pre-bucket with
-    :func:`pypdfocr_spark.similarity.lsh_bucket_topk` and run this inside
-    buckets only.
+    aggregate in doubles) — no Python.
     """
     from .similarity import cosine_expr
 
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"all-pairs embedding near-dup over {n} rows would build an "
+                f"O(n²) cross join (guard: max_rows={max_rows}); use "
+                "embedding_near_dup_pairs_lsh or pass max_rows=None"
+            )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 8, probe_bits: int = 1,
+    n_tables: int = 1, dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the 100-TB path.
+
+    Candidates are id pairs whose sign-LSH buckets differ in ≤
+    ``probe_bits`` planes in ANY of ``n_tables`` independent tables
+    (similarity.bucket_index; one side exploded into probe buckets,
+    equi-join on (table, bucket), distinct) — candidate volume is
+    ~n·L·Σ(m choose i)/2^m per vector, not n²/2. Candidate generation
+    runs on the slim (id, table, bucket) index; vectors join back only
+    for surviving candidates; exact cosine then filters, so precision is
+    1 and recall is tuned by (m, L, probe_bits) — see
+    tests/test_ops.py::test_lsh_topk_multiprobe_recall for measured
+    recall on the driver corpus.
+
+    The single-table candidate rule is SQL-expressible —
+    ``bit_count(xor(bucket_a, bucket_b)) <= probe_bits`` — which is what
+    lets the DuckDB oracle check this exactly.
+    """
+    from .similarity import bucket_index, cosine_expr, infer_dim, probe_masks
+
+    if dim is None:
+        dim = infer_dim(emb, vec_col)
+    idx = bucket_index(emb, id_col, vec_col, n_planes, n_tables, dim)
+    probes = F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(n_planes, probe_bits)]
+    )
+    a = idx.select(
+        F.col("id").alias("id_a"), "table", F.explode(probes).alias("bucket")
+    )
+    b = idx.select(F.col("id").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if n_tables > 1:
+        cand = cand.distinct()  # a pair may collide in several tables
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_expr("va", "vb"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

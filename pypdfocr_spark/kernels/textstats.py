@@ -67,6 +67,41 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_many(texts: list[str]) -> list[int]:
+    """Vectorized SimHash over a batch of texts — identical output to
+    :func:`simhash64` (pytest-asserted), returned as signed int64.
+
+    The per-token md5 is computed once per *distinct* token in the batch
+    (natural-language token frequency makes the cache hit rate high); the
+    O(tokens×64) bit-vote loop becomes one numpy broadcast per doc:
+    (T,64) bit matrix → column sum → sign → packed bits. ~10-50× less
+    interpreted Python than the scalar loop on real text.
+    """
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    cache: dict[str, int] = {}
+    out: list[int] = []
+    for text in texts:
+        toks = (text or "").split()
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                cache[t] = h
+            hs[i] = h
+        bits = ((hs[:, None] >> shifts) & one).astype(np.int64)
+        votes = 2 * bits.sum(axis=0) - len(toks)  # (+1/-1 votes per bit)
+        v = int((((votes > 0).astype(np.uint64)) << shifts).sum(dtype=np.uint64))
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -42,6 +42,13 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("dim", IntegerType(), False),
         StructField("checksum", StringType(), False),
+        # decoded-from-bytes element values: equality with the *original*
+        # floats (DuckDB oracle reads them from the embeddings table)
+        # proves the binary round-trip byte-for-byte — any payload
+        # corruption changes them. f32 → double casts are exact.
+        StructField("first_val", DoubleType(), False),
+        StructField("last_val", DoubleType(), False),
+        StructField("sum_val", DoubleType(), False),
         StructField("l2_norm", DoubleType(), False),
     ]
 )
@@ -87,12 +94,19 @@ def extract_features(media: DataFrame) -> DataFrame:
                 buf = bytes(payload)
                 arr = np.frombuffer(buf, dtype="<f4")
                 # sequential float64 accumulation → bit-stable across runs
+                # and engines (matches DuckDB's list_sum ordering)
+                total = sum(float(x) for x in arr)
                 norm = float(np.sqrt(sum(float(x) * float(x) for x in arr)))
                 rows.append(
-                    (int(vid), len(buf), int(arr.size), hashlib.md5(buf).hexdigest(), norm)
+                    (int(vid), len(buf), int(arr.size), hashlib.md5(buf).hexdigest(),
+                     float(arr[0]) if arr.size else 0.0,
+                     float(arr[-1]) if arr.size else 0.0,
+                     total, norm)
                 )
             yield pd.DataFrame(
-                rows, columns=["vec_id", "n_bytes", "dim", "checksum", "l2_norm"]
+                rows,
+                columns=["vec_id", "n_bytes", "dim", "checksum",
+                         "first_val", "last_val", "sum_val", "l2_norm"],
             )
 
     return media.mapInPandas(feats, FEATURE_SCHEMA)

@@ -36,6 +36,101 @@ def cosine_expr(a: str, b: str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def plane_weights(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights, uniform in [-1, 1]:
+    weight(plane p of table t, dim d) = md5-derived hash of the global
+    plane index and d, scaled. md5 makes the planes effectively
+    independent across tables (the OR-construction needs that — a
+    correlated family caps recall no matter how many tables you add) and
+    lets the DuckDB oracle inline the *identical* literals. Exact 6-dp
+    decimals → bit-identical doubles after parsing on both engines."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        gp = table * n_planes + p
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane{gp}_{d}".encode("utf-8")).hexdigest()[:15], 16)
+            row.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_bucket(
+    vec_col: str, n_planes: int = 8, table: int = 0, dim: int = 64
+) -> Column:
+    """Deterministic sign-LSH bucket id: bit p of the bucket is set when
+    the dot product of the vector with plane p's weight vector (see
+    :func:`plane_weights`) is non-negative. Weights are inlined as
+    literals, the dot product is a JVM-side ``zip_with``+``aggregate`` in
+    doubles (sequential, bit-reproducible by the DuckDB oracle).
+
+    ``table`` selects an independent plane set — the OR-construction:
+    L tables of m planes trade index size (×L) for recall 1−(1−p^m)^L."""
+    bits = []
+    for p, w in enumerate(plane_weights(n_planes, dim, table)):
+        wlit = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), wlit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def infer_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality from the first row (one tiny driver job;
+    pass ``dim`` explicitly in hot paths to skip it)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("empty embedding table — cannot infer dim")
+    return int(row["d"])
+
+
+def bucket_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Slim LSH index: one (id, table, bucket) row per vector per table.
+    The index carries NO vectors — candidate generation shuffles three
+    small columns; payload vectors join back once per *surviving*
+    candidate, which is what keeps L-table indexing affordable at
+    10^12 rows."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_bucket(vec_col, n_planes, table=t, dim=dim).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(entries).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """XOR masks for multi-probe: all plane subsets of size ≤ probe_bits
+    (mask 0 = the home bucket). probe_bits=1 → 1 + n_planes masks."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for combo in combinations(range(n_planes), r):
+            masks.append(sum(1 << p for p in combo))
+    return masks
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -75,48 +170,59 @@ def lsh_bucket_topk(
     query_ids: list[int],
     k: int = 5,
     n_planes: int = 8,
+    probe_bits: int = 1,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane sign buckets, search within
-    the query's bucket only (the IVF/LSH scale path; recall < 1 by design).
+    """Approximate top-k over a sign-LSH index (see
+    :func:`hyperplane_bucket` / :func:`bucket_index`).
 
-    Hyperplanes are deterministic: plane p weights dimension d with
-    cos(p·D + d) — a fixed pseudo-random-ish but reproducible projection
-    computed entirely with built-in expressions, so bucketing is
-    JVM-side. At 10^12 rows the bucket join replaces the full scan per
-    query with ~n/2^planes candidates.
+    Three recall knobs, all deterministic:
+
+    * ``probe_bits`` — multi-probe: also search buckets within that
+      Hamming distance of the query's bucket (probe_bits=1 ≈ (1+m)×
+      candidates for most of the boundary-loss recall back);
+    * ``n_tables`` — OR-construction: L independent plane sets; a pair is
+      a candidate if it collides in ANY table (recall 1−(1−p^m)^L at ×L
+      index size) — the knob that reaches recall ≥0.9 when the similarity
+      level of true neighbors is moderate;
+    * ``n_planes`` — bucket resolution m (fewer planes = bigger buckets).
+
+    Plan shape: candidates are generated on the *slim* (id, table, bucket)
+    index and deduped; payload vectors join back only for surviving
+    candidates. The corpus is scanned once to build the index; per query
+    the bucket equi-join reads ~n·L·(1+m)/2^m candidates, not n.
     """
     from pyspark.sql.window import Window
 
-    def bucket_col(vec: str) -> Column:
-        bits = []
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.transform(
-                    F.col(vec),
-                    lambda x, i: x.cast("double")
-                    * F.cos(F.lit(float(p)) * F.size(F.col(vec)).cast("double") + i.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    with_bucket = emb.withColumn("bucket", bucket_col(vec_col))
-    q = with_bucket.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
-    )
-    scored = (
-        with_bucket.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    if dim is None:
+        dim = infer_dim(emb, vec_col)
+    idx = bucket_index(emb, id_col, vec_col, n_planes, n_tables, dim)
+    q_idx = idx.where(F.col("id").isin(query_ids)).withColumnRenamed("id", "query_id")
+    if probe_bits > 0:
+        probes = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(m))
+                for m in probe_masks(n_planes, probe_bits)
+            ]
         )
-        .join(F.broadcast(q), on="bucket")
+        q_idx = q_idx.withColumn("bucket", F.explode(probes))
+    cand = (
+        idx.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(q_idx), on=["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # a pair may collide in several tables/probes
+    )
+    qv = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .withColumn("cosine", cosine_expr("qv", "nv"))
     )
     w = Window.partitionBy("query_id").orderBy(

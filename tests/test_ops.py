@@ -83,6 +83,46 @@ def test_lsh_topk_neighbors_share_bucket(spark, emb):
     assert 0 < len(out) <= 3
 
 
+def test_simhash_many_matches_scalar(spark, docs):
+    texts = [r["text"] for r in docs.limit(40).collect()] + ["", "one", "a a a"]
+    got = textstats.simhash64_many(texts)
+    for t, g in zip(texts, got):
+        v = textstats.simhash64(t)
+        assert g == (v - (1 << 64) if v >= (1 << 63) else v)
+
+
+def test_lsh_topk_multiprobe_recall(spark, emb):
+    """Measured recall of the tuned OR-construction (m=4 planes, L=8
+    tables, 1-bit multiprobe) vs exact brute force. On this synthetic
+    near-random corpus (top-5 cosine ≈ 0.4) candidate pruning is weak by
+    construction — recall is the property under test; the pruning power
+    appears at real near-dup similarity levels where p_sim >> p_rand."""
+    qids = list(range(10))
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.brute_force_topk(emb, qids, k=5).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.lsh_bucket_topk(
+               emb, qids, k=5, n_planes=4, probe_bits=1, n_tables=8).collect()}
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.9, f"multi-table LSH recall {recall} < 0.9"
+
+
+def test_embedding_neardup_lsh_subset_and_recall(spark, emb):
+    ap = {(r["id_a"], r["id_b"])
+          for r in dedup.embedding_near_dup_pairs(
+              emb, threshold=0.3, max_rows=None).collect()}
+    lp = {(r["id_a"], r["id_b"])
+          for r in dedup.embedding_near_dup_pairs_lsh(
+              emb, threshold=0.3, n_planes=4, n_tables=8).collect()}
+    assert lp <= ap  # precision 1: exact cosine filters candidates
+    assert len(lp) / len(ap) >= 0.9
+
+
+def test_embedding_neardup_guard_raises(spark, emb):
+    with pytest.raises(ValueError, match="max_rows"):
+        dedup.embedding_near_dup_pairs(emb, threshold=0.3, max_rows=10)
+
+
 def test_lang_id_matches_kernel(spark, docs):
     sample = docs.limit(20)
     spark_out = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id_df(sample).collect()}
@@ -107,16 +147,24 @@ def test_fingerprint_matches_kernel(spark, docs):
 
 def test_multimodal_roundtrip(spark, emb):
     from pypdfocr_spark import multimodal
+    import hashlib
     import numpy as np
 
     feats = multimodal.extract_features(multimodal.media_table(emb.limit(5))).collect()
     assert len(feats) == 5
     src = {r["vec_id"]: r["embedding"] for r in emb.limit(5).collect()}
     for f in feats:
-        assert f["dim"] == len(src[f["vec_id"]])
+        vec = src[f["vec_id"]]
+        assert f["dim"] == len(vec)
         assert f["n_bytes"] == 4 * f["dim"]
-        expected_norm = float(np.sqrt(sum(float(np.float32(x)) ** 2 for x in src[f["vec_id"]])))
+        expected_norm = float(np.sqrt(sum(float(np.float32(x)) ** 2 for x in vec)))
         assert abs(f["l2_norm"] - expected_norm) < 1e-9
+        # checksum is md5 over the little-endian f32 tensor payload — the
+        # byte-level fidelity check the SQL oracle can't express
+        buf = np.asarray(vec, dtype="<f4").tobytes()
+        assert f["checksum"] == hashlib.md5(buf).hexdigest()
+        assert f["first_val"] == float(np.float32(vec[0]))
+        assert f["last_val"] == float(np.float32(vec[-1]))
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
@@ -142,3 +190,28 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    # adversarial diameter: a path graph of depth 60 >> max_iter=25.
+    # Pointer jumping makes rounds O(log diameter), so the default budget
+    # converges easily where plain min-label propagation would not.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_nonconverged_raises_or_warns(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        labels = dedup.connected_components(pairs, max_iter=1, on_nonconverged="warn")
+        assert labels.count() == 61  # partial labels still returned, loudly
