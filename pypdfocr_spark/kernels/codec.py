@@ -7,9 +7,9 @@ losslessly. On a real cluster the subprocess-backed kernels drop in behind
 the same two functions (mirroring the reference's ``binary:`` override
 design, ref: pypdfocr/pypdfocr.py:314-324).
 
-Payload format::
+Payload format (header = the ``MAGIC`` constant below)::
 
-    b"%SYNPDF1%" + json({"pages": [
+    MAGIC + json({"pages": [
         {"dpi": int, "rotate": 0|90|180|270, "greyscale": bool,
          "w_px": int, "h_px": int,
          "words": [{"t": str, "b": [x0,y0,x1,y1], "l": line_no}, ...]},

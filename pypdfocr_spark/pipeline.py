@@ -86,11 +86,12 @@ def build_corpus_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
     # The driver parquet is a single small file → a single input split →
     # every downstream Python stage would serialize onto one task. Spread
     # the (tiny) seed rows across the cluster before the payload-building
-    # stage. At 100 TB the scan has natural split parallelism
-    # (maxPartitionBytes) and this branch is a no-op.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # stage, unconditionally: this path only ever derives a corpus from
+    # the small seed table (at 100 TB the pipeline scans the real corpus
+    # table and never runs this), so the repartition is always warranted
+    # and costs one shuffle of the seed rows — no RDD-conversion job to
+    # probe the current partitioning.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(gen, CORPUS_SCHEMA)
 
 
@@ -126,7 +127,13 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     (decode + per-page re-encode). The expensive work (rasterize at the
     output dpi, hOCR, parse) happens downstream in the salted per-page
     stage; doing it here would pin one task per multi-hundred-page doc,
-    exactly the skew the explode exists to break."""
+    exactly the skew the explode exists to break.
+
+    Payload dispatch mirrors the light path's ``corpus.extract_doc``
+    exactly: SYNPDF → page rows; HTML head → one raw pseudo-page; empty
+    SYNPDF body → an n_pages=0 carrier row; anything else → an
+    'unsupported' carrier row (n_pages=0), so the per-page stage can
+    stamp the same statuses the light path would."""
     out = []
     for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
         payload = bytes(payload)
@@ -144,38 +151,66 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     (url, ts, lang, pno, n, geom["height_pt"], geom["output_dpi"],
                      line.decode("utf-8"), nbytes)
                 )
+        elif page_lines is not None:
+            # valid SYNPDF with zero pages: light path yields ([], "ok")
+            out.append((url, ts, lang, 0, 0, 792.0, 300, json.dumps({"empty": True}), nbytes))
         else:
-            # non-PDF heavy payload (e.g. a huge HTML doc): single pseudo-page
-            out.append(
-                (url, ts, lang, 0, 1, 792.0, 300,
-                 json.dumps({"raw": payload.decode("utf-8", errors="replace")}),
-                 nbytes)
-            )
+            head = payload.lstrip()[:15].lower()
+            if head.startswith(b"<!doctype") or head.startswith(b"<html"):
+                # huge HTML doc: single raw pseudo-page, stripped downstream
+                out.append(
+                    (url, ts, lang, 0, 1, 792.0, 300,
+                     json.dumps({"raw": payload.decode("utf-8", errors="replace")}),
+                     nbytes)
+                )
+            else:
+                # light path would return ([], "unsupported")
+                out.append(
+                    (url, ts, lang, 0, 0, 792.0, 300, json.dumps({"unsupported": True}), nbytes)
+                )
     return pd.DataFrame(out, columns=[f.name for f in PAGE_SCHEMA.fields])
 
 
 def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-page OCR kernel: rasterize the native-dpi page at the document
     output dpi, emit+parse hOCR, reassemble text — the compute-heavy stage,
-    running on hash-spread page rows."""
+    running on hash-spread page rows. Emits a per-page ``status`` so heavy
+    failures reach lineage (statuses mirror corpus.extract_doc: ok /
+    decode_error / html_error / unsupported / error:<Type>)."""
     t0 = time.monotonic()
     out = []
     for url, ts, lang, pno, n, height, dpi, pjson, nbytes in zip(
         pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_no"], pdf["n_pages"],
         pdf["height_pt"], pdf["output_dpi"], pdf["page_json"], pdf["byte_count"],
     ):
+        status = "ok"
         try:
             page = json.loads(pjson)
-            if "raw" in page:
-                text = htmlx.strip_boilerplate(page["raw"])
-            else:
-                raster = codec.rasterize([page], int(dpi))
-                hocr_doc = hocr.emit_hocr(raster)
-                spans = hocr.parse_hocr_page(hocr_doc, 1, float(height), int(dpi))
-                text = hocr.page_text_from_spans(spans)
+            if not isinstance(page, dict):
+                page = None  # parity: corpus.decode_doc → None → decode_error
         except Exception:
-            text = ""
-        out.append((url, ts, lang, int(pno), int(n), text, int(nbytes)))
+            page = None
+        if page is None:
+            status, text = "decode_error", ""
+        else:
+            try:
+                if "unsupported" in page:
+                    text, status = "", "unsupported"
+                elif "empty" in page:
+                    text = ""
+                elif "raw" in page:
+                    try:
+                        text = htmlx.strip_boilerplate(page["raw"])
+                    except Exception:
+                        text, status = "", "html_error"
+                else:
+                    raster = codec.rasterize([page], int(dpi))
+                    hocr_doc = hocr.emit_hocr(raster)
+                    spans = hocr.parse_hocr_page(hocr_doc, 1, float(height), int(dpi))
+                    text = hocr.page_text_from_spans(spans)
+            except Exception as exc:  # data error → row, never task failure
+                text, status = "", f"error:{type(exc).__name__}"
+        out.append((url, ts, lang, int(pno), int(n), text, status, int(nbytes)))
     share = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
     res = pd.DataFrame(out, columns=[f.name for f in PAGE_TEXT_SCHEMA.fields][:-1])
     res["wall_ms"] = share
@@ -188,8 +223,18 @@ def _make_reassemble(cfg: ExtractConfig):
     def reassemble(pdf):
         pdf = pdf.sort_values("page_no")
         url = pdf["url"].iloc[0]
-        page_texts = ["" if t is None else t for t in pdf["page_text"]]
-        text = "\n".join(page_texts)
+        # doc status = first non-ok page status in page order (light-path
+        # parity: a failed doc surfaces in lineage failure accounting)
+        status = next((s for s in pdf["status"] if s != "ok"), "ok")
+        if status == "ok":
+            n_pages = int(pdf["n_pages"].iloc[0])
+            page_texts = (
+                ["" if t is None else t for t in pdf["page_text"]] if n_pages else []
+            )
+            text = "\n".join(page_texts)
+        else:
+            # light-path parity: a failed doc is (text="", n_pages=0)
+            n_pages, page_texts, text = 0, [], ""
         norm_pages = [normalize_page_text(p) for p in page_texts]
         route = route_document(
             norm_pages, url, cfg.targets,
@@ -197,7 +242,7 @@ def _make_reassemble(cfg: ExtractConfig):
         )
         return pd.DataFrame(
             [(url, pdf["warc_ts"].iloc[0], pdf["lang"].iloc[0], text,
-              normalize_page_text(text), route, int(pdf["n_pages"].iloc[0]), "ok",
+              normalize_page_text(text), route, n_pages, status,
               int(pdf["byte_count"].iloc[0]), float(pdf["wall_ms"].sum()))],
             columns=cols,
         )
@@ -292,7 +337,7 @@ def extract_from_documents(
         return extract(build_corpus_df(spark, sf_dir), cfg)
     try:
         corpus_df = spark.read.parquet(corpus_path)
-        if corpus_df.rdd.isEmpty():
+        if not corpus_df.head(1):  # plan-level probe, no RDD conversion
             raise ValueError("empty corpus")
     except Exception:
         corpus_df = materialize_corpus(spark, sf_dir, corpus_path)

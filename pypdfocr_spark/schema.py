@@ -97,6 +97,9 @@ PAGE_SCHEMA = StructType(
     ]
 )
 
+# Per-page status rides through the salted shuffle so heavy-document
+# failures surface in the reassembled doc status (and thus in lineage
+# failure accounting) exactly like light-path failures do.
 PAGE_TEXT_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -105,6 +108,7 @@ PAGE_TEXT_SCHEMA = StructType(
         StructField("page_no", IntegerType(), False),
         StructField("n_pages", IntegerType(), False),
         StructField("page_text", StringType(), True),
+        StructField("status", StringType(), False),
         StructField("byte_count", LongType(), True),
         StructField("wall_ms", DoubleType(), True),
     ]

@@ -86,24 +86,40 @@ def _page_rows_with_spans(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["page_no"], pdf["n_pages"],
         pdf["height_pt"], pdf["output_dpi"], pdf["page_json"], pdf["byte_count"],
     ):
+        status = "ok"
         try:
             page = json.loads(pjson)
-            if "raw" in page:
-                spans_by_page, _ = ck.extract_doc_spans(page["raw"].encode("utf-8"))
-                lines = spans_by_page[0] if spans_by_page else []
-            else:
-                raster = codec.rasterize([page], int(dpi))
-                hocr_doc = hocr.emit_hocr(raster)
-                lines = hocr.parse_hocr_page(hocr_doc, 1, float(height), int(dpi))
-            text = hocr.page_text_from_spans(lines)
-            spans_json = json.dumps(lines, separators=(",", ":"))
+            if not isinstance(page, dict):
+                page = None
         except Exception:
-            text, spans_json = "", "[]"
-        out.append((url, ts, lang, int(pno), int(n), int(nbytes), text, spans_json))
+            page = None
+        if page is None:
+            text, spans_json, status = "", "[]", "decode_error"
+        else:
+            try:
+                if "unsupported" in page:
+                    lines, status = [], "unsupported"
+                elif "empty" in page:
+                    lines = []
+                elif "raw" in page:
+                    spans_by_page, raw_status = ck.extract_doc_spans(
+                        page["raw"].encode("utf-8")
+                    )
+                    lines = spans_by_page[0] if spans_by_page else []
+                    status = raw_status
+                else:
+                    raster = codec.rasterize([page], int(dpi))
+                    hocr_doc = hocr.emit_hocr(raster)
+                    lines = hocr.parse_hocr_page(hocr_doc, 1, float(height), int(dpi))
+                text = hocr.page_text_from_spans(lines)
+                spans_json = json.dumps(lines, separators=(",", ":"))
+            except Exception as exc:
+                text, spans_json, status = "", "[]", f"error:{type(exc).__name__}"
+        out.append((url, ts, lang, int(pno), int(n), int(nbytes), text, spans_json, status))
     res = pd.DataFrame(
         out,
         columns=["url", "warc_ts", "lang", "page_no", "n_pages", "byte_count",
-                 "page_text", "spans_json"],
+                 "page_text", "spans_json", "status"],
     )
     res["wall_ms"] = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
     return res
@@ -115,20 +131,28 @@ def _make_reassemble_spans(cfg: ExtractConfig):
     def reassemble(pdf):
         pdf = pdf.sort_values("page_no")
         url = pdf["url"].iloc[0]
-        page_texts = ["" if t is None else t for t in pdf["page_text"]]
-        text = "\n".join(page_texts)
+        status = next((s for s in pdf["status"] if s != "ok"), "ok")
+        if status == "ok":
+            n_pages = int(pdf["n_pages"].iloc[0])
+            page_texts = (
+                ["" if t is None else t for t in pdf["page_text"]] if n_pages else []
+            )
+            text = "\n".join(page_texts)
+            spans = [
+                {"page_no": int(p), "lines": json.loads(sj) if sj else []}
+                for p, sj in zip(pdf["page_no"], pdf["spans_json"])
+            ][:n_pages]
+        else:
+            # light-path parity: a failed doc is (text="", n_pages=0, [])
+            n_pages, page_texts, text, spans = 0, [], "", []
         norm_pages = [normalize_page_text(p) for p in page_texts]
         route = route_document(
             norm_pages, url, cfg.targets,
             use_filename=cfg.use_filename, default=cfg.default_route,
         )
-        spans = [
-            {"page_no": int(p), "lines": json.loads(sj) if sj else []}
-            for p, sj in zip(pdf["page_no"], pdf["spans_json"])
-        ]
         return pd.DataFrame(
             [(url, pdf["warc_ts"].iloc[0], pdf["lang"].iloc[0], text,
-              normalize_page_text(text), route, int(pdf["n_pages"].iloc[0]), "ok",
+              normalize_page_text(text), route, n_pages, status,
               int(pdf["byte_count"].iloc[0]), float(pdf["wall_ms"].sum()), spans)],
             columns=cols,
         )
@@ -161,7 +185,8 @@ def extract_spans(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> Dat
     k = cfg.page_partitions or spark.sparkContext.defaultParallelism * 4
     page_text_spans_schema = (
         "url string, warc_ts timestamp, lang string, page_no int, n_pages int, "
-        "byte_count long, page_text string, spans_json string, wall_ms double"
+        "byte_count long, page_text string, spans_json string, status string, "
+        "wall_ms double"
     )
     heavy_out = (
         heavy.repartition(spark.sparkContext.defaultParallelism, F.xxhash64("url"))

@@ -90,3 +90,50 @@ def test_resume_skips_committed(spark, tmp_path):
 def test_resume_noop_without_snapshot(spark, tmp_path):
     corpus_df = pipeline.source_filter(pipeline.build_corpus_df(spark, SF_SMOKE))
     assert lineage.resume_filter(corpus_df, str(tmp_path / "nope")).count() == 400
+
+
+def test_heavy_path_failures_reach_status_and_lineage(spark):
+    """A failing HEAVY document must surface a non-ok status (and thus a
+    lineage failure), not be silently committed as ok — per-page statuses
+    ride the salted shuffle and reassemble to the first non-ok status."""
+    import datetime
+
+    from pypdfocr_spark.kernels import codec
+    from pypdfocr_spark.schema import CORPUS_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    pad = 300_000  # > heavy_payload_bytes → heavy branch
+    good_page = {"dpi": 300, "w_px": 2550, "h_px": 3300,
+                 "words": [{"t": "hello", "b": [10, 10, 80, 40], "l": 0}]}
+    rows = [
+        # corrupt SYNPDF: valid magic, garbage page JSON on page 2
+        ("https://a.example/corrupt.pdf", ts,
+         codec.MAGIC + b'{"dpi":300,"words":[]}\n{garbage' + b"x" * pad, "", "en"),
+        # non-HTML garbage payload → unsupported
+        ("https://a.example/blob.bin", ts, b"\x00\x01" + b"y" * pad, "", "en"),
+        # huge HTML → ok via boilerplate strip
+        ("https://a.example/big.html", ts,
+         b"<html><body><p>" + b"word " * (pad // 5) + b"</p></body></html>", "", "en"),
+        # valid multi-page SYNPDF padded heavy via many pages
+        ("https://a.example/good.pdf", ts,
+         codec.encode_doc([good_page] * 400), "", "en"),
+    ]
+    corpus_df = spark.createDataFrame(
+        [(u, t, p, x, l, len(p)) for (u, t, p, x, l) in rows], CORPUS_SCHEMA
+    )
+    out = {r["url"]: r.asDict() for r in pipeline.extract(corpus_df, ExtractConfig()).collect()}
+    assert out["https://a.example/corrupt.pdf"]["status"] == "decode_error"
+    assert out["https://a.example/corrupt.pdf"]["extracted_text"] == ""
+    assert out["https://a.example/corrupt.pdf"]["n_pages"] == 0
+    assert out["https://a.example/blob.bin"]["status"] == "unsupported"
+    assert out["https://a.example/big.html"]["status"] == "ok"
+    assert "word" in out["https://a.example/big.html"]["extracted_text"]
+    assert out["https://a.example/good.pdf"]["status"] == "ok"
+    assert out["https://a.example/good.pdf"]["n_pages"] == 400
+
+    extracted = pipeline.extract(corpus_df, ExtractConfig())
+    lin = lineage.lineage_rows(extracted, run_id="t").collect()
+    failed = {u for r in lin for u in r["failures"]}
+    assert "https://a.example/corrupt.pdf" in failed
+    assert "https://a.example/blob.bin" in failed
+    assert "https://a.example/good.pdf" not in failed
