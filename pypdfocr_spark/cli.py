@@ -25,14 +25,30 @@ from .kernels.route import normalize_targets
 from .session import get_spark
 
 
+def _read_with_retry(path: str, attempts: int = 6, delay: float = 0.0) -> str:
+    """Open-with-retry parity: the reference retries the config open 6×
+    on IOError (ref: pypdfocr/pypdfocr.py:61-64 `@retry(count=6,
+    exc_type=IOError)`) — written for flaky network mounts. Same intent
+    here, minus the reference decorator's fall-through bug."""
+    last: OSError | None = None
+    for _ in range(attempts):
+        try:
+            with open(path) as f:
+                return f.read()
+        except OSError as exc:
+            last = exc
+            if delay:
+                time.sleep(delay)
+    raise last  # type: ignore[misc]
+
+
 def load_config(path: str | None) -> ExtractConfig:
     """YAML (like the reference, ref: pypdfocr/pypdfocr.py:92-103) or JSON
     routing config. Mapping key order is preserved — first-match routing
     depends on it (ref: pypdfocr/pypdfocr.py:301-307)."""
     if not path:
         return ExtractConfig()
-    with open(path) as f:
-        text = f.read()
+    text = _read_with_retry(path)
     try:
         import yaml  # safe_load keeps dict insertion order on py>=3.7
 
@@ -61,13 +77,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if bool(args.watch) == bool(args.sf_dir or args.corpus):
         p.error("exactly one of --watch or (--sf-dir | --corpus) is required")
+    if args.watch and not args.checkpoint:
+        p.error("--watch requires --checkpoint")
 
     spark = get_spark("pypdfocr-spark-cli", master=args.master)
     cfg = load_config(args.config)
 
     if args.watch:
-        if not args.checkpoint:
-            p.error("--watch requires --checkpoint")
         from .stream import watch_extract
 
         q = watch_extract(spark, args.watch, args.out, args.checkpoint, cfg)

@@ -35,3 +35,8 @@ class ExtractConfig:
     use_filename: bool = True  # the reference's -n flag (pypdfocr.py:169-170)
     heavy_payload_bytes: int = HEAVY_PAYLOAD_BYTES
     page_partitions: int | None = None  # None → 4 × defaultParallelism
+    # OCR kernel strategy: 'auto' resolves driver-side (envcheck) to
+    # 'subprocess' when new-enough tesseract + gs exist on the executors'
+    # image, else 'builtin' (the deterministic synthetic codec). Mirrors
+    # the reference's pluggable binary override (ref: pypdfocr.py:314-324).
+    ocr_strategy: str = "auto"

@@ -54,6 +54,18 @@ def binary_available(name: str) -> bool:
     return shutil.which(name) is not None
 
 
+def resolve_ocr_strategy(requested: str = "auto") -> str:
+    """Driver-side strategy resolution for ExtractConfig.ocr_strategy:
+    explicit values pass through; 'auto' becomes 'subprocess' only when a
+    new-enough tesseract AND ghostscript are both on PATH (the subprocess
+    kernel needs the full rasterize→OCR chain), else 'builtin'."""
+    if requested in ("builtin", "subprocess"):
+        return requested
+    if select_ocr_strategy() == "subprocess" and binary_available("gs"):
+        return "subprocess"
+    return "builtin"
+
+
 def select_ocr_strategy(required_tesseract: str = "3.02.02") -> str:
     """'subprocess' when a new-enough tesseract exists, else 'builtin'
     (the deterministic stand-in). Mirrors the reference's pluggable

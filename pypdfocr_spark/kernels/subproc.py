@@ -1,0 +1,268 @@
+"""Subprocess-backed rasterize/OCR kernels for real clusters (T1/T2/T4).
+
+The sandbox has no ghostscript/tesseract/pdfimages binaries, so the
+pipeline's default strategy is the deterministic builtin codec; on a real
+cluster ``envcheck`` selects this module instead (the reference's
+pluggable ``binary:`` override design, ref: pypdfocr/pypdfocr.py:314-324).
+Everything here is unit-tested with a mocked ``subprocess`` — exactly how
+the reference tests its binary wrappers (ref: test/test_tesseract.py,
+test/test_gs.py).
+
+Reference parity, cited per function:
+
+* Ghostscript device table and option strings — pypdfocr_gs.py:65-74;
+* ``_run_gs`` command shape (-q -dNOPAUSE ... -sOutputFile=... -c quit)
+  and the '.getdeviceparams' outdated-gs detection — pypdfocr_gs.py:170-181;
+* rasterize driver (greyscale → jpeggray device, '%d' page template,
+  pre-existing output cleanup) — pypdfocr_gs.py:184-218;
+* DPI detection via ``pdfimages -list`` + ``identify`` (second image row,
+  x/y dpi from px/size*density, max, clamp ≥300, 5% x/y sanity warning)
+  — pypdfocr_gs.py:117-166;
+* tesseract command shape (-psm 1 -c hocr_font_info=1 -l LANG hocr) and
+  the ``.html`` → ``.hocr`` output-extension fallback probe (tesseract
+  <3.03 vs ≥3.03) — pypdfocr_tesseract.py:154-183.
+
+Deliberate deltas from the reference (Spark-first, not a port):
+
+* argv lists with ``shell=False`` instead of interpolated shell strings —
+  same commands, no quoting bugs on hostile filenames;
+* no in-kernel ``multiprocessing.Pool`` (ref: pypdfocr_tesseract.py:138-150)
+  — parallelism is Spark's job, one task per document/page;
+* :func:`rasterize_page_range` adds -dFirstPage/-dLastPage so the salted
+  page-explode can rasterize ONE page of a real PDF per task — the
+  distributed replacement for the reference's single-host page pool.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import tempfile
+
+from .codec import round_half_away
+from . import hocr
+
+# ref: pypdfocr_gs.py:65-74 — device name → (file extension, gs options)
+GS_DEVICES: dict[str, tuple[str, list[str]]] = {
+    "tiff": ("tiff", ["-sDEVICE=tiff24nc", "-r{dpi}"]),
+    "jpg": ("jpg", ["-sDEVICE=jpeg", "-dJPEGQ=75", "-r{dpi}"]),
+    "jpggrey": ("jpg", ["-sDEVICE=jpeggray", "-dJPEGQ=75", "-r{dpi}"]),
+    "png": ("png", ["-sDEVICE=png16m", "-r{dpi}"]),
+    "pnggrey": ("png", ["-sDEVICE=pngmono", "-r{dpi}"]),
+    "tifflzw": ("tiff", ["-sDEVICE=tifflzw", "-r{dpi}"]),
+    "tiffg4": ("tiff", ["-sDEVICE=tiffg4", "-r{dpi}"]),
+    "pnm": ("pnm", ["-sDEVICE=pnmraw", "-r{dpi}"]),
+    "pgm": ("pgm", ["-sDEVICE=pgm", "-r{dpi}"]),
+}
+
+DEFAULT_GEOMETRY = {
+    "output_dpi": 300,  # rasterization floor (ref: pypdfocr_gs.py:60)
+    "greyscale": True,  # ref default (pypdfocr_gs.py:61)
+    "width_pt": 612.0,
+    "height_pt": 792.0,
+}
+
+
+class SubprocessKernelError(RuntimeError):
+    """A binary-backed kernel failed on this document (data error)."""
+
+
+class GsOutdatedError(SubprocessKernelError):
+    """Ghostscript too old for the requested device
+    (ref: pypdfocr_gs.py:176-178 '.getdeviceparams' probe)."""
+
+
+class OcrError(SubprocessKernelError):
+    """tesseract produced no hOCR output (ref: pypdfocr_tesseract.py:181-183)."""
+
+
+# ------------------------------------------------------------- ghostscript
+def build_gs_cmd(
+    binary: str,
+    device: str,
+    dpi: int,
+    output_template: str,
+    pdf_path: str,
+    first_page: int | None = None,
+    last_page: int | None = None,
+) -> list[str]:
+    """gs argv mirroring ``_run_gs`` (ref: pypdfocr_gs.py:171) plus the
+    optional page-range flags used by the distributed page split."""
+    ext, options = GS_DEVICES[device]
+    cmd = [binary, "-q", "-dNOPAUSE", "-dBATCH"]
+    if first_page is not None:
+        cmd.append(f"-dFirstPage={first_page}")
+    if last_page is not None:
+        cmd.append(f"-dLastPage={last_page}")
+    cmd += [o.format(dpi=dpi) for o in options]
+    cmd += [f"-sOutputFile={output_template}", pdf_path]
+    return cmd
+
+
+def run_gs(cmd: list[str]) -> None:
+    """Run a gs command; map failure modes like the reference
+    (ref: pypdfocr_gs.py:170-181)."""
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        blob = (e.output or "") + (e.stderr or "")
+        if "undefined in .getdeviceparams" in blob:
+            raise GsOutdatedError(
+                "ghostscript is too old for this device; please update"
+            ) from e
+        raise SubprocessKernelError(f"gs failed: {blob[:500]}") from e
+
+
+def detect_dpi(pdf_path: str, pdfimages: str = "pdfimages", identify: str = "identify") -> dict:
+    """T1 DPI/geometry detection via ``pdfimages -list`` + ``identify``,
+    reproducing the reference's arithmetic exactly
+    (ref: pypdfocr_gs.py:117-166): second image row gives raster px dims
+    and the gray flag; identify gives page size + density; dpi =
+    round(px/size*density) per axis (py2 half-away rounding), take the
+    max, clamp ≥300. Any probe failure falls back to the defaults —
+    graceful, like the reference's warn-and-continue."""
+    geom = dict(DEFAULT_GEOMETRY)
+    try:
+        out = subprocess.run(
+            [pdfimages, "-list", pdf_path], check=True, capture_output=True, text=True
+        ).stdout
+    except Exception:
+        return geom
+    lines = out.splitlines()
+    if len(lines) < 3:  # empty pdf (ref :132-135)
+        return geom
+    cols = lines[2].split()
+    if len(cols) < 6 or cols[2] != "image":  # ref :138-141
+        return geom
+    x_px, y_px, grey = int(cols[3]), int(cols[4]), cols[5] == "gray"
+    geom["greyscale"] = grey
+    try:
+        out = subprocess.run(
+            [identify, "-format", "%w %x %h %y\\n", pdf_path],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        first = out.splitlines()[0].replace("Undefined", "")
+        width, xdensity, height, ydensity = [float(x) for x in first.split()]
+        xdpi = round_half_away(x_px / width * xdensity)
+        ydpi = round_half_away(y_px / height * ydensity)
+        output_dpi = max(xdpi, ydpi)
+        if output_dpi < 300:
+            output_dpi = 300
+        geom["output_dpi"] = int(output_dpi)
+        # page size in points for the hOCR coordinate transform
+        geom["width_pt"] = width / xdensity * 72.0 if xdensity else geom["width_pt"]
+        geom["height_pt"] = height / ydensity * 72.0 if ydensity else geom["height_pt"]
+    except Exception:
+        pass  # identify unavailable → keep dpi default (ref :164-166)
+    return geom
+
+
+def make_imgs_from_pdf(
+    pdf_path: str,
+    dpi: int,
+    greyscale: bool,
+    binary: str = "gs",
+    first_page: int | None = None,
+    last_page: int | None = None,
+) -> list[str]:
+    """Rasterize a PDF to per-page images next to it, returning the image
+    paths in page order (ref: pypdfocr_gs.py:184-218: device by greyscale,
+    '%d' output template, pre-existing outputs removed; the filename-sort
+    page recovery is the reference's natural sort, pypdfocr_pdf.py:261-267)."""
+    device = "jpggrey" if greyscale else "jpg"  # ref :196-203
+    ext = GS_DEVICES[device][0]
+    base = os.path.splitext(pdf_path)[0]
+    pat = re.compile(re.escape(os.path.basename(base)) + r"_(\d+)\." + ext + "$")
+    dirname = os.path.dirname(pdf_path) or "."
+    for fn in os.listdir(dirname):  # ref :209-211 cleanup
+        if pat.match(fn):
+            os.remove(os.path.join(dirname, fn))
+    template = f"{base}_%d.{ext}"
+    run_gs(build_gs_cmd(binary, device, dpi, template, pdf_path, first_page, last_page))
+    found = [
+        os.path.join(dirname, fn) for fn in os.listdir(dirname) if pat.match(fn)
+    ]
+    return sorted(found, key=hocr.natural_keys)
+
+
+def rasterize_page_range(
+    pdf_path: str, page: int, dpi: int, greyscale: bool, binary: str = "gs"
+) -> list[str]:
+    """One page of a real PDF → image, for the salted page-explode stage:
+    each task runs gs with -dFirstPage/-dLastPage instead of one host
+    rasterizing the whole document (the distributed replacement for the
+    reference's in-host page pool, pypdfocr_tesseract.py:138-150)."""
+    return make_imgs_from_pdf(
+        pdf_path, dpi, greyscale, binary, first_page=page, last_page=page
+    )
+
+
+# --------------------------------------------------------------- tesseract
+def build_tesseract_cmd(
+    binary: str, img_path: str, out_base: str, lang: str = "eng"
+) -> list[str]:
+    """tesseract argv mirroring the reference command shape
+    (ref: pypdfocr_tesseract.py:163): -psm 1 -c hocr_font_info=1 -l LANG hocr."""
+    return [binary, img_path, out_base, "-psm", "1", "-c", "hocr_font_info=1",
+            "-l", lang, "hocr"]
+
+
+def make_hocr_from_img(
+    img_path: str, binary: str = "tesseract", lang: str = "eng"
+) -> str:
+    """OCR one page image to hOCR, probing ``.html`` then ``.hocr``
+    (tesseract <3.03 wrote .html, ≥3.03 writes .hocr —
+    ref: pypdfocr_tesseract.py:168-183)."""
+    base = os.path.splitext(img_path)[0]
+    try:
+        subprocess.run(
+            build_tesseract_cmd(binary, img_path, base, lang),
+            check=True, capture_output=True, text=True,
+        )
+    except subprocess.CalledProcessError as e:
+        # keep probing: old tesseracts returned nonzero on warnings
+        # (the reference warns and still checks for output, ref :165-170)
+        _ = e
+    for ext in (".html", ".hocr"):
+        if os.path.isfile(base + ext):
+            return base + ext
+    raise OcrError(f"tesseract produced no hOCR for {img_path}")
+
+
+# ------------------------------------------------------------ doc kernel
+def extract_doc_subprocess(
+    payload: bytes,
+    gs_binary: str = "gs",
+    tesseract_binary: str = "tesseract",
+    lang: str = "eng",
+) -> tuple[list[str], str]:
+    """Whole-document extraction over real binaries: payload → temp pdf →
+    gs page images → per-page tesseract hOCR → parse with the engine's
+    hOCR kernel → per-page texts. Same contract as ``corpus.extract_doc``
+    so the pipeline can swap strategies per document."""
+    if not payload.startswith(b"%PDF"):
+        return ([], "unsupported")
+    with tempfile.TemporaryDirectory(prefix="pypdfocr_spark_") as td:
+        pdf_path = os.path.join(td, "doc.pdf")
+        with open(pdf_path, "wb") as f:
+            f.write(payload)
+        geom = detect_dpi(pdf_path)
+        try:
+            imgs = make_imgs_from_pdf(
+                pdf_path, geom["output_dpi"], geom["greyscale"], gs_binary
+            )
+        except SubprocessKernelError:
+            return ([], "decode_error")
+        pages = []
+        for img in imgs:
+            try:
+                hocr_path = make_hocr_from_img(img, tesseract_binary, lang)
+                with open(hocr_path, encoding="utf-8") as f:
+                    spans = hocr.parse_hocr_page(
+                        f.read(), 1, geom["height_pt"], geom["output_dpi"]
+                    )
+                pages.append(hocr.page_text_from_spans(spans))
+            except SubprocessKernelError:
+                return ([], "ocr_error")
+        return (pages, "ok")

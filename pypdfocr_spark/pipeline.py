@@ -96,13 +96,24 @@ def build_corpus_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
 
 
 # ----------------------------------------------------------- light-path UDFs
+def _doc_kernel(payload: bytes, cfg: ExtractConfig):
+    """Strategy dispatch per document: real %PDF payloads go to the
+    subprocess-backed gs+tesseract kernel when the (driver-resolved)
+    strategy selects it; everything else uses the builtin codec."""
+    if cfg.ocr_strategy == "subprocess" and payload.startswith(b"%PDF"):
+        from .kernels import subproc
+
+        return subproc.extract_doc_subprocess(payload)
+    return ck.extract_doc(payload)
+
+
 def _extract_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     t0 = time.monotonic()
     out = []
     for url, ts, payload, lang in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
         payload = bytes(payload)
         try:
-            pages, status = ck.extract_doc(payload)
+            pages, status = _doc_kernel(payload, cfg)
             text, n_pages = "\n".join(pages), len(pages)
             norm_pages = [normalize_page_text(p) for p in pages]
             route = route_document(
@@ -154,6 +165,19 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         elif page_lines is not None:
             # valid SYNPDF with zero pages: light path yields ([], "ok")
             out.append((url, ts, lang, 0, 0, 792.0, 300, json.dumps({"empty": True}), nbytes))
+        elif cfg.ocr_strategy == "subprocess" and payload.startswith(b"%PDF"):
+            # real PDF under the subprocess strategy: a single carrier row
+            # processed whole-doc by the page stage (no byte-level page
+            # split exists for real PDFs without a parse; the per-page
+            # distributed form is subproc.rasterize_page_range once a
+            # page-count probe is available on the image)
+            import base64
+
+            out.append(
+                (url, ts, lang, 0, 1, 792.0, 300,
+                 json.dumps({"pdf_b64": base64.b64encode(payload).decode("ascii")}),
+                 nbytes)
+            )
         else:
             head = payload.lstrip()[:15].lower()
             if head.startswith(b"<!doctype") or head.startswith(b"<html"):
@@ -198,6 +222,15 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
                     text, status = "", "unsupported"
                 elif "empty" in page:
                     text = ""
+                elif "pdf_b64" in page:
+                    import base64
+
+                    from .kernels import subproc
+
+                    pages, status = subproc.extract_doc_subprocess(
+                        base64.b64decode(page["pdf_b64"])
+                    )
+                    text, n = "\n".join(pages), len(pages)
                 elif "raw" in page:
                     try:
                         text = htmlx.strip_boilerplate(page["raw"])
@@ -264,6 +297,14 @@ def source_filter(corpus_df: DataFrame) -> DataFrame:
 def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
     """Full extraction: corpus rows → EXTRACTED_SCHEMA rows (module doc)."""
     cfg = cfg or ExtractConfig()
+    if cfg.ocr_strategy == "auto":
+        # resolve ONCE on the driver so executors never probe PATH; the
+        # resolved value ships inside the broadcast config closure
+        from dataclasses import replace
+
+        from . import envcheck
+
+        cfg = replace(cfg, ocr_strategy=envcheck.resolve_ocr_strategy("auto"))
     spark = corpus_df.sparkSession
     src = source_filter(corpus_df)
 

@@ -161,8 +161,16 @@ def _make_reassemble_spans(cfg: ExtractConfig):
 
 
 def extract_spans(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
-    """Extraction with the ``spans`` nested column populated (both paths)."""
-    cfg = cfg or ExtractConfig()
+    """Extraction with the ``spans`` nested column populated (both paths).
+
+    Always runs the builtin codec chain: the span tree comes from the
+    engine's own hOCR emit/parse round-trip. (A subprocess-backed spans
+    variant would parse real tesseract hOCR through the same
+    kernels.hocr parser — the parser is shared; only the wiring is
+    builtin-pinned here.)"""
+    from dataclasses import replace
+
+    cfg = replace(cfg or ExtractConfig(), ocr_strategy="builtin")
     spark = corpus_df.sparkSession
     src = source_filter(corpus_df)
 

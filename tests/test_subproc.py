@@ -1,0 +1,263 @@
+"""Subprocess-backed kernel tests — fully mocked binaries, mirroring the
+reference's approach (ref: test/test_tesseract.py:13-137, test/test_gs.py:
+13-48 run everything under a patched subprocess). No Spark session needed:
+the kernels and the pipeline's Arrow-row functions are plain Python.
+"""
+
+import json
+import subprocess
+from dataclasses import replace
+
+import pandas as pd
+import pytest
+
+from pypdfocr_spark import envcheck
+from pypdfocr_spark import pipeline
+from pypdfocr_spark.config import ExtractConfig
+from pypdfocr_spark.kernels import hocr, subproc
+
+PDF = b"%PDF-1.4 fake body"
+
+
+# ------------------------------------------------------------ command shapes
+def test_tesseract_cmd_shape():
+    cmd = subproc.build_tesseract_cmd("tesseract", "/tmp/p_1.jpg", "/tmp/p_1", "deu")
+    # ref: pypdfocr_tesseract.py:163
+    assert cmd == ["tesseract", "/tmp/p_1.jpg", "/tmp/p_1", "-psm", "1",
+                   "-c", "hocr_font_info=1", "-l", "deu", "hocr"]
+
+
+def test_gs_cmd_shape_devices():
+    cmd = subproc.build_gs_cmd("gs", "jpggrey", 300, "/t/d_%d.jpg", "/t/d.pdf")
+    # ref: pypdfocr_gs.py:65-74 device table, :171 cmd shape
+    assert "-sDEVICE=jpeggray" in cmd and "-dJPEGQ=75" in cmd and "-r300" in cmd
+    assert cmd[0] == "gs" and "-q" in cmd and "-dNOPAUSE" in cmd
+    assert "-sOutputFile=/t/d_%d.jpg" in cmd and cmd[-1] == "/t/d.pdf"
+    color = subproc.build_gs_cmd("gs", "jpg", 400, "o_%d.jpg", "d.pdf")
+    assert "-sDEVICE=jpeg" in color and "-r400" in color
+
+
+def test_gs_cmd_page_range():
+    cmd = subproc.build_gs_cmd("gs", "jpg", 300, "o_%d.jpg", "d.pdf",
+                               first_page=7, last_page=7)
+    assert "-dFirstPage=7" in cmd and "-dLastPage=7" in cmd
+
+
+def test_run_gs_outdated_detection(monkeypatch):
+    def boom(cmd, **kw):
+        raise subprocess.CalledProcessError(
+            1, cmd, output="Error: /undefined in .getdeviceparams\n", stderr=""
+        )
+
+    monkeypatch.setattr(subproc.subprocess, "run", boom)
+    with pytest.raises(subproc.GsOutdatedError):
+        subproc.run_gs(["gs", "-q"])
+
+    def boom2(cmd, **kw):
+        raise subprocess.CalledProcessError(1, cmd, output="no such device", stderr="")
+
+    monkeypatch.setattr(subproc.subprocess, "run", boom2)
+    with pytest.raises(subproc.SubprocessKernelError):
+        subproc.run_gs(["gs", "-q"])
+
+
+# ------------------------------------------------------------- dpi detection
+PDFIMAGES_OUT = (
+    "page   num  type   width height color comp bpc  enc interp  object ID\n"
+    "---------------------------------------------------------------------\n"
+    "   1     0  image    2550  3300  gray    1   8  jpeg   no         8  0\n"
+)
+
+
+def _fake_probe(identify_line: str):
+    def run(cmd, **kw):
+        class R:
+            stdout = ""
+        r = R()
+        if cmd[0] == "pdfimages":
+            r.stdout = PDFIMAGES_OUT
+        else:
+            r.stdout = identify_line
+        return r
+
+    return run
+
+
+def test_detect_dpi_arithmetic(monkeypatch, tmp_path):
+    # identify: width=612 xdensity=72 height=792 ydensity=72 (pts @72dpi)
+    # → xdpi = round(2550/612*72) = 300, ydpi = round(3300/792*72) = 300
+    monkeypatch.setattr(subproc.subprocess, "run", _fake_probe("612 72 792 72\n"))
+    geom = subproc.detect_dpi(str(tmp_path / "x.pdf"))
+    assert geom["output_dpi"] == 300 and geom["greyscale"] is True
+    assert geom["width_pt"] == pytest.approx(612.0)
+    assert geom["height_pt"] == pytest.approx(792.0)
+
+
+def test_detect_dpi_clamps_to_300(monkeypatch, tmp_path):
+    # big page, small raster → computed dpi < 300 → clamp (ref gs.py:156)
+    monkeypatch.setattr(
+        subproc.subprocess, "run", _fake_probe("1224 72 1584 72\n")
+    )
+    geom = subproc.detect_dpi(str(tmp_path / "x.pdf"))
+    assert geom["output_dpi"] == 300
+
+
+def test_detect_dpi_takes_max_axis(monkeypatch, tmp_path):
+    # x-axis 300dpi, y-axis 600dpi → max wins (ref gs.py:153-155)
+    monkeypatch.setattr(subproc.subprocess, "run", _fake_probe("612 72 396 72\n"))
+    geom = subproc.detect_dpi(str(tmp_path / "x.pdf"))
+    assert geom["output_dpi"] == 600
+
+
+def test_detect_dpi_fallback_on_missing_probe(monkeypatch, tmp_path):
+    def boom(cmd, **kw):
+        raise FileNotFoundError(cmd[0])
+
+    monkeypatch.setattr(subproc.subprocess, "run", boom)
+    geom = subproc.detect_dpi(str(tmp_path / "x.pdf"))
+    assert geom == subproc.DEFAULT_GEOMETRY
+
+
+# ------------------------------------------------------------- output probes
+def test_make_hocr_probes_html_then_hocr(monkeypatch, tmp_path):
+    img = tmp_path / "page_1.jpg"
+    img.write_bytes(b"")
+
+    def fake_run(cmd, **kw):
+        (tmp_path / "page_1.html").write_text("<html/>")
+
+    monkeypatch.setattr(subproc.subprocess, "run", fake_run)
+    assert subproc.make_hocr_from_img(str(img)).endswith("page_1.html")
+
+    (tmp_path / "page_1.html").unlink()
+
+    def fake_run_hocr(cmd, **kw):
+        (tmp_path / "page_1.hocr").write_text("<html/>")
+
+    monkeypatch.setattr(subproc.subprocess, "run", fake_run_hocr)
+    assert subproc.make_hocr_from_img(str(img)).endswith("page_1.hocr")
+
+    (tmp_path / "page_1.hocr").unlink()
+    monkeypatch.setattr(subproc.subprocess, "run", lambda cmd, **kw: None)
+    with pytest.raises(subproc.OcrError):
+        subproc.make_hocr_from_img(str(img))
+
+
+def test_make_imgs_natural_page_order_and_cleanup(monkeypatch, tmp_path):
+    pdf = tmp_path / "doc.pdf"
+    pdf.write_bytes(PDF)
+    stale = tmp_path / "doc_99.jpg"
+    stale.write_bytes(b"stale")  # pre-existing output must be removed (ref :209-211)
+
+    def fake_gs(cmd):
+        for i in (2, 10, 1):
+            (tmp_path / f"doc_{i}.jpg").write_bytes(b"img")
+
+    monkeypatch.setattr(subproc, "run_gs", fake_gs)
+    imgs = subproc.make_imgs_from_pdf(str(pdf), 300, greyscale=False)
+    names = [p.rsplit("/", 1)[-1] for p in imgs]
+    assert names == ["doc_1.jpg", "doc_2.jpg", "doc_10.jpg"]  # natural sort
+    assert not stale.exists()
+
+
+# -------------------------------------------------------- whole-doc kernel
+def _fake_ocr_stack(monkeypatch, page_words):
+    """gs writes one image per page; tesseract writes engine-emitted hOCR
+    whose parse yields the given words — the full chain, zero binaries."""
+
+    def fake_gs(cmd):
+        # find the output template argument
+        template = next(a for a in cmd if a.startswith("-sOutputFile=")).split("=", 1)[1]
+        for i in range(1, len(page_words) + 1):
+            with open(template % i, "wb") as f:
+                f.write(b"img")
+
+    def fake_tess(cmd, **kw):
+        img, base = cmd[1], cmd[2]
+        page_no = int(img.rsplit("_", 1)[1].split(".")[0])
+        words = page_words[page_no - 1]
+        page = {
+            "dpi": 300, "w_px": 2550, "h_px": 3300,
+            "words": [
+                {"t": w, "b": [10 + 80 * j, 10, 80 + 80 * j, 40], "l": 0}
+                for j, w in enumerate(words)
+            ],
+        }
+        with open(base + ".hocr", "w", encoding="utf-8") as f:
+            f.write(hocr.emit_hocr([page]))
+
+    monkeypatch.setattr(subproc, "run_gs", fake_gs)
+    monkeypatch.setattr(subproc.subprocess, "run", fake_tess)
+    monkeypatch.setattr(subproc, "detect_dpi", lambda p, **kw: dict(subproc.DEFAULT_GEOMETRY))
+
+
+def test_extract_doc_subprocess_end_to_end(monkeypatch):
+    _fake_ocr_stack(monkeypatch, [["hello", "world"], ["second", "page"]])
+    pages, status = subproc.extract_doc_subprocess(PDF)
+    assert status == "ok"
+    assert pages == ["hello world", "second page"]
+
+
+def test_extract_doc_subprocess_non_pdf():
+    assert subproc.extract_doc_subprocess(b"not a pdf") == ([], "unsupported")
+
+
+def test_extract_doc_subprocess_gs_failure(monkeypatch):
+    def fake_gs(cmd):
+        raise subproc.SubprocessKernelError("gs failed")
+
+    monkeypatch.setattr(subproc, "run_gs", fake_gs)
+    monkeypatch.setattr(subproc, "detect_dpi", lambda p, **kw: dict(subproc.DEFAULT_GEOMETRY))
+    assert subproc.extract_doc_subprocess(PDF) == ([], "decode_error")
+
+
+# ------------------------------------------------------ strategy resolution
+def test_resolve_ocr_strategy_sandbox_default():
+    # no tesseract/gs in this container → builtin
+    assert envcheck.resolve_ocr_strategy("auto") == "builtin"
+    assert envcheck.resolve_ocr_strategy("builtin") == "builtin"
+    assert envcheck.resolve_ocr_strategy("subprocess") == "subprocess"
+
+
+def test_resolve_ocr_strategy_with_binaries(monkeypatch):
+    monkeypatch.setattr(envcheck, "select_ocr_strategy", lambda *a, **k: "subprocess")
+    monkeypatch.setattr(envcheck, "binary_available", lambda name: True)
+    assert envcheck.resolve_ocr_strategy("auto") == "subprocess"
+
+
+# ------------------------------------------------- pipeline row-fn dispatch
+def _corpus_pdf_row(url, payload):
+    import datetime
+
+    return {
+        "url": url, "warc_ts": datetime.datetime(2024, 1, 1),
+        "html": payload, "lang": "en",
+    }
+
+
+def test_light_path_dispatches_to_subprocess(monkeypatch):
+    monkeypatch.setattr(
+        subproc, "extract_doc_subprocess",
+        lambda payload, **kw: (["via subprocess"], "ok"),
+    )
+    cfg = replace(ExtractConfig(), ocr_strategy="subprocess")
+    pdf = pd.DataFrame([_corpus_pdf_row("https://x/a.pdf", PDF)])
+    out = pipeline._extract_rows(pdf, cfg)
+    assert out["extracted_text"].iloc[0] == "via subprocess"
+    assert out["status"].iloc[0] == "ok"
+
+
+def test_heavy_path_carries_pdf_to_page_stage(monkeypatch):
+    monkeypatch.setattr(
+        subproc, "extract_doc_subprocess",
+        lambda payload, **kw: (["p1", "p2", "p3"], "ok"),
+    )
+    cfg = replace(ExtractConfig(), ocr_strategy="subprocess", heavy_payload_bytes=4)
+    pdf = pd.DataFrame([_corpus_pdf_row("https://x/a.pdf", PDF)])
+    pages = pipeline._explode_rows(pdf, cfg)
+    assert len(pages) == 1
+    assert "pdf_b64" in json.loads(pages["page_json"].iloc[0])
+    page_out = pipeline._page_text_rows(pages)
+    assert page_out["page_text"].iloc[0] == "p1\np2\np3"
+    assert int(page_out["n_pages"].iloc[0]) == 3
+    assert page_out["status"].iloc[0] == "ok"
