@@ -363,6 +363,7 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_subwords").cast("long").alias("n_subwords"),
+        F.col("n_pretokens").cast("long").alias("n_pretokens"),
     )
 
 
@@ -749,7 +750,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(list_sum(list_transform(string_split(text, ' '),
-                                                t -> CAST(ceil(length(t) / 4.0) AS INT))) AS BIGINT) AS n_subwords
+                                                t -> CAST(ceil(length(t) / 4.0) AS INT))) AS BIGINT) AS n_subwords,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pretokens
             FROM documents
         """,
         "fingerprint": """

@@ -15,8 +15,9 @@ Scale notes (100 TB):
   ``max_df`` (stopword-shingles contribute candidates, not evidence).
 * MinHash LSH: band-bucket join produces candidates linear in near-dup
   count, not quadratic in corpus size; signatures are 16 BIGINTs/doc.
-* embedding near-dup: bucket by LSH sign-bits first at scale; the
-  all-pairs form here is the small-dim verifier.
+* embedding near-dup: :func:`embedding_near_dup_pairs_lsh` is the scale
+  path (sign-LSH bucket equi-join on a slim index, exact-cosine
+  filtered); the all-pairs form is a guarded small-slice verifier.
 """
 
 from __future__ import annotations

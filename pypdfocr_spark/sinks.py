@@ -94,9 +94,8 @@ class EvernoteSink(RouteSink):
 
 
 def email_summary(lineage_df: DataFrame, run_id: str) -> str:
-    """K5: the post-job report body (driver-side; the reference sends it
-    via SMTP STARTTLS, ref: pypdfocr/pypdfocr.py:410-438 — transport left
-    to the deployment)."""
+    """K5: the post-job report body (driver-side; sent by
+    :func:`send_email_summary`, ref: pypdfocr/pypdfocr.py:410-438)."""
     rows = lineage_df.where(F.col("run_id") == run_id).collect()
     docs = sum(r["doc_count"] for r in rows)
     fails = [u for r in rows for u in r["failures"]]
@@ -108,3 +107,27 @@ def email_summary(lineage_df: DataFrame, run_id: str) -> str:
     ]
     lines += [f"  failed: {u}" for u in fails[:20]]
     return "\n".join(lines)
+
+
+def send_email_summary(body: str, mail_config: dict, subject: str) -> None:
+    """K5 transport: SMTP + STARTTLS + login + sendmail + quit, the exact
+    call sequence and config keys of the reference's ``_send_email``
+    (ref: pypdfocr/pypdfocr.py:410-438: mail_from_addr / mail_to_list /
+    mail_smtp_server / mail_smtp_login / mail_smtp_password; From/To/
+    Subject header block). Driver-side, post-job — never a data-plane op."""
+    import smtplib
+
+    from_addr = mail_config["mail_from_addr"]
+    to_addr_list = mail_config["mail_to_list"]
+    login = mail_config["mail_smtp_login"]
+
+    header = f"From: {login}\n"
+    header += "To: {}\n".format(",".join(to_addr_list))
+    header += f"Subject: {subject}\n\n"
+    server = smtplib.SMTP(mail_config["mail_smtp_server"])
+    try:
+        server.starttls()
+        server.login(login, mail_config["mail_smtp_password"])
+        server.sendmail(from_addr, to_addr_list, header + body)
+    finally:
+        server.quit()

@@ -44,10 +44,18 @@ def lang_id_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("score"))
 
 
+# GPT-2-style pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum-non-space marks. The alternation is RE2-safe so the IDENTICAL
+# pattern runs in Spark (Java regex) and DuckDB (RE2) — no lookarounds.
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_count_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate: ceil(chars/4)
-    per token, the common ~4-chars-per-token heuristic — both as pure
-    expressions."""
+    """Whitespace token count + two BPE-ish estimates, all pure
+    expressions: ceil(chars/4) per token (the ~4-chars-per-token
+    heuristic) and a GPT-2-style regex pre-tokenizer count (letter runs /
+    digit runs / punctuation marks) — the quantity a real BPE tokenizer's
+    merge count is bounded by."""
     toks = _tokens(text_col)
     return df.select(
         F.col(id_col),
@@ -55,6 +63,9 @@ def token_count_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.aggregate(
             toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
         ).alias("n_subwords"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), F.lit(0))).alias(
+            "n_pretokens"
+        ),
     )
 
 

@@ -92,3 +92,45 @@ def test_email_summary(spark):
     body = sinks.email_summary(df, "r1")
     assert "documents committed: 10" in body
     assert "https://bad" in body
+
+
+def test_send_email_summary_smtp_sequence(monkeypatch):
+    """K5 transport parity: SMTP → starttls → login → sendmail → quit with
+    the reference's config keys and header block (ref: pypdfocr.py:410-438),
+    mocked like the reference's own binary-wrapper tests."""
+    import smtplib
+
+    events = []
+
+    class FakeSMTP:
+        def __init__(self, server):
+            events.append(("connect", server))
+
+        def starttls(self):
+            events.append(("starttls",))
+
+        def login(self, login, password):
+            events.append(("login", login, password))
+
+        def sendmail(self, from_addr, to_list, message):
+            events.append(("sendmail", from_addr, tuple(to_list), message))
+
+        def quit(self):
+            events.append(("quit",))
+
+    monkeypatch.setattr(smtplib, "SMTP", FakeSMTP)
+    cfg = {
+        "mail_from_addr": "from@x.test",
+        "mail_to_list": ["a@x.test", "b@x.test"],
+        "mail_smtp_server": "smtp.x.test:587",
+        "mail_smtp_login": "login@x.test",
+        "mail_smtp_password": "hunter2",
+    }
+    sinks.send_email_summary("run summary body", cfg, subject="pypdfocr_spark: run r1")
+    assert [e[0] for e in events] == ["connect", "starttls", "login", "sendmail", "quit"]
+    assert events[0] == ("connect", "smtp.x.test:587")
+    assert events[2] == ("login", "login@x.test", "hunter2")
+    _, from_addr, to_list, message = events[3]
+    assert from_addr == "from@x.test" and to_list == ("a@x.test", "b@x.test")
+    assert "Subject: pypdfocr_spark: run r1" in message
+    assert message.endswith("run summary body")
