@@ -34,6 +34,39 @@ class RouteSink(ABC):
     def write(self, extracted: DataFrame, out_dir: str) -> None: ...
 
 
+def original_move_manifest(
+    extracted: DataFrame, original_move_folder: str | None
+) -> DataFrame:
+    """K3: the original-move filer as data. The reference physically
+    ``shutil.move``s the source PDF into ``original_move_folder``,
+    uniquifying the basename by appending a version integer
+    (ref: pypdfocr/pypdfocr_filer_dirs.py:37-48 +
+    pypdfocr/pypdfocr_filer.py:52-65). The corpus table is immutable, so
+    the Spark-first form is a *manifest*: one row per document with its
+    post-move location (url, moved_to); ``moved_to = url`` when no move
+    folder is configured (the reference's leave-untouched branch,
+    ref :39-41). A deployment applies the manifest with its object-store
+    rename API (S3 copy+delete / HDFS rename) — or snapshots it into an
+    Iceberg table column.
+    """
+    if not original_move_folder:
+        return extracted.select("url", F.col("url").alias("moved_to"))
+    basename = F.regexp_extract(F.col("url"), r"([^/]+)$", 1)
+    stem = F.regexp_extract(basename, r"^(.*?)(\.[A-Za-z0-9]+)?$", 1)
+    ext = F.regexp_extract(basename, r"(\.[A-Za-z0-9]+)?$", 1)
+    w = Window.partitionBy(basename).orderBy("url")
+    seq = F.row_number().over(w) - 1
+    uniq = F.concat(
+        stem,
+        F.when(seq == 0, F.lit("")).otherwise(F.concat(F.lit("_"), seq.cast("string"))),
+        ext,
+    )
+    return extracted.select(
+        "url",
+        F.concat(F.lit(original_move_folder.rstrip("/") + "/"), uniq).alias("moved_to"),
+    )
+
+
 class DirsSink(RouteSink):
     """K2: write route-partitioned parquet with uniquified artifact names.
 

@@ -114,6 +114,41 @@ def debounced_ready_stateful(
     )
 
 
+def tumbling_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window rollup: ``withWatermark`` + ``window()``
+    grouped agg — the Structured Streaming form of
+    ``events.tumbling_counts`` (late rows beyond the watermark are
+    dropped; windows finalize and emit once in append mode). The window
+    key is emitted as epoch seconds, matching the batch mirror's
+    timezone-proof convention.
+
+    Watermarks require TIMESTAMP (not NTZ) event time, so the column is
+    cast first — deterministic because the session zone is pinned to UTC
+    (session.get_spark)."""
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(by_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias("window_start"),
+            by_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def debounced_ready(
     df: DataFrame,
     key_col: str = "url",

@@ -215,3 +215,42 @@ def test_connected_components_nonconverged_raises_or_warns(spark):
     with pytest.warns(RuntimeWarning, match="did not converge"):
         labels = dedup.connected_components(pairs, max_iter=1, on_nonconverged="warn")
         assert labels.count() == 61  # partial labels still returned, loudly
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_connected_components_matches_union_find(spark, seed):
+    """Randomized cross-check: the DataFrame label-propagation +
+    pointer-jumping result equals a pure-Python union-find (min-id
+    canonical labels) on random graphs — islands, chains, and dense
+    clumps alike."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 60)
+    m = rng.randint(1, 2 * n)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes_in_pairs = {x for e in edges for x in e}
+    expected = {x: find(x) for x in sorted(nodes_in_pairs)}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expected

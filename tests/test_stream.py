@@ -98,3 +98,65 @@ def test_debounce_session_window(spark, tmp_path):
     # last u1 touch stays open
     assert ("u1", 2) in got
     assert ("u2", 1) in got
+
+
+def test_tumbling_stream_matches_batch_finalized_windows(spark, tmp_path):
+    """Streaming tumbling rollup (watermark + window, append mode) emits
+    exactly the finalized windows, and each emitted row matches the batch
+    mirror events.tumbling_counts bit-for-bit."""
+    from pypdfocr_spark import events as ev
+
+    src = str(tmp_path / "events_src")
+    ev_df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev_df.coalesce(1).write.parquet(src)
+
+    stream_df = spark.readStream.schema(ev_df.schema).parquet(src)
+    q = (
+        stream.tumbling_stream(stream_df, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got, "no finalized windows emitted"
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.tumbling_counts(ev_df).collect()
+    }
+    # append mode emits only windows older than max_ts - watermark → a
+    # strict prefix of the batch result, with identical values
+    for k, v in got.items():
+        assert batch[k] == v
+    max_ts = ev_df.agg(F.max("ts")).first()[0].timestamp()
+    for ws, _ in got:
+        assert ws + 3600 <= max_ts - 7200 + 3600  # window end ≤ watermark cutoff +1 win
+
+
+def test_original_move_manifest_uniquifies(spark):
+    from pypdfocr_spark import sinks
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/x/report.pdf",),
+            ("https://b.example/y/report.pdf",),  # same basename → _1
+            ("https://c.example/z/other.pdf",),
+        ],
+        ["url"],
+    )
+    got = {
+        r["url"]: r["moved_to"]
+        for r in sinks.original_move_manifest(df, "/archive/done/").collect()
+    }
+    assert got["https://a.example/x/report.pdf"] == "/archive/done/report.pdf"
+    assert got["https://b.example/y/report.pdf"] == "/archive/done/report_1.pdf"
+    assert got["https://c.example/z/other.pdf"] == "/archive/done/other.pdf"
+
+    untouched = sinks.original_move_manifest(df, None).collect()
+    assert all(r["url"] == r["moved_to"] for r in untouched)
