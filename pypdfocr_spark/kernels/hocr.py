@@ -139,12 +139,23 @@ def parse_hocr_all(hocr_xml: str, height: float, dpi: float) -> list[list[dict]]
     ]
 
 
+_SPAN_PATH = f".//{{{XHTML_NS}}}span"
+_PT_PER_PX = 72.0
+
+
 def _parse_page_element(page: Element, height: float, dpi: float) -> list[dict]:
+    # Hot loop of the whole engine (~100k words/sec/core): same semantics
+    # as the reference's parse (see module doc), with the per-word Python
+    # overhead shaved — childless-word fast path instead of an iter()
+    # round trip, inlined corner dispatch for the 99% textangle==0 case,
+    # single attrib lookup per element. Byte-identity is pinned by the
+    # golden tests and the extract_text oracle.
     lines: list[dict] = []
-    for line in page.findall(f".//{{{XHTML_NS}}}span"):
-        if line.attrib.get("class") != "ocr_line":
+    for line in page.findall(_SPAN_PATH):
+        la = line.attrib
+        if la.get("class") != "ocr_line":
             continue
-        title = line.attrib.get("title", "")
+        title = la.get("title", "")
         bbox_m = REGEX_BBOX.search(title)
         if bbox_m is None:
             # reference would raise AttributeError per line; we degrade
@@ -157,26 +168,40 @@ def _parse_page_element(page: Element, height: float, dpi: float) -> list[dict]:
 
         base_m = REGEX_BASELINE.search(title)
         baseline = [float(i) for i in base_m.group(1).split()] if base_m else [0.0, 0.0]
+        plain = textangle == 0
 
         words = []
         for word in line:
-            if word.attrib.get("class") != "ocrx_word":
+            wa = word.attrib
+            if wa.get("class") != "ocrx_word":
                 continue
-            # ' '.join of every descendant .text (ref :315-319)
-            word_text = " ".join(t for t in (c.text for c in word.iter()) if t)
-            box_m = REGEX_BBOX.search(word.attrib.get("title", ""))
+            if len(word) == 0:
+                # childless word: iter() would yield only the element
+                word_text = word.text or ""
+            else:
+                # ' '.join of every descendant .text (ref :315-319)
+                word_text = " ".join(t for t in (c.text for c in word.iter()) if t)
+            wtitle = wa.get("title", "")
+            box_m = REGEX_BBOX.search(wtitle)
             if box_m is None:
                 continue
             box = [float(i) for i in box_m.group(1).split()]
-            x, y = _CORNER.get(textangle, _CORNER[0])(box)
-            _, font_size = get_font_spec(word.attrib.get("title", ""))
+            if plain:
+                x, y = box[0], box[1]
+            else:
+                x, y = _CORNER.get(textangle, _CORNER[0])(box)
+            fs_m = REGEX_FONTSPEC.search(wtitle)
+            # x_fsize matches \d+ → always an int when present (ref :357-364)
+            font_size = int(fs_m.group(2)) if fs_m else 8
             words.append(
                 {
                     "text": word_text.strip(),
                     "bbox": box,
-                    "font_size": int(font_size) if isinstance(font_size, int) else 8,
-                    "x_pt": x * 72.0 / dpi,
-                    "y_pt": height - y * 72.0 / dpi,
+                    "font_size": font_size,
+                    # keep the exact reference expression order — (x*72)/dpi
+                    # and x*(72/dpi) differ in final float bits
+                    "x_pt": x * _PT_PER_PX / dpi,
+                    "y_pt": height - y * _PT_PER_PX / dpi,
                     "angle": textangle,
                 }
             )
