@@ -575,7 +575,10 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY user_id, session_id
         """,
         "tumbling_events": """
-            SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS window_start,
+            -- time_bucket floors (epoch-aligned) like Spark's F.floor;
+            -- integer '//' would truncate toward zero and diverge on
+            -- pre-1970 timestamps
+            SELECT CAST(epoch(time_bucket(INTERVAL 3600 SECONDS, ts)) AS BIGINT) AS window_start,
                    event_type, count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY 1, 2
@@ -650,7 +653,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
         """,
         "simhash": """
-            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            -- tokenization must match Python str.split(): split on any
+            -- whitespace run, drop empties (string_split(text,' ') would
+            -- keep empty tokens and miss tabs/newlines)
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                                  t -> t <> '')) AS tok
+                FROM documents
+            ),
             h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
             bits AS (
                 SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc

@@ -291,11 +291,14 @@ def embedding_near_dup_pairs(
     from .similarity import cosine_expr
 
     if max_rows is not None:
-        n = emb.count()
+        # bounded probe: column-pruned limit(N+1).count() short-circuits
+        # instead of scanning the whole table (and the guard stays off the
+        # plan for max_rows=None, e.g. streaming inputs)
+        n = emb.select(id_col).limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
-                f"all-pairs embedding near-dup over {n} rows would build an "
-                f"O(n²) cross join (guard: max_rows={max_rows}); use "
+                f"all-pairs embedding near-dup over more than {max_rows} rows "
+                "would build an O(n²) cross join (guard: max_rows); use "
                 "embedding_near_dup_pairs_lsh or pass max_rows=None"
             )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

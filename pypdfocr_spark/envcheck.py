@@ -61,6 +61,12 @@ def resolve_ocr_strategy(requested: str = "auto") -> str:
     kernel needs the full rasterize→OCR chain), else 'builtin'."""
     if requested in ("builtin", "subprocess"):
         return requested
+    if requested != "auto":
+        # a typo must not silently fall back to auto-resolution
+        raise ValueError(
+            f"unknown ocr_strategy {requested!r}: expected 'auto', 'builtin' "
+            "or 'subprocess'"
+        )
     if select_ocr_strategy() == "subprocess" and binary_available("gs"):
         return "subprocess"
     return "builtin"

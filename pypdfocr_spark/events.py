@@ -64,7 +64,9 @@ def tumbling_counts(
     truncation/rendering of timestamps depends on the session timezone
     (Spark shifts, DuckDB doesn't), which made the round-1 driver check
     hash-diverge when its TZ ≠ UTC. Integer epochs are zone-free on both
-    engines (oracle: ``(epoch_us(ts) // w·10^6) * w``).
+    engines; ``F.floor`` gives true floor semantics (pre-1970 included),
+    mirrored by the oracle's epoch-aligned ``time_bucket`` (integer ``//``
+    would truncate toward zero there).
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     window_start = (

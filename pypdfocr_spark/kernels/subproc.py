@@ -165,20 +165,27 @@ def make_imgs_from_pdf(
     binary: str = "gs",
     first_page: int | None = None,
     last_page: int | None = None,
+    out_dir: str | None = None,
 ) -> list[str]:
-    """Rasterize a PDF to per-page images next to it, returning the image
-    paths in page order (ref: pypdfocr_gs.py:184-218: device by greyscale,
-    '%d' output template, pre-existing outputs removed; the filename-sort
-    page recovery is the reference's natural sort, pypdfocr_pdf.py:261-267)."""
+    """Rasterize a PDF to per-page images, returning the image paths in
+    page order (ref: pypdfocr_gs.py:184-218: device by greyscale, '%d'
+    output template, pre-existing outputs removed; the filename-sort page
+    recovery is the reference's natural sort, pypdfocr_pdf.py:261-267).
+
+    ``out_dir`` redirects the output images (default: next to the PDF).
+    NOTE: gs numbers '%d' outputs from 1 regardless of -dFirstPage, and
+    the cleanup loop deletes matching stale outputs first — so concurrent
+    callers over the SAME pdf must pass distinct ``out_dir``s (which is
+    what :func:`rasterize_page_range` does)."""
     device = "jpggrey" if greyscale else "jpg"  # ref :196-203
     ext = GS_DEVICES[device][0]
-    base = os.path.splitext(pdf_path)[0]
-    pat = re.compile(re.escape(os.path.basename(base)) + r"_(\d+)\." + ext + "$")
-    dirname = os.path.dirname(pdf_path) or "."
+    stem = os.path.splitext(os.path.basename(pdf_path))[0]
+    dirname = out_dir or os.path.dirname(pdf_path) or "."
+    pat = re.compile(re.escape(stem) + r"_(\d+)\." + ext + "$")
     for fn in os.listdir(dirname):  # ref :209-211 cleanup
         if pat.match(fn):
             os.remove(os.path.join(dirname, fn))
-    template = f"{base}_%d.{ext}"
+    template = os.path.join(dirname, f"{stem}_%d.{ext}")
     run_gs(build_gs_cmd(binary, device, dpi, template, pdf_path, first_page, last_page))
     found = [
         os.path.join(dirname, fn) for fn in os.listdir(dirname) if pat.match(fn)
@@ -192,19 +199,59 @@ def rasterize_page_range(
     """One page of a real PDF → image, for the salted page-explode stage:
     each task runs gs with -dFirstPage/-dLastPage instead of one host
     rasterizing the whole document (the distributed replacement for the
-    reference's in-host page pool, pypdfocr_tesseract.py:138-150)."""
+    reference's in-host page pool, pypdfocr_tesseract.py:138-150).
+
+    Each call rasterizes into its own fresh temp directory — gs restarts
+    '%d' numbering at 1 regardless of the page range, so concurrent tasks
+    over the same PDF would otherwise collide on (and mutually delete)
+    each other's output files. Page identity comes from the ``page``
+    argument, never from the output filename. The caller owns cleanup of
+    the returned paths' directory."""
+    out_dir = tempfile.mkdtemp(prefix="pypdfocr_spark_page_")
     return make_imgs_from_pdf(
-        pdf_path, dpi, greyscale, binary, first_page=page, last_page=page
+        pdf_path, dpi, greyscale, binary,
+        first_page=page, last_page=page, out_dir=out_dir,
     )
 
 
 # --------------------------------------------------------------- tesseract
+def _tesseract_psm_flag(binary: str = "tesseract") -> str:
+    """'-psm' for tesseract < 3.05, '--psm' from 3.05 on (the CLI renamed
+    the flag; the reference predates the rename and hardcodes '-psm',
+    ref: pypdfocr_tesseract.py:163 — hardcoding it here would break OCR
+    on every modern (4.x/5.x) cluster that the version gate admits).
+    Probed once per process and cached."""
+    if binary in _PSM_CACHE:
+        return _PSM_CACHE[binary]
+    flag = "--psm"
+    try:
+        out = subprocess.run(
+            [binary, "--version"], capture_output=True, text=True, timeout=10
+        )
+        blob = (out.stdout or "") + (out.stderr or "")
+        m = re.search(r"tesseract\s+v?(\d+)\.(\d+)", blob)
+        if m and (int(m.group(1)), int(m.group(2))) < (3, 5):
+            flag = "-psm"
+    except Exception:
+        pass  # unknown → modern spelling
+    _PSM_CACHE[binary] = flag
+    return flag
+
+
+_PSM_CACHE: dict[str, str] = {}
+
+
 def build_tesseract_cmd(
-    binary: str, img_path: str, out_base: str, lang: str = "eng"
+    binary: str, img_path: str, out_base: str, lang: str = "eng",
+    psm_flag: str | None = None,
 ) -> list[str]:
     """tesseract argv mirroring the reference command shape
-    (ref: pypdfocr_tesseract.py:163): -psm 1 -c hocr_font_info=1 -l LANG hocr."""
-    return [binary, img_path, out_base, "-psm", "1", "-c", "hocr_font_info=1",
+    (ref: pypdfocr_tesseract.py:163): PSM 1 + hocr_font_info=1 -l LANG hocr,
+    with the psm flag spelled per the binary's version (see
+    :func:`_tesseract_psm_flag`)."""
+    if psm_flag is None:
+        psm_flag = _tesseract_psm_flag(binary)
+    return [binary, img_path, out_base, psm_flag, "1", "-c", "hocr_font_info=1",
             "-l", lang, "hocr"]
 
 

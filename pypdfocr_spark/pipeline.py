@@ -152,15 +152,25 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         page_lines = codec.split_pages(payload)  # byte split, no parse
         if page_lines:
             try:
-                first = json.loads(page_lines[0].decode("utf-8"))
+                # strict, like the light path's decode_doc: any non-UTF-8
+                # page line fails the WHOLE doc as decode_error (a row,
+                # never a task failure)
+                decoded = [ln.decode("utf-8") for ln in page_lines]
+            except UnicodeDecodeError:
+                out.append(
+                    (url, ts, lang, 0, 0, 792.0, 300, "\x00not-json", nbytes)
+                )
+                continue
+            try:
+                first = json.loads(decoded[0])
             except Exception:
                 first = {}
             geom = codec.detect_geometry([first] if first else [])
-            n = len(page_lines)
-            for pno, line in enumerate(page_lines):
+            n = len(decoded)
+            for pno, line in enumerate(decoded):
                 out.append(
                     (url, ts, lang, pno, n, geom["height_pt"], geom["output_dpi"],
-                     line.decode("utf-8"), nbytes)
+                     line, nbytes)
                 )
         elif page_lines is not None:
             # valid SYNPDF with zero pages: light path yields ([], "ok")
@@ -230,7 +240,17 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
                     pages, status = subproc.extract_doc_subprocess(
                         base64.b64decode(page["pdf_b64"])
                     )
-                    text, n = "\n".join(pages), len(pages)
+                    # one output row PER PAGE, so reassembly keeps page
+                    # boundaries and routes with the same per-page
+                    # early-exit the light path uses (P2) — a combined
+                    # pseudo-page would route differently for the same doc
+                    for i, ptext in enumerate(pages):
+                        out.append(
+                            (url, ts, lang, i, len(pages), ptext, status, int(nbytes))
+                        )
+                    if pages:
+                        continue
+                    text, n = "", 0
                 elif "raw" in page:
                     try:
                         text = htmlx.strip_boilerplate(page["raw"])

@@ -214,8 +214,11 @@ def lsh_bucket_topk(
         .join(F.broadcast(q_idx), on=["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()  # a pair may collide in several tables/probes
     )
+    if n_tables > 1:
+        # within ONE table a pair matches at most one probe mask (masks
+        # are distinct), so the dedup shuffle is only needed across tables
+        cand = cand.distinct()
     qv = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -21,10 +21,43 @@ PDF = b"%PDF-1.4 fake body"
 
 # ------------------------------------------------------------ command shapes
 def test_tesseract_cmd_shape():
-    cmd = subproc.build_tesseract_cmd("tesseract", "/tmp/p_1.jpg", "/tmp/p_1", "deu")
-    # ref: pypdfocr_tesseract.py:163
+    # ref: pypdfocr_tesseract.py:163 — flag spelling pinned explicitly
+    cmd = subproc.build_tesseract_cmd(
+        "tesseract", "/tmp/p_1.jpg", "/tmp/p_1", "deu", psm_flag="-psm"
+    )
     assert cmd == ["tesseract", "/tmp/p_1.jpg", "/tmp/p_1", "-psm", "1",
                    "-c", "hocr_font_info=1", "-l", "deu", "hocr"]
+
+
+def test_tesseract_psm_flag_by_version(monkeypatch):
+    """tesseract renamed -psm to --psm in 3.05; hardcoding the reference's
+    '-psm' would break OCR on every 4.x/5.x cluster the version gate
+    admits."""
+
+    def fake_version(blob):
+        class R:
+            stdout = blob
+            stderr = ""
+        return lambda cmd, **kw: R()
+
+    subproc._PSM_CACHE.clear()
+    monkeypatch.setattr(subproc.subprocess, "run", fake_version("tesseract 5.3.0\n"))
+    assert subproc._tesseract_psm_flag("t5") == "--psm"
+    monkeypatch.setattr(subproc.subprocess, "run", fake_version("tesseract 3.02.02\n"))
+    assert subproc._tesseract_psm_flag("t3") == "-psm"
+    monkeypatch.setattr(subproc.subprocess, "run", fake_version("tesseract v4.1.1\n"))
+    assert subproc._tesseract_psm_flag("t4") == "--psm"
+    # cached: no re-probe even though run() is now a version-5 fake
+    monkeypatch.setattr(subproc.subprocess, "run", fake_version("tesseract 5.0\n"))
+    assert subproc._tesseract_psm_flag("t3") == "-psm"
+    subproc._PSM_CACHE.clear()
+
+
+def test_resolve_strategy_rejects_typo():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown ocr_strategy"):
+        envcheck.resolve_ocr_strategy("subproc")
 
 
 def test_gs_cmd_shape_devices():
@@ -161,9 +194,32 @@ def test_make_imgs_natural_page_order_and_cleanup(monkeypatch, tmp_path):
 
 
 # -------------------------------------------------------- whole-doc kernel
+def test_rasterize_page_range_private_dirs(monkeypatch, tmp_path):
+    """Concurrent per-page tasks over the SAME pdf must not share an
+    output dir: gs numbers '%d' from 1 regardless of -dFirstPage, and the
+    cleanup loop would otherwise delete a sibling task's image."""
+    pdf = tmp_path / "doc.pdf"
+    pdf.write_bytes(PDF)
+
+    def fake_gs(cmd):
+        template = next(a for a in cmd if a.startswith("-sOutputFile=")).split("=", 1)[1]
+        with open(template % 1, "wb") as f:  # gs restarts numbering at 1
+            f.write(b"img")
+
+    monkeypatch.setattr(subproc, "run_gs", fake_gs)
+    a = subproc.rasterize_page_range(str(pdf), page=3, dpi=300, greyscale=False)
+    b = subproc.rasterize_page_range(str(pdf), page=7, dpi=300, greyscale=False)
+    assert len(a) == 1 and len(b) == 1
+    import os
+
+    assert os.path.dirname(a[0]) != os.path.dirname(b[0])
+    assert os.path.exists(a[0]) and os.path.exists(b[0])  # no mutual deletion
+
+
 def _fake_ocr_stack(monkeypatch, page_words):
     """gs writes one image per page; tesseract writes engine-emitted hOCR
     whose parse yields the given words — the full chain, zero binaries."""
+    subproc._PSM_CACHE["tesseract"] = "--psm"  # skip the version probe
 
     def fake_gs(cmd):
         # find the output template argument
@@ -258,6 +314,20 @@ def test_heavy_path_carries_pdf_to_page_stage(monkeypatch):
     assert len(pages) == 1
     assert "pdf_b64" in json.loads(pages["page_json"].iloc[0])
     page_out = pipeline._page_text_rows(pages)
-    assert page_out["page_text"].iloc[0] == "p1\np2\np3"
-    assert int(page_out["n_pages"].iloc[0]) == 3
-    assert page_out["status"].iloc[0] == "ok"
+    # one row PER PAGE so reassembly routes with per-page early exit
+    assert list(page_out["page_text"]) == ["p1", "p2", "p3"]
+    assert list(page_out["page_no"]) == [0, 1, 2]
+    assert set(page_out["n_pages"]) == {3}
+    assert set(page_out["status"]) == {"ok"}
+
+
+def test_heavy_path_non_utf8_synpdf_is_decode_error():
+    from pypdfocr_spark.kernels import codec
+
+    cfg = ExtractConfig()
+    bad = codec.MAGIC + b'{"dpi":300}\n\xff\xfe garbage' + b"x" * 300_000
+    pdf = pd.DataFrame([_corpus_pdf_row("https://x/bad.pdf", bad)])
+    pages = pipeline._explode_rows(pdf, cfg)  # must not raise
+    assert len(pages) == 1 and int(pages["n_pages"].iloc[0]) == 0
+    out = pipeline._page_text_rows(pages)
+    assert out["status"].iloc[0] == "decode_error"
