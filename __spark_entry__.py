@@ -325,6 +325,17 @@ def _q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.ivf_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=5,
+        n_centroids=16, n_probe=4,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
+        F.round("cosine", 9).alias("cosine"),
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < 500)
     return dedup.embedding_near_dup_pairs(emb, threshold=0.3).select(
@@ -442,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "lang_id": _q_lang_id,
@@ -688,6 +700,48 @@ def oracle_sql() -> dict[str, str]:
                   ON bit_count(xor(q.bucket::BIGINT, n.bucket::BIGINT)) <= 1
                  AND n.vec_id <> q.vec_id
                 WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "embedding_ivf_topk": """
+            WITH cent AS (
+                SELECT vec_id AS centroid_id, embedding AS cv
+                FROM embeddings WHERE vec_id < 16
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT e.vec_id, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                                        c.centroid_id
+                           ) AS r
+                    FROM embeddings e, cent c
+                ) WHERE r = 1
+            ),
+            qprobe AS (
+                SELECT query_id, centroid_id FROM (
+                    SELECT q.vec_id AS query_id, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                                        c.centroid_id
+                           ) AS r
+                    FROM embeddings q, cent c WHERE q.vec_id < 10
+                ) WHERE r <= 4
+            )
+            SELECT query_id, rank, neighbor_id, round(cosine, 9) AS cosine FROM (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+                                    a.vec_id
+                       ) AS rank
+                FROM qprobe p
+                JOIN assign a USING (centroid_id)
+                JOIN embeddings qe ON qe.vec_id = p.query_id
+                JOIN embeddings ne ON ne.vec_id = a.vec_id
+                WHERE a.vec_id <> p.query_id
             ) WHERE rank <= 5
         """,
         "embedding_neardup_lsh": f"""

@@ -39,6 +39,7 @@ HEADLINE_QUERIES = [
     "simhash",
     "embedding_topk",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
     "embedding_neardup_lsh",
     "lang_id",
     "quality_score",

@@ -254,3 +254,24 @@ def test_connected_components_matches_union_find(spark, seed):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_ivf_topk_recall_and_shape(spark, emb):
+    """IVF probe search: exact within probed cells; recall vs brute force
+    rises with n_probe (n_probe = n_centroids → identical to brute force)."""
+    qids = list(range(10))
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.brute_force_topk(emb, qids, k=5).collect()}
+    out = similarity.ivf_topk(emb, qids, k=5, n_centroids=16, n_probe=4).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall4 = len(bf & got) / len(bf)
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, qids, k=5, n_centroids=16, n_probe=16).collect()}
+    assert full == bf  # probing every cell = exact search
+    assert recall4 >= 0.5  # partial probe keeps a useful fraction
+    # index covers every vector exactly once
+    idx = similarity.ivf_index(emb, n_centroids=16)
+    assert idx.count() == emb.count()
+    assert idx.select("id").distinct().count() == emb.count()
