@@ -52,3 +52,32 @@ def read(spark: SparkSession, target: str) -> DataFrame:
     if iceberg_available(spark):
         return spark.read.table(target)
     return spark.read.parquet(target)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by ``key``.
+
+    Bucketing is the co-located-join primitive at 100 TB: two tables
+    bucketed by the same key with the same bucket count join with ZERO
+    exchange — each task zips bucket i with bucket i (sorted buckets also
+    skip the sort of a sort-merge join). This is how the resume anti-join
+    (committed urls vs incoming corpus) and repeated dedup self-joins
+    avoid re-shuffling the big side on every run. Iceberg mapping: a
+    ``bucket(N, key)`` partition transform on the table spec.
+
+    Uses ``saveAsTable`` (bucketing metadata lives in the session
+    catalog; plain ``.parquet(path)`` cannot record it).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table written by :func:`write_bucketed` with its bucketing
+    metadata intact (the reader must come from the catalog, not the
+    files, or the join planner won't see the bucket spec)."""
+    return spark.read.table(table)

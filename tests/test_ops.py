@@ -275,3 +275,31 @@ def test_ivf_topk_recall_and_shape(spark, emb):
     idx = similarity.ivf_index(emb, n_centroids=16)
     assert idx.count() == emb.count()
     assert idx.select("id").distinct().count() == emb.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, docs, tmp_path):
+    """Co-located join: two tables bucketed+sorted by the same key join
+    with ZERO exchange (the 100-TB primitive for the resume anti-join and
+    repeated dedup self-joins; Iceberg: bucket(N, key) transform)."""
+    import contextlib
+    import io
+
+    from pypdfocr_spark import catalog
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        catalog.write_bucketed(docs.select("doc_id", "text"), "t_docs_b", "doc_id", buckets=8)
+        catalog.write_bucketed(docs.select("doc_id", "lang"), "t_meta_b", "doc_id", buckets=8)
+        joined = catalog.read_bucketed(spark, "t_docs_b").join(
+            catalog.read_bucketed(spark, "t_meta_b"), "doc_id"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
