@@ -98,32 +98,119 @@ class DirsSink(RouteSink):
         )
 
 
-class EvernoteSink(RouteSink):
-    """K4 stub: builds the note payload rows (route → notebook, md5
-    resource hash ≙ ``F.md5``, ref: pypdfocr_filer_evernote.py:221-227)
-    and hands each partition to an uploader callable. The real uploader
-    needs the Evernote SDK + credentials — unavailable here, so the
-    default raises on use while keeping the dataflow testable."""
+ENML_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<!DOCTYPE en-note SYSTEM "http://xml.evernote.com/pub/enml2.dtd">'
+)
 
-    def __init__(self, uploader=None):
+
+def build_note(notebook_guid: str, title: str, payload: bytes) -> dict:
+    """K4 note construction as plain data — the exact shape the reference
+    builds with Evernote SDK Types (ref: pypdfocr_filer_evernote.py:210-255):
+    ENML body with the 'Uploaded by' line and an ``en-media`` link keyed
+    by the resource's md5, plus one application/pdf resource carrying
+    (bodyHash=md5, size, body, fileName=title)."""
+    import hashlib
+
+    md5hash = hashlib.md5(payload).hexdigest()
+    content = (
+        ENML_HEADER
+        + "<en-note>Uploaded by PyPDFOCR <br/>"
+        + f'<en-media type="application/pdf" hash="{md5hash}"/>'
+        + "</en-note>"
+    )
+    return {
+        "title": title,
+        "notebookGuid": notebook_guid,
+        "content": content,
+        "resources": [
+            {
+                "mime": "application/pdf",
+                "bodyHash": md5hash,
+                "size": len(payload),
+                "body": payload,
+                "fileName": title,
+            }
+        ],
+    }
+
+
+def check_and_make_notebook(client, notebook_name: str, stack: str) -> dict:
+    """Idempotent notebook lookup-or-create, with the reference's
+    stack-fixup branch (an existing notebook whose stack differs is
+    updated in place, ref: pypdfocr_filer_evernote.py:183-208).
+
+    ``client`` is any object with ``get_notebooks() -> {name: notebook}``,
+    ``update_notebook(nb)``, ``create_notebook(nb) -> nb`` — the Evernote
+    SDK note store on a real deployment, a fake in tests."""
+    notebooks = client.get_notebooks()
+    if notebook_name in notebooks:
+        notebook = notebooks[notebook_name]
+        if notebook.get("stack") != stack:
+            notebook["stack"] = stack
+            client.update_notebook(notebook)
+        return notebook
+    return client.create_notebook({"name": notebook_name, "stack": stack})
+
+
+class EvernoteSink(RouteSink):
+    """K4: route → notebook (under a configured stack), one note per
+    document with the md5-hashed artifact resource. All of the
+    reference's note/notebook logic is real (:func:`build_note`,
+    :func:`check_and_make_notebook`, ref: pypdfocr_filer_evernote.py:
+    183-288); only the transport is injected — ``client_factory`` builds
+    the per-partition API client (the Evernote SDK + OAuth on a real
+    deployment; absent here, so the default raises on use while keeping
+    the dataflow and the note construction fully testable)."""
+
+    def __init__(self, uploader=None, client_factory=None, stack: str = "pypdfocr"):
         self._uploader = uploader
+        self._client_factory = client_factory
+        self._stack = stack
+
+    def upload_rows(self, rows: list, client) -> int:
+        """Driver/executor-side upload loop over collected note rows:
+        notebook check-or-create per route, then create_note per doc."""
+        n = 0
+        notebooks: dict[str, dict] = {}
+        for r in rows:
+            nb_name = r["notebook"]
+            if nb_name not in notebooks:
+                notebooks[nb_name] = check_and_make_notebook(client, nb_name, self._stack)
+            note = build_note(
+                notebooks[nb_name].get("guid", nb_name),
+                r["note_title"],
+                (r["body"] or b""),
+            )
+            client.create_note(note)
+            n += 1
+        return n
 
     def note_rows(self, extracted: DataFrame) -> DataFrame:
+        body = F.coalesce(F.col("extracted_text"), F.lit("")).cast("binary")
         return extracted.select(
             F.col("route").alias("notebook"),
             F.col("url").alias("note_title"),
-            F.md5(F.coalesce(F.col("extracted_text"), F.lit(""))).alias("resource_md5"),
-            F.length(F.coalesce(F.col("extracted_text"), F.lit(""))).alias("resource_len"),
+            body.alias("body"),
+            F.md5(body).alias("resource_md5"),
+            F.length(body).alias("resource_len"),
         )
 
     def write(self, extracted: DataFrame, out_dir: str) -> None:
-        if self._uploader is None:
-            raise NotImplementedError(
-                "EvernoteSink needs an uploader (SDK + OAuth) on a real deployment"
-            )
         rows = self.note_rows(extracted)
-        uploader = self._uploader
-        rows.foreachPartition(lambda it: uploader(list(it)))
+        if self._client_factory is not None:
+            factory, sink = self._client_factory, self
+            rows.foreachPartition(
+                lambda it: sink.upload_rows([r.asDict() for r in it], factory())
+            )
+        elif self._uploader is not None:
+            uploader = self._uploader
+            rows.foreachPartition(lambda it: uploader(list(it)))
+        else:
+            raise NotImplementedError(
+                "EvernoteSink needs a client_factory/uploader (SDK + OAuth) "
+                "on a real deployment"
+            )
 
 
 def email_summary(lineage_df: DataFrame, run_id: str) -> str:

@@ -134,3 +134,69 @@ def test_send_email_summary_smtp_sequence(monkeypatch):
     assert from_addr == "from@x.test" and to_list == ("a@x.test", "b@x.test")
     assert "Subject: pypdfocr_spark: run r1" in message
     assert message.endswith("run summary body")
+
+
+class _FakeEvernoteClient:
+    """Duck-typed note store, recording the reference call shapes."""
+
+    def __init__(self, existing=None):
+        self.notebooks = dict(existing or {})
+        self.updated, self.created_nb, self.notes = [], [], []
+
+    def get_notebooks(self):
+        return dict(self.notebooks)
+
+    def update_notebook(self, nb):
+        self.updated.append(nb)
+        self.notebooks[nb["name"]] = nb
+
+    def create_notebook(self, nb):
+        nb = {**nb, "guid": f"guid-{nb['name']}"}
+        self.created_nb.append(nb)
+        self.notebooks[nb["name"]] = nb
+        return nb
+
+    def create_note(self, note):
+        self.notes.append(note)
+
+
+def test_evernote_notebook_idempotent_and_stack_fixup():
+    # existing notebook with wrong stack → updated in place (ref
+    # pypdfocr_filer_evernote.py:196-200); missing → created
+    client = _FakeEvernoteClient({"spark_docs": {"name": "spark_docs", "stack": "old", "guid": "g1"}})
+    nb = sinks.check_and_make_notebook(client, "spark_docs", "pypdfocr")
+    assert nb["guid"] == "g1" and client.updated and not client.created_nb
+    nb2 = sinks.check_and_make_notebook(client, "analytics", "pypdfocr")
+    assert nb2["guid"] == "guid-analytics" and client.created_nb
+    # second lookup: no duplicate create, no further update
+    sinks.check_and_make_notebook(client, "analytics", "pypdfocr")
+    assert len(client.created_nb) == 1
+
+
+def test_evernote_note_shape_and_upload(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("https://x/a.pdf", "hello body", "spark_docs"),
+         ("https://x/b.pdf", "other", "spark_docs"),
+         ("https://x/c.pdf", None, "default")],
+        "url string, extracted_text string, route string",
+    )
+    client = _FakeEvernoteClient()
+    sink = sinks.EvernoteSink(client_factory=None)
+    rows = [r.asDict() for r in sink.note_rows(df).collect()]
+    n = sink.upload_rows(rows, client)
+    assert n == 3 and len(client.notes) == 3
+    by_title = {nt["title"]: nt for nt in client.notes}
+    note = by_title["https://x/a.pdf"]
+    md5 = hashlib.md5(b"hello body").hexdigest()
+    # exact ENML shape of the reference (filer_evernote.py:214-240)
+    assert note["content"] == (
+        sinks.ENML_HEADER + "<en-note>Uploaded by PyPDFOCR <br/>"
+        + f'<en-media type="application/pdf" hash="{md5}"/></en-note>'
+    )
+    res = note["resources"][0]
+    assert res["bodyHash"] == md5 and res["size"] == 10
+    assert res["mime"] == "application/pdf" and res["body"] == b"hello body"
+    # one notebook per route, created once
+    assert {nb["name"] for nb in client.created_nb} == {"spark_docs", "default"}
