@@ -665,12 +665,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
         """,
         "simhash": """
-            -- tokenization must match Python str.split(): split on any
-            -- whitespace run, drop empties (string_split(text,' ') would
-            -- keep empty tokens and miss tabs/newlines)
+            -- tokenization must match Python str.split() exactly: split
+            -- on runs of PYTHON's whitespace set (incl. unicode spaces,
+            -- NBSP, \\x1c-\\x1f, \\x85 — RE2's ASCII \\s would miss
+            -- those), drop empties
             WITH toks AS (
-                SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
-                                                  t -> t <> '')) AS tok
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text,
+                           '[\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f \\x85\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+'),
+                           t -> t <> '')) AS tok
                 FROM documents
             ),
             h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),

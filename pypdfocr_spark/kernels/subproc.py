@@ -195,23 +195,29 @@ def make_imgs_from_pdf(
 
 def rasterize_page_range(
     pdf_path: str, page: int, dpi: int, greyscale: bool, binary: str = "gs"
-) -> list[str]:
-    """One page of a real PDF → image, for the salted page-explode stage:
-    each task runs gs with -dFirstPage/-dLastPage instead of one host
-    rasterizing the whole document (the distributed replacement for the
-    reference's in-host page pool, pypdfocr_tesseract.py:138-150).
+) -> tuple[bytes, str]:
+    """One page of a real PDF → (image bytes, file extension), for the
+    salted page-explode stage: each task runs gs with
+    -dFirstPage/-dLastPage instead of one host rasterizing the whole
+    document (the distributed replacement for the reference's in-host
+    page pool, pypdfocr_tesseract.py:138-150).
 
-    Each call rasterizes into its own fresh temp directory — gs restarts
-    '%d' numbering at 1 regardless of the page range, so concurrent tasks
-    over the same PDF would otherwise collide on (and mutually delete)
-    each other's output files. Page identity comes from the ``page``
-    argument, never from the output filename. The caller owns cleanup of
-    the returned paths' directory."""
-    out_dir = tempfile.mkdtemp(prefix="pypdfocr_spark_page_")
-    return make_imgs_from_pdf(
-        pdf_path, dpi, greyscale, binary,
-        first_page=page, last_page=page, out_dir=out_dir,
-    )
+    Each call rasterizes into its own fresh temp directory, owned and
+    removed HERE — gs restarts '%d' numbering at 1 regardless of the page
+    range, so concurrent tasks over the same PDF would otherwise collide
+    on (and mutually delete) each other's output files, and a
+    caller-owned directory would leak one dir per page task until the
+    executor disk fills. Page identity comes from the ``page`` argument,
+    never from the output filename."""
+    with tempfile.TemporaryDirectory(prefix="pypdfocr_spark_page_") as out_dir:
+        imgs = make_imgs_from_pdf(
+            pdf_path, dpi, greyscale, binary,
+            first_page=page, last_page=page, out_dir=out_dir,
+        )
+        if not imgs:
+            raise SubprocessKernelError(f"gs produced no image for page {page}")
+        with open(imgs[0], "rb") as f:
+            return f.read(), os.path.splitext(imgs[0])[1].lstrip(".")
 
 
 # --------------------------------------------------------------- tesseract

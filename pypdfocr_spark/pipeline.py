@@ -317,14 +317,15 @@ def source_filter(corpus_df: DataFrame) -> DataFrame:
 def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
     """Full extraction: corpus rows → EXTRACTED_SCHEMA rows (module doc)."""
     cfg = cfg or ExtractConfig()
-    if cfg.ocr_strategy == "auto":
-        # resolve ONCE on the driver so executors never probe PATH; the
-        # resolved value ships inside the broadcast config closure
-        from dataclasses import replace
+    # resolve ONCE on the driver so executors never probe PATH; the
+    # resolved value ships inside the broadcast config closure. Always
+    # routed through resolve_ocr_strategy so a typo'd strategy string
+    # raises here instead of silently running the builtin codec.
+    from dataclasses import replace
 
-        from . import envcheck
+    from . import envcheck
 
-        cfg = replace(cfg, ocr_strategy=envcheck.resolve_ocr_strategy("auto"))
+    cfg = replace(cfg, ocr_strategy=envcheck.resolve_ocr_strategy(cfg.ocr_strategy))
     spark = corpus_df.sparkSession
     src = source_filter(corpus_df)
 

@@ -188,6 +188,14 @@ def ivf_index(
     cent = emb.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
+    if not cent.head(1):
+        # an id-filtered/offset table has no rows with id < n_centroids;
+        # without this the cross join is empty and ivf_topk would return
+        # zero neighbors that read as 'nothing similar'
+        raise ValueError(
+            f"ivf_index: no centroid rows ({id_col} < {n_centroids}) in the "
+            "input — centroid selection assumes ids 0..n_centroids-1 exist"
+        )
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
     return (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

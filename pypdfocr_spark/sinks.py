@@ -168,20 +168,25 @@ class EvernoteSink(RouteSink):
         self._client_factory = client_factory
         self._stack = stack
 
-    def upload_rows(self, rows: list, client) -> int:
-        """Driver/executor-side upload loop over collected note rows:
-        notebook check-or-create per route, then create_note per doc."""
+    def upload_rows(self, rows, client, notebook_guids: dict | None = None) -> int:
+        """Upload loop over note rows (any iterable — consumed once, so a
+        partition streams through in constant memory; bodies are never
+        buffered). ``notebook_guids`` maps route → guid when notebooks
+        were pre-created on the driver; otherwise check-or-create lazily
+        (single-process use only — see :meth:`write` for why)."""
         n = 0
         notebooks: dict[str, dict] = {}
         for r in rows:
             nb_name = r["notebook"]
-            if nb_name not in notebooks:
-                notebooks[nb_name] = check_and_make_notebook(client, nb_name, self._stack)
-            note = build_note(
-                notebooks[nb_name].get("guid", nb_name),
-                r["note_title"],
-                (r["body"] or b""),
-            )
+            if notebook_guids is not None:
+                guid = notebook_guids[nb_name]
+            else:
+                if nb_name not in notebooks:
+                    notebooks[nb_name] = check_and_make_notebook(
+                        client, nb_name, self._stack
+                    )
+                guid = notebooks[nb_name].get("guid", nb_name)
+            note = build_note(guid, r["note_title"], (r["body"] or b""))
             client.create_note(note)
             n += 1
         return n
@@ -199,9 +204,26 @@ class EvernoteSink(RouteSink):
     def write(self, extracted: DataFrame, out_dir: str) -> None:
         rows = self.note_rows(extracted)
         if self._client_factory is not None:
+            # Notebooks are created ONCE on the driver before the fan-out:
+            # concurrent per-partition check-or-create would race (two
+            # executors both see the notebook missing and both create it).
+            # Executors then only create notes. Task-retry note duplication
+            # is left to the deployment's dedupe (the note carries the
+            # resource md5 as its idempotency key); exactly-once delivery
+            # to an external API is not expressible from inside a task.
+            routes = [r["notebook"] for r in rows.select("notebook").distinct().collect()]
+            driver_client = self._client_factory()
+            guids = {
+                name: check_and_make_notebook(driver_client, name, self._stack).get(
+                    "guid", name
+                )
+                for name in routes
+            }
             factory, sink = self._client_factory, self
             rows.foreachPartition(
-                lambda it: sink.upload_rows([r.asDict() for r in it], factory())
+                lambda it: sink.upload_rows(
+                    (r.asDict() for r in it), factory(), notebook_guids=guids
+                )
             )
         elif self._uploader is not None:
             uploader = self._uploader

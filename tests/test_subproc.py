@@ -194,26 +194,31 @@ def test_make_imgs_natural_page_order_and_cleanup(monkeypatch, tmp_path):
 
 
 # -------------------------------------------------------- whole-doc kernel
-def test_rasterize_page_range_private_dirs(monkeypatch, tmp_path):
+def test_rasterize_page_range_private_dir_and_no_leak(monkeypatch, tmp_path):
     """Concurrent per-page tasks over the SAME pdf must not share an
-    output dir: gs numbers '%d' from 1 regardless of -dFirstPage, and the
-    cleanup loop would otherwise delete a sibling task's image."""
+    output dir (gs numbers '%d' from 1 regardless of -dFirstPage, and the
+    cleanup loop would delete a sibling's image); the private temp dir is
+    removed before returning — page tasks must not leak disk."""
+    import glob
+    import os
+
     pdf = tmp_path / "doc.pdf"
     pdf.write_bytes(PDF)
+    seen_dirs = []
 
     def fake_gs(cmd):
         template = next(a for a in cmd if a.startswith("-sOutputFile=")).split("=", 1)[1]
+        seen_dirs.append(os.path.dirname(template))
+        page = next(a for a in cmd if a.startswith("-dFirstPage=")).split("=")[1]
         with open(template % 1, "wb") as f:  # gs restarts numbering at 1
-            f.write(b"img")
+            f.write(b"img-page-" + page.encode())
 
     monkeypatch.setattr(subproc, "run_gs", fake_gs)
-    a = subproc.rasterize_page_range(str(pdf), page=3, dpi=300, greyscale=False)
-    b = subproc.rasterize_page_range(str(pdf), page=7, dpi=300, greyscale=False)
-    assert len(a) == 1 and len(b) == 1
-    import os
-
-    assert os.path.dirname(a[0]) != os.path.dirname(b[0])
-    assert os.path.exists(a[0]) and os.path.exists(b[0])  # no mutual deletion
+    a, ext_a = subproc.rasterize_page_range(str(pdf), page=3, dpi=300, greyscale=False)
+    b, _ = subproc.rasterize_page_range(str(pdf), page=7, dpi=300, greyscale=False)
+    assert (a, ext_a) == (b"img-page-3", "jpg") and b == b"img-page-7"
+    assert seen_dirs[0] != seen_dirs[1]  # private dir per call
+    assert not os.path.exists(seen_dirs[0]) and not os.path.exists(seen_dirs[1])  # cleaned
 
 
 def _fake_ocr_stack(monkeypatch, page_words):
