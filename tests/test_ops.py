@@ -175,9 +175,9 @@ def test_entry_contract(spark):
     assert df.count() > 0
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert set(oracles) <= set(qs)
-    # the SQL-expressible coverage should dominate
-    assert len(oracles) >= 20
+    # EVERY query carries a DuckDB oracle — zero rows-only exemptions;
+    # a new query without an oracle fails here before the driver sees it
+    assert set(oracles) == set(qs)
 
 
 def test_connected_components_chain_and_islands(spark):
