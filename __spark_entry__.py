@@ -295,6 +295,13 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs).select("node", "component")
 
 
+def _q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-to-end dedup composite: exact → near-dup clusters → keepers
+    return dedup.dedup_keepers(
+        _docs(spark, sf_dir), k=2, threshold=0.5, max_df=150
+    )
+
+
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=8, k=3)
 
@@ -448,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_components": _q_dedup_components,
+        "dedup_keepers": _q_dedup_keepers,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -643,6 +651,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n
             )
             SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+        """,
+        "dedup_keepers": f"""
+            WITH RECURSIVE keepers AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+            sh0 AS (SELECT doc_id, unnest({shingle2}) AS shingle FROM d2),
+            keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 150),
+            sh AS (SELECT doc_id, shingle FROM sh0 JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM cand
+                JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+                WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n
+            ),
+            comp AS (SELECT n AS node, min(r) AS component FROM reach GROUP BY n)
+            SELECT doc_id FROM d2
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
         """,
         "minhash_signatures": f"""
             SELECT doc_id, {mh_aggs}

@@ -275,6 +275,36 @@ def connected_components(
     return labels
 
 
+def dedup_keepers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """End-to-end dedup keeper selection — the composite a training-data
+    pipeline actually runs: (1) exact dedup keeps the min-id copy per
+    md5; (2) n-gram-Jaccard near-dup pairs over the exact keepers feed
+    connected components; (3) each near-dup cluster keeps its min-id
+    representative. Returns the surviving (id) set.
+
+    Plan: one hash agg (exact), the pruned shingle self-join (near-dup),
+    the O(log d) component rounds, then two anti/semi joins — every stage
+    is the already-oracled primitive, composed.
+    """
+    exact = exact_dedup(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = df.join(exact, id_col, "semi")
+    pairs = ngram_jaccard_pairs(kept, id_col, text_col, k, threshold, max_df)
+    comp = connected_components(pairs)
+    dupes = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return kept.select(id_col).join(dupes, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, max_rows: int | None = 100_000,
