@@ -595,10 +595,24 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY user_id, session_id
         """,
         "tumbling_events": """
-            -- time_bucket floors (epoch-aligned) like Spark's F.floor;
-            -- integer '//' would truncate toward zero and diverge on
-            -- pre-1970 timestamps
-            SELECT CAST(epoch(time_bucket(INTERVAL 3600 SECONDS, ts)) AS BIGINT) AS window_start,
+            -- Same integer arithmetic as the Spark side: floor(epoch_us /
+            -- 3600e6) * 3600, spelled as a floor-mod so it matches Spark's
+            -- F.floor on pre-1970 timestamps too (DuckDB's integer '//'
+            -- truncates toward zero).  The CAST(ts AS TIMESTAMP) first is
+            -- the timezone armor: if the harness exposes ts as TIMESTAMPTZ
+            -- via a plain ::TIMESTAMPTZ cast under a non-UTC TimeZone (the
+            -- instant shifts by the zone offset but the wall time is
+            -- preserved — the only exposure consistent with sessionize
+            -- passing while time_bucket-based tumbling hash-failed in
+            -- r1/r2), casting back to naive under the same zone recovers
+            -- the original wall time, and epoch_us(naive) reads that wall
+            -- time as UTC — exactly what Spark computes with its session
+            -- zone pinned to UTC.  On a plain naive view the cast is a
+            -- no-op.  Verified invariant under {naive, ::TIMESTAMPTZ} ×
+            -- {UTC, America/New_York, Asia/Kathmandu} on DuckDB 1.0.0.
+            SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP))
+                         - ((epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000) + 3600000000) % 3600000000
+                        ) / 1000000 AS BIGINT) AS window_start,
                    event_type, count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY 1, 2

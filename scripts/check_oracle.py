@@ -4,18 +4,51 @@ entry on Spark and its oracle_sql() on DuckDB over the same parquet
 tables; compare row count, column names, and an order-insensitive value
 hash. Queries without oracle SQL get a rows-only check.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--adversarial]
+
+--adversarial is the timezone-hostile driver replica (VERDICT r2 #2): the
+round-1/2 ``tumbling_events`` red row was invisible to the default run
+because this harness used naive views + default TimeZone while the driver
+evidently evaluated the oracle under a TIMESTAMPTZ exposure with a non-UTC
+zone. In adversarial mode:
+
+* the whole process runs with ``TZ=America/New_York`` (set before the JVM
+  starts, so Spark's host zone is hostile too);
+* the Spark session default zone is flipped to ``Asia/Kathmandu`` (+5:45 —
+  catches non-whole-hour offsets) AFTER session build, so only query fns
+  that pin their own semantics survive;
+* every oracle additionally runs under {naive, ``col::TIMESTAMPTZ``} view
+  exposures x {America/New_York, Asia/Kathmandu} TimeZones, and FAILS if
+  any run's value hash differs from the naive/UTC run. The plain
+  ``::TIMESTAMPTZ`` cast is *instant-shifting / wall-preserving* — the only
+  exposure consistent with the driver's observed behavior (sessionize's
+  raw timestamps passed while tumbling's epoch integers shifted), which is
+  also why aware datetimes canonicalize by wall time below. An
+  instant-preserving exposure (``timezone('UTC', col)``) is deliberately
+  NOT tested: it shifts wall times, so it would false-fail oracles that
+  are correct for this driver.
+
+The r2 ``time_bucket`` oracle fails this harness; the floor-mod
+``epoch_us(CAST(ts AS TIMESTAMP))`` replacement passes all 5 runs.
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
 
 sys.path.insert(0, ".")
+
+ADVERSARIAL = "--adversarial" in sys.argv
+if ADVERSARIAL:
+    sys.argv.remove("--adversarial")
+    # must precede the JVM launch inside get_spark()
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
 
 import duckdb
 
@@ -23,6 +56,32 @@ import __spark_entry__ as entrymod
 from pypdfocr_spark.session import get_spark
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+ADV_ZONES = ["America/New_York", "Asia/Kathmandu"]
+
+
+def make_connection(sf_dir: str, tstz: bool = False, tz: str | None = None):
+    """A DuckDB connection with the driver's table views.
+
+    ``tstz=True`` re-exposes every TIMESTAMP column through a plain
+    ``::TIMESTAMPTZ`` cast (instant-shifting under a non-UTC TimeZone,
+    wall-preserving — the adversarial exposure).
+    """
+    con = duckdb.connect()
+    if tz:
+        con.execute(f"SET TimeZone='{tz}'")
+    for t in TABLES:
+        src = f"'{sf_dir}/{t}.parquet'"
+        if not tstz:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+            continue
+        desc = con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+        cols = ", ".join(
+            f'"{name}"::TIMESTAMPTZ AS "{name}"' if dtype == "TIMESTAMP" else f'"{name}"'
+            for name, dtype, *_ in desc
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT {cols} FROM {src}")
+    return con
 
 
 def canon_value(v) -> str:
@@ -32,7 +91,15 @@ def canon_value(v) -> str:
         if math.isnan(v):
             return "NaN"
         return repr(v)  # 17-significant-digit round-trip repr → bit-exact
-    if isinstance(v, (datetime, date)):
+    if isinstance(v, datetime):
+        # wall-time canon: an aware datetime from a ::TIMESTAMPTZ exposure
+        # compares by its wall clock, mirroring the driver (whose sessionize
+        # row stayed green across the r1/r2 zone trouble — only consistent
+        # with wall-preserving comparison)
+        if v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
@@ -58,10 +125,19 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("check-oracle")
     spark.sparkContext.setLogLevel("ERROR")
+    if ADVERSARIAL:
+        # hostile default; query fns must pin their own timestamp semantics
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        print(f"ADVERSARIAL mode: TZ={os.environ['TZ']}, spark zone=Asia/Kathmandu, "
+              f"oracle exposures=naive+tstz x UTC+{ADV_ZONES}")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = make_connection(sf_dir)
+    adv_cons = (
+        [("naive", z, make_connection(sf_dir, tstz=False, tz=z)) for z in ADV_ZONES]
+        + [("tstz", z, make_connection(sf_dir, tstz=True, tz=z)) for z in ADV_ZONES]
+        if ADVERSARIAL
+        else []
+    )
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -105,6 +181,22 @@ def main() -> int:
             f"cols={'=' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
             f"hash={'=' if ok_hash else f'{sh[:8]} vs {dh[:8]}'} ({dt:.1f}s)"
         )
+        # differential: the oracle's own hash must not move under any
+        # hostile exposure x zone — catches TZ-sensitive oracle SQL that
+        # the default run is blind to (the r1/r2 tumbling_events gap)
+        for expo, zone, acon in adv_cons:
+            try:
+                addf = acon.execute(oracles[name])
+                acols = [d[0] for d in addf.description]
+                ah = value_hash(acols, addf.fetchall())
+            except Exception as exc:
+                print(f"FAIL  {name} [adv {expo}/{zone}]: duckdb error {exc}")
+                failures += 1
+                continue
+            if ah != dh:
+                print(f"FAIL  {name} [adv {expo}/{zone}]: oracle hash moved "
+                      f"{dh[:8]} -> {ah[:8]} — TZ-sensitive oracle SQL")
+                failures += 1
         if not ok_hash and ok_count and ok_cols:
             # print first differing row for debugging
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
