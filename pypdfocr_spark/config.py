@@ -40,3 +40,9 @@ class ExtractConfig:
     # image, else 'builtin' (the deterministic synthetic codec). Mirrors
     # the reference's pluggable binary override (ref: pypdfocr.py:314-324).
     ocr_strategy: str = "auto"
+    # Shared scratch for staging real-PDF payloads so the page explode can
+    # rasterize one page per task (subproc.stage_pdf). Must be reachable
+    # from every executor: on a cluster a shared mount (HDFS/NFS/FUSE)
+    # with a job-scoped prefix, cleaned at job end (subproc.clean_scratch);
+    # None → the local temp dir (right for local[N] and single-host runs).
+    scratch_dir: str | None = None

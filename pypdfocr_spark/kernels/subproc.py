@@ -220,6 +220,128 @@ def rasterize_page_range(
             return f.read(), os.path.splitext(imgs[0])[1].lstrip(".")
 
 
+# ------------------------------------------------- distributed page split
+def pdf_page_count(pdf_path: str, pdfinfo: str = "pdfinfo") -> int | None:
+    """Page-count probe for the distributed page split: ``pdfinfo``'s
+    ``Pages: N`` line, falling back to the last page index in
+    ``pdfimages -list`` (both poppler tools — the same suite
+    :func:`detect_dpi` already probes with). Returns ``None`` when neither
+    probe works, in which case the caller falls back to whole-document
+    processing (graceful, like the reference's warn-and-continue probes,
+    ref: pypdfocr_gs.py:132-141).
+
+    The reference never needs this number up front — it learns the page
+    count from the filenames gs produced (ref: pypdfocr_pdf.py:261-267).
+    Distributing the rasterization requires knowing it BEFORE any gs runs,
+    hence the probe."""
+    try:
+        out = subprocess.run(
+            [pdfinfo, pdf_path], check=True, capture_output=True, text=True
+        ).stdout
+        m = re.search(r"^Pages:\s+(\d+)", out, re.MULTILINE)
+        if m:
+            return int(m.group(1))
+    except Exception:
+        pass
+    try:
+        out = subprocess.run(
+            ["pdfimages", "-list", pdf_path], check=True, capture_output=True, text=True
+        ).stdout
+        rows = [ln.split() for ln in out.splitlines()[2:]]
+        pages = [int(r[0]) for r in rows if r and r[0].isdigit()]
+        if pages:
+            return max(pages)
+    except Exception:
+        pass
+    return None
+
+
+def stage_pdf(payload: bytes, scratch_dir: str) -> str:
+    """Stage a PDF payload once so every per-page task can read it:
+    content-addressed (``<md5>.pdf``) with an atomic rename, so task
+    retries and concurrent attempts over the same document are idempotent
+    and never observe a half-written file.
+
+    ``scratch_dir`` must be reachable from every executor — on a real
+    cluster a shared scratch mount (HDFS/NFS/FUSE) with a job-scoped
+    prefix removed at job commit (:func:`clean_scratch`); in local mode
+    any temp dir. Staging trades one write + n_pages reads of the PDF
+    against shipping the full payload inside every exploded page row
+    through the shuffle (n_pages × size of shuffle volume — the wrong
+    side of the trade for multi-hundred-page documents)."""
+    import hashlib
+
+    os.makedirs(scratch_dir, exist_ok=True)
+    digest = hashlib.md5(payload).hexdigest()
+    path = os.path.join(scratch_dir, f"{digest}.pdf")
+    if os.path.exists(path):
+        return path
+    fd, tmp = tempfile.mkstemp(dir=scratch_dir, suffix=".pdf.part")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return path
+
+
+def clean_scratch(scratch_dir: str, max_age_s: float = 86_400.0) -> int:
+    """Remove staged PDFs older than ``max_age_s`` (K6 temp-cleanup analog,
+    ref: pypdfocr/pypdfocr.py cleanup of _preprocessed/temp outputs). Run
+    from the driver at job end; the age guard keeps a concurrent job's
+    in-flight stages safe. Returns the number of files removed."""
+    import time as _time
+
+    removed = 0
+    if not os.path.isdir(scratch_dir):
+        return 0
+    cutoff = _time.time() - max_age_s
+    for fn in os.listdir(scratch_dir):
+        if not (fn.endswith(".pdf") or fn.endswith(".pdf.part")):
+            continue
+        p = os.path.join(scratch_dir, fn)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                os.remove(p)
+                removed += 1
+        except OSError:
+            pass  # concurrent cleanup / in-flight rename
+    return removed
+
+
+def extract_page_subprocess(
+    pdf_path: str,
+    page: int,
+    dpi: int,
+    greyscale: bool,
+    height_pt: float,
+    gs_binary: str = "gs",
+    tesseract_binary: str = "tesseract",
+    lang: str = "eng",
+) -> str:
+    """ONE page of a staged real PDF → extracted text: the per-task body
+    of the distributed page split (rasterize_page_range's
+    -dFirstPage/-dLastPage → tesseract hOCR → the engine's hOCR parse).
+    This is the reference's in-host page pool
+    (pypdfocr_tesseract.py:138-150) re-expressed as one Spark task per
+    page; ``page`` is 1-based like gs's -dFirstPage.
+
+    Raises :class:`SubprocessKernelError` (gs) / :class:`OcrError`
+    (tesseract) — the caller maps these to the same decode_error /
+    ocr_error row statuses the whole-document kernel uses."""
+    img_bytes, ext = rasterize_page_range(pdf_path, page, dpi, greyscale, gs_binary)
+    with tempfile.TemporaryDirectory(prefix="pypdfocr_spark_ocr_") as td:
+        img_path = os.path.join(td, f"page_{page}.{ext}")
+        with open(img_path, "wb") as f:
+            f.write(img_bytes)
+        hocr_path = make_hocr_from_img(img_path, tesseract_binary, lang)
+        with open(hocr_path, encoding="utf-8") as f:
+            spans = hocr.parse_hocr_page(f.read(), 1, height_pt, dpi)
+    return hocr.page_text_from_spans(spans)
+
+
 # --------------------------------------------------------------- tesseract
 def _tesseract_psm_flag(binary: str = "tesseract") -> str:
     """'-psm' for tesseract < 3.05, '--psm' from 3.05 on (the CLI renamed

@@ -33,6 +33,8 @@ Why this shape at 100 TB:
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 from collections.abc import Iterator
 
@@ -176,18 +178,43 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             # valid SYNPDF with zero pages: light path yields ([], "ok")
             out.append((url, ts, lang, 0, 0, 792.0, 300, json.dumps({"empty": True}), nbytes))
         elif cfg.ocr_strategy == "subprocess" and payload.startswith(b"%PDF"):
-            # real PDF under the subprocess strategy: a single carrier row
-            # processed whole-doc by the page stage (no byte-level page
-            # split exists for real PDFs without a parse; the per-page
-            # distributed form is subproc.rasterize_page_range once a
-            # page-count probe is available on the image)
-            import base64
+            # real PDF under the subprocess strategy: stage the payload
+            # once to shared scratch, probe the page count + geometry, and
+            # emit one slim (path, page) row per page — each rasterized by
+            # its own task via gs -dFirstPage/-dLastPage downstream. This
+            # is what breaks the multi-hundred-page skew the explode
+            # exists for; the reference's analog is the in-host page pool
+            # (pypdfocr_tesseract.py:138-150). Probe failure falls back to
+            # a single whole-doc carrier row (graceful, single task).
+            from .kernels import subproc
 
-            out.append(
-                (url, ts, lang, 0, 1, 792.0, 300,
-                 json.dumps({"pdf_b64": base64.b64encode(payload).decode("ascii")}),
-                 nbytes)
-            )
+            n = None
+            try:
+                scratch = cfg.scratch_dir or os.path.join(
+                    tempfile.gettempdir(), "pypdfocr_spark_scratch"
+                )
+                path = subproc.stage_pdf(payload, scratch)
+                n = subproc.pdf_page_count(path)
+                geom = subproc.detect_dpi(path)
+            except Exception:
+                n = None
+            if n:
+                for pno in range(n):
+                    out.append(
+                        (url, ts, lang, pno, n,
+                         geom["height_pt"], geom["output_dpi"],
+                         json.dumps({"pdf_path": path, "page": pno + 1,
+                                     "greyscale": geom["greyscale"]}),
+                         nbytes)
+                    )
+            else:
+                import base64
+
+                out.append(
+                    (url, ts, lang, 0, 1, 792.0, 300,
+                     json.dumps({"pdf_b64": base64.b64encode(payload).decode("ascii")}),
+                     nbytes)
+                )
         else:
             head = payload.lstrip()[:15].lower()
             if head.startswith(b"<!doctype") or head.startswith(b"<html"):
@@ -232,6 +259,20 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
                     text, status = "", "unsupported"
                 elif "empty" in page:
                     text = ""
+                elif "pdf_path" in page:
+                    # distributed page split of a staged real PDF: this
+                    # task rasterizes + OCRs exactly ONE page
+                    from .kernels import subproc
+
+                    try:
+                        text = subproc.extract_page_subprocess(
+                            page["pdf_path"], int(page["page"]), int(dpi),
+                            bool(page.get("greyscale", True)), float(height),
+                        )
+                    except subproc.OcrError:
+                        text, status = "", "ocr_error"
+                    except subproc.SubprocessKernelError:
+                        text, status = "", "decode_error"
                 elif "pdf_b64" in page:
                     import base64
 

@@ -309,6 +309,11 @@ def test_light_path_dispatches_to_subprocess(monkeypatch):
 
 
 def test_heavy_path_carries_pdf_to_page_stage(monkeypatch):
+    """Probe-unavailable fallback: with no pdfinfo/pdfimages on PATH (this
+    sandbox), a real heavy PDF degrades to ONE whole-doc carrier row —
+    the pre-r3 behavior, now the graceful floor under the distributed
+    page split (test_heavy_real_pdf_page_split below)."""
+    monkeypatch.setattr(subproc, "pdf_page_count", lambda path, **kw: None)
     monkeypatch.setattr(
         subproc, "extract_doc_subprocess",
         lambda payload, **kw: (["p1", "p2", "p3"], "ok"),
@@ -336,3 +341,162 @@ def test_heavy_path_non_utf8_synpdf_is_decode_error():
     assert len(pages) == 1 and int(pages["n_pages"].iloc[0]) == 0
     out = pipeline._page_text_rows(pages)
     assert out["status"].iloc[0] == "decode_error"
+
+
+# --------------------------------------- distributed page split (real PDFs)
+def test_pdf_page_count_pdfinfo_and_fallback(monkeypatch):
+    def fake_pdfinfo(cmd, **kw):
+        class R:
+            stdout = "Title:   x\nPages:          17\nEncrypted: no\n"
+            stderr = ""
+        return R()
+
+    monkeypatch.setattr(subproc.subprocess, "run", fake_pdfinfo)
+    assert subproc.pdf_page_count("/t/d.pdf") == 17
+
+    def fake_pdfimages_only(cmd, **kw):
+        if cmd[0] == "pdfinfo":
+            raise FileNotFoundError(cmd[0])
+
+        class R:
+            stdout = ("page   num  type\n---------------\n"
+                      "   1     0 image\n   2     1 image\n   3     2 image\n")
+            stderr = ""
+        return R()
+
+    monkeypatch.setattr(subproc.subprocess, "run", fake_pdfimages_only)
+    assert subproc.pdf_page_count("/t/d.pdf") == 3
+
+    def fake_nothing(cmd, **kw):
+        raise FileNotFoundError(cmd[0])
+
+    monkeypatch.setattr(subproc.subprocess, "run", fake_nothing)
+    assert subproc.pdf_page_count("/t/d.pdf") is None
+
+
+def test_stage_pdf_content_addressed_idempotent(tmp_path):
+    p1 = subproc.stage_pdf(PDF, str(tmp_path))
+    p2 = subproc.stage_pdf(PDF, str(tmp_path))  # retry / concurrent attempt
+    assert p1 == p2
+    with open(p1, "rb") as f:
+        assert f.read() == PDF
+    other = subproc.stage_pdf(b"%PDF-other", str(tmp_path))
+    assert other != p1
+    # no .part leftovers
+    assert not [f for f in tmp_path.iterdir() if f.name.endswith(".part")]
+
+
+def test_clean_scratch_age_guard(tmp_path):
+    import os as _os
+
+    fresh = subproc.stage_pdf(PDF, str(tmp_path))
+    stale = subproc.stage_pdf(b"%PDF-stale", str(tmp_path))
+    _os.utime(stale, (1, 1))  # epoch-old
+    assert subproc.clean_scratch(str(tmp_path), max_age_s=3600) == 1
+    assert _os.path.exists(fresh) and not _os.path.exists(stale)
+
+
+def _fake_page_range_ocr_stack(monkeypatch, page_words):
+    """gs honoring -dFirstPage/-dLastPage (restarting '%d' numbering at 1,
+    like real gs) + tesseract deriving words from the TRUE page number in
+    the image filename — the full distributed per-page chain, zero
+    binaries."""
+    subproc._PSM_CACHE["tesseract"] = "--psm"
+
+    def fake_gs(cmd):
+        template = next(a for a in cmd if a.startswith("-sOutputFile=")).split("=", 1)[1]
+        first = next((int(a.split("=")[1]) for a in cmd if a.startswith("-dFirstPage=")), 1)
+        last = next((int(a.split("=")[1]) for a in cmd if a.startswith("-dLastPage=")),
+                    len(page_words))
+        for i in range(1, last - first + 2):  # gs numbers outputs from 1
+            with open(template % i, "wb") as f:
+                f.write(b"img")
+
+    def fake_tess(cmd, **kw):
+        img, base = cmd[1], cmd[2]
+        page_no = int(img.rsplit("_", 1)[1].split(".")[0])
+        words = page_words[page_no - 1]
+        page = {
+            "dpi": 300, "w_px": 2550, "h_px": 3300,
+            "words": [
+                {"t": w, "b": [10 + 80 * j, 10, 80 + 80 * j, 40], "l": 0}
+                for j, w in enumerate(words)
+            ],
+        }
+        with open(base + ".hocr", "w", encoding="utf-8") as f:
+            f.write(hocr.emit_hocr([page]))
+
+    monkeypatch.setattr(subproc, "run_gs", fake_gs)
+    monkeypatch.setattr(subproc.subprocess, "run", fake_tess)
+    monkeypatch.setattr(subproc, "detect_dpi", lambda p, **kw: dict(subproc.DEFAULT_GEOMETRY))
+    monkeypatch.setattr(subproc, "pdf_page_count", lambda p, **kw: len(page_words))
+
+
+def test_heavy_real_pdf_page_split(monkeypatch, tmp_path):
+    """VERDICT r2 #3 done-criterion: a multi-page real %PDF heavy doc
+    produces per-page rows under ocr_strategy='subprocess' (one slim
+    staged-path row per page — no payload bytes in the shuffle), each page
+    OCR'd by its own task via gs -dFirstPage/-dLastPage, and the
+    reassembled document text is byte-identical to the whole-document
+    kernel's output."""
+    words = [["alpha", "beta"], ["gamma"], ["delta", "epsilon", "zeta"]]
+    _fake_page_range_ocr_stack(monkeypatch, words)
+    cfg = replace(
+        ExtractConfig(), ocr_strategy="subprocess", heavy_payload_bytes=4,
+        scratch_dir=str(tmp_path / "scratch"),
+    )
+    pdf = pd.DataFrame([_corpus_pdf_row("https://x/big.pdf", PDF)])
+
+    pages = pipeline._explode_rows(pdf, cfg)
+    assert len(pages) == 3 and list(pages["page_no"]) == [0, 1, 2]
+    metas = [json.loads(s) for s in pages["page_json"]]
+    assert all("pdf_path" in m and "pdf_b64" not in m for m in metas)
+    assert [m["page"] for m in metas] == [1, 2, 3]  # gs pages are 1-based
+    staged = metas[0]["pdf_path"]
+    with open(staged, "rb") as f:
+        assert f.read() == PDF
+
+    # each page row is independently processable (simulate the salted
+    # shuffle scattering rows to different tasks: one batch per row,
+    # reversed order)
+    outs = [pipeline._page_text_rows(pages.iloc[[i]]) for i in (2, 0, 1)]
+    page_out = pd.concat(outs, ignore_index=True)
+    assert set(page_out["status"]) == {"ok"}
+    assert sorted(page_out["page_text"]) == sorted(" ".join(w) for w in words)
+
+    reassembled = pipeline._make_reassemble(cfg)(page_out)
+    whole_pages, whole_status = subproc.extract_doc_subprocess(PDF)
+    assert whole_status == "ok"
+    assert reassembled["extracted_text"].iloc[0] == "\n".join(whole_pages)
+    assert reassembled["extracted_text"].iloc[0].encode() == \
+        "\n".join(" ".join(w) for w in words).encode()  # byte-identity
+    assert int(reassembled["n_pages"].iloc[0]) == 3
+
+
+def test_heavy_real_pdf_page_split_ocr_failure_statuses(monkeypatch, tmp_path):
+    words = [["one"], ["two"]]
+    _fake_page_range_ocr_stack(monkeypatch, words)
+    cfg = replace(
+        ExtractConfig(), ocr_strategy="subprocess", heavy_payload_bytes=4,
+        scratch_dir=str(tmp_path / "scratch"),
+    )
+    pdf = pd.DataFrame([_corpus_pdf_row("https://x/big.pdf", PDF)])
+    pages = pipeline._explode_rows(pdf, cfg)
+
+    def tess_fails(cmd, **kw):
+        return None  # writes no output file → OcrError
+
+    monkeypatch.setattr(subproc.subprocess, "run", tess_fails)
+    out = pipeline._page_text_rows(pages)
+    assert set(out["status"]) == {"ocr_error"}
+
+    def gs_fails(cmd):
+        raise subproc.SubprocessKernelError("gs failed")
+
+    monkeypatch.setattr(subproc, "run_gs", gs_fails)
+    out = pipeline._page_text_rows(pages)
+    assert set(out["status"]) == {"decode_error"}
+    # doc-level parity: a failed page fails the doc like the light path
+    doc = pipeline._make_reassemble(cfg)(out)
+    assert doc["status"].iloc[0] == "decode_error"
+    assert doc["extracted_text"].iloc[0] == "" and int(doc["n_pages"].iloc[0]) == 0
