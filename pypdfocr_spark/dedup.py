@@ -81,8 +81,19 @@ def ngram_jaccard_pairs(
     """
     sh = with_shingles(df, id_col, text_col, k)
     if max_df is not None:
+        # Anti-join away ubiquitous shingles with NO broadcast hint: at
+        # sandbox scale AQE broadcasts the tiny hot set on its own, but on
+        # a 100-TB corpus the hot set (every stopword bigram) is millions
+        # of rows and a forced F.broadcast OOMs the driver. Unhinted, AQE
+        # falls back to a shuffle anti-join whose skewed stream-side
+        # partitions it can split (skewJoin supports the left side of
+        # LEFT ANTI). A window-count restructure was rejected: a window
+        # partitioned by shingle pins each hot shingle's rows to ONE
+        # unsplittable task — worse than the join it replaces. The
+        # groupBy side is map-side combined, so only partial counts
+        # shuffle.
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

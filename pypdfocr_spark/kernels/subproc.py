@@ -220,6 +220,52 @@ def rasterize_page_range(
             return f.read(), os.path.splitext(imgs[0])[1].lstrip(".")
 
 
+# -------------------------------------------------- ImageMagick preprocess
+def build_convert_cmd(binary: str, in_path: str, out_path: str) -> list[str]:
+    """ImageMagick ``convert`` argv with the reference's exact option
+    chain (ref: pypdfocr/pypdfocr_preprocess.py:65-95): clone → grayscale
+    negative → local adaptive threshold 15x15+5% → contrast stretch,
+    composited back as opacity, then blur 1x1, adaptive-sharpen 0x2, and
+    the vertical-rule Thinning (Rectangle:1x30 — tesseract <3.03 ignores
+    text near table rules). The reference interpolates a shell string
+    with ``\\(`` escapes and an os.name=='nt' special case
+    (ref :70-74); argv form needs neither — the parens are plain tokens
+    and there is no shell."""
+    return [
+        binary, in_path, "-respect-parenthesis",
+        "(", "-clone", "0",
+        "-colorspace", "gray", "-negate", "-lat", "15x15+5%",
+        "-contrast-stretch", "0",
+        ")", "-compose", "copy_opacity", "-composite",
+        "-opaque", "none", "+matte", "-modulate", "100,100",
+        "-blur", "1x1",
+        "-adaptive-sharpen", "0x2",
+        "-negate",
+        "-define", "morphology:compose=darken",
+        "-morphology", "Thinning", "Rectangle:1x30+0+0",
+        "-negate",
+        out_path,
+    ]
+
+
+def preprocess_img_subprocess(img_path: str, binary: str = "convert") -> str:
+    """T3 preprocess over the real binary: writes
+    ``<base>_preprocess<ext>`` and returns its path; ANY failure returns
+    the input path unchanged (the reference's graceful contract —
+    ``cmd()`` swallows CalledProcessError and ``_run_preprocess`` then
+    returns in_filename, ref: pypdfocr_preprocess.py:55-61,92-93)."""
+    base, ext = os.path.splitext(img_path)
+    out_path = f"{base}_preprocess{ext}"
+    try:
+        subprocess.run(
+            build_convert_cmd(binary, img_path, out_path),
+            check=True, capture_output=True, text=True,
+        )
+    except Exception:
+        return img_path
+    return out_path if os.path.isfile(out_path) else img_path
+
+
 # ------------------------------------------------- distributed page split
 def pdf_page_count(pdf_path: str, pdfinfo: str = "pdfinfo") -> int | None:
     """Page-count probe for the distributed page split: ``pdfinfo``'s
@@ -320,6 +366,7 @@ def extract_page_subprocess(
     gs_binary: str = "gs",
     tesseract_binary: str = "tesseract",
     lang: str = "eng",
+    preprocess: bool = False,
 ) -> str:
     """ONE page of a staged real PDF → extracted text: the per-task body
     of the distributed page split (rasterize_page_range's
@@ -336,6 +383,8 @@ def extract_page_subprocess(
         img_path = os.path.join(td, f"page_{page}.{ext}")
         with open(img_path, "wb") as f:
             f.write(img_bytes)
+        if preprocess:
+            img_path = preprocess_img_subprocess(img_path)  # graceful
         hocr_path = make_hocr_from_img(img_path, tesseract_binary, lang)
         with open(hocr_path, encoding="utf-8") as f:
             spans = hocr.parse_hocr_page(f.read(), 1, height_pt, dpi)
@@ -411,6 +460,7 @@ def extract_doc_subprocess(
     gs_binary: str = "gs",
     tesseract_binary: str = "tesseract",
     lang: str = "eng",
+    preprocess: bool = False,
 ) -> tuple[list[str], str]:
     """Whole-document extraction over real binaries: payload → temp pdf →
     gs page images → per-page tesseract hOCR → parse with the engine's
@@ -432,6 +482,11 @@ def extract_doc_subprocess(
         pages = []
         for img in imgs:
             try:
+                if preprocess:
+                    # opt-in like the reference's --preprocess flag
+                    # (ref: pypdfocr/pypdfocr.py:186-193); failure returns
+                    # the original image, never fails the page
+                    img = preprocess_img_subprocess(img)
                 hocr_path = make_hocr_from_img(img, tesseract_binary, lang)
                 with open(hocr_path, encoding="utf-8") as f:
                     spans = hocr.parse_hocr_page(

@@ -165,17 +165,134 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means (fixed-iteration Lloyd) for IVF
+    centroid refinement: init = the ``n_centroids`` lowest-id vectors,
+    then ``n_iter`` rounds of (assign by cosine, mean, renormalize).
+    Fixed init + fixed iteration count → reproducible runs (up to float
+    summation order inside avg(), which cannot flip assignments on
+    separated data).
+
+    Returned centroids live on the driver: the centroid set is
+    broadcastable BY CONSTRUCTION (n_centroids × dim doubles — for the
+    production 4096×768 that is ~25 MB, still broadcast territory), so
+    collecting it is not a driver-side-loop smell; it is the IVF design.
+
+    Per-iteration plan: centroids broadcast into the scoring join, the
+    corpus streams once, and both aggregations are map-side combinable —
+    argmax-by-struct per id, then per-centroid component means as
+    ``dim`` avg() columns (NOT a posexplode: only n_centroids × dim
+    partial sums ever shuffle). Empty clusters keep their previous
+    centroid. At 10^12 rows you run this on a sample; the contract
+    (list of (centroid_id, unit_vector)) is the same either way.
+    """
+    spark = emb.sparkSession
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    init = vecs.orderBy("id").limit(n_centroids).collect()
+    if len(init) < n_centroids:
+        raise ValueError(
+            f"kmeans_centroids: corpus has only {len(init)} rows for "
+            f"{n_centroids} centroids"
+        )
+
+    def unit(xs: list[float]) -> list[float]:
+        nrm = sum(x * x for x in xs) ** 0.5
+        return [x / nrm for x in xs] if nrm > 0 else xs
+
+    centroids = [(i, unit([float(x) for x in r["v"]])) for i, r in enumerate(init)]
+    dim = len(centroids[0][1])
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            centroids, "centroid_id INT, cv ARRAY<DOUBLE>"
+        )
+        assigned = (
+            vecs.join(F.broadcast(cent_df))
+            .withColumn("ccos", cosine_expr("v", "cv"))
+            .groupBy("id")
+            .agg(
+                # argmax by (cosine, lower centroid id) — ties break the
+                # same way ivf_index's window does
+                F.max(
+                    F.struct(
+                        F.col("ccos").alias("c"),
+                        (-F.col("centroid_id")).alias("nc"),
+                    )
+                ).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select((-F.col("m.nc")).alias("centroid_id"), "v")
+        )
+        stats = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col("v")[i].cast("double")).alias(f"m{i}") for i in range(dim)]
+        )
+        means = {r["centroid_id"]: [r[f"m{i}"] for i in range(dim)] for r in stats.collect()}
+        centroids = [
+            (cid, unit(means[cid]) if cid in means else old)
+            for cid, old in centroids
+        ]
+    return centroids
+
+
+def _centroid_frame(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroid_strategy: str = "first",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """The (centroid_id, cv) table both IVF entry points score against.
+
+    ``first``: the n lowest-id vectors — SQL-reproducible (the DuckDB
+    oracle uses this form) but only representative when ids are shuffled
+    relative to the data distribution. ``kmeans``: Lloyd-refined
+    (:func:`kmeans_centroids`) — the production-grade choice on clustered
+    distributions (the adversarial recall test in tests/test_ops.py shows
+    first-N collapsing to ~0.2 recall where kmeans holds ≥0.9).
+    ``centroids`` passes a precomputed set (e.g. reused across queries —
+    at scale you never re-run Lloyd per query)."""
+    if centroids is None and centroid_strategy == "kmeans":
+        centroids = kmeans_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    if centroids is not None:
+        return emb.sparkSession.createDataFrame(
+            centroids, "centroid_id INT, cv ARRAY<DOUBLE>"
+        )
+    if centroid_strategy != "first":
+        raise ValueError(f"unknown centroid_strategy: {centroid_strategy!r}")
+    cent = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    if not cent.head(1):
+        # an id-filtered/offset table has no rows with id < n_centroids;
+        # without this the cross join is empty and ivf_topk would return
+        # zero neighbors that read as 'nothing similar'
+        raise ValueError(
+            f"ivf centroids: no rows with {id_col} < {n_centroids} in the "
+            "input — the 'first' strategy assumes ids 0..n_centroids-1 "
+            "exist (use centroid_strategy='kmeans' otherwise)"
+        )
+    return cent
+
+
 def ivf_index(
     emb: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_strategy: str = "first",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid
-    by cosine (ties → lower centroid id). Centroids are the first
-    ``n_centroids`` vectors by id — deterministic and SQL-reproducible;
-    production swaps in k-means centroids behind the same (id,
-    centroid_id) contract.
+    by cosine (ties → lower centroid id). Default centroids are the first
+    ``n_centroids`` vectors by id — deterministic and SQL-reproducible
+    (the oracle form); ``centroid_strategy='kmeans'`` swaps in
+    Lloyd-refined centroids behind the same (id, centroid_id) contract.
 
     Returns the slim index (id, centroid_id). Plan shape: the centroid
     table broadcasts (it is tiny by construction), the corpus streams
@@ -185,17 +302,7 @@ def ivf_index(
     """
     from pyspark.sql.window import Window
 
-    cent = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
-    if not cent.head(1):
-        # an id-filtered/offset table has no rows with id < n_centroids;
-        # without this the cross join is empty and ivf_topk would return
-        # zero neighbors that read as 'nothing similar'
-        raise ValueError(
-            f"ivf_index: no centroid rows ({id_col} < {n_centroids}) in the "
-            "input — centroid selection assumes ids 0..n_centroids-1 exist"
-        )
+    cent = _centroid_frame(emb, n_centroids, id_col, vec_col, centroid_strategy, centroids)
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
     return (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -215,20 +322,25 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_strategy: str = "first",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its ``n_probe``
     nearest centroids and scores only vectors assigned there — candidate
     volume ≈ n·n_probe/n_centroids per query instead of n. Exact cosine
     ranks the candidates, so precision within the probed cells is exact;
-    recall is tuned by n_probe/n_centroids (measured vs brute force in
-    tests/test_ops.py).
+    recall is tuned by n_probe/n_centroids AND by centroid quality
+    (``centroid_strategy='kmeans'`` for clustered distributions — both
+    measured vs brute force in tests/test_ops.py).
     """
     from pyspark.sql.window import Window
 
-    cent = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
-    idx = ivf_index(emb, n_centroids, id_col, vec_col)
+    if centroids is None and centroid_strategy == "kmeans":
+        # resolve ONCE so the index and the query probes score against
+        # the same centroid set (and Lloyd never runs twice)
+        centroids = kmeans_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    cent = _centroid_frame(emb, n_centroids, id_col, vec_col, centroid_strategy, centroids)
+    idx = ivf_index(emb, n_centroids, id_col, vec_col, centroid_strategy, centroids)
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

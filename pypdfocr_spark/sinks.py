@@ -153,6 +153,50 @@ def check_and_make_notebook(client, notebook_name: str, stack: str) -> dict:
     return client.create_notebook({"name": notebook_name, "stack": stack})
 
 
+def _is_auth_error(exc: Exception) -> bool:
+    """The two EDAMUserException codes the reference's ``en_handle``
+    decorator refresh-retries (ref: pypdfocr_filer_evernote.py:73-76):
+    AUTH_EXPIRED (EDAMErrorCode 9) and DATA_REQUIRED (5). Matched by
+    code value or name so tests/fakes need no SDK types."""
+    code = getattr(exc, "errorCode", None)
+    return code in (5, 9, "DATA_REQUIRED", "AUTH_EXPIRED")
+
+
+def evernote_retry(
+    do,
+    client,
+    client_factory=None,
+    retries: int = 3,
+    sleep=None,
+    is_auth_error=_is_auth_error,
+):
+    """Reference parity for the ``en_handle`` wrapper around every
+    Evernote API call (ref: pypdfocr_filer_evernote.py:39-80): up to
+    ``retries`` attempts; an auth-expired error sleeps 3 s, reconnects
+    (``client_factory()``), and retries. Two deliberate deltas, both on
+    the safe side of the reference: a non-auth error raises immediately
+    instead of being silently swallowed in the loop, and exhausting the
+    budget raises the last auth error instead of returning ``None`` (the
+    reference's silent-loss mode — a lost upload must surface in lineage
+    failure accounting here)."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            return do(client)
+        except Exception as e:
+            if not is_auth_error(e):
+                raise
+            last = e
+            sleep(3)  # ref :77 time.sleep(3)
+            if client_factory is not None:
+                client = client_factory()  # ref :65 _connect_to_evernote
+    assert last is not None
+    raise last
+
+
 class EvernoteSink(RouteSink):
     """K4: route → notebook (under a configured stack), one note per
     document with the md5-hashed artifact resource. All of the
@@ -163,31 +207,42 @@ class EvernoteSink(RouteSink):
     deployment; absent here, so the default raises on use while keeping
     the dataflow and the note construction fully testable)."""
 
-    def __init__(self, uploader=None, client_factory=None, stack: str = "pypdfocr"):
+    def __init__(
+        self, uploader=None, client_factory=None, stack: str = "pypdfocr",
+        sleep=None,
+    ):
         self._uploader = uploader
         self._client_factory = client_factory
         self._stack = stack
+        self._sleep = sleep  # injected clock for retry tests; None → time.sleep
 
     def upload_rows(self, rows, client, notebook_guids: dict | None = None) -> int:
         """Upload loop over note rows (any iterable — consumed once, so a
         partition streams through in constant memory; bodies are never
         buffered). ``notebook_guids`` maps route → guid when notebooks
         were pre-created on the driver; otherwise check-or-create lazily
-        (single-process use only — see :meth:`write` for why)."""
+        (single-process use only — see :meth:`write` for why).
+
+        Every client call runs under :func:`evernote_retry` — the
+        reference wraps each API-touching filer method in ``en_handle``
+        (ref: pypdfocr_filer_evernote.py:39-80,210)."""
         n = 0
         notebooks: dict[str, dict] = {}
+        retry = lambda do: evernote_retry(  # noqa: E731 — bind factory/clock once
+            do, client, self._client_factory, sleep=self._sleep
+        )
         for r in rows:
             nb_name = r["notebook"]
             if notebook_guids is not None:
                 guid = notebook_guids[nb_name]
             else:
                 if nb_name not in notebooks:
-                    notebooks[nb_name] = check_and_make_notebook(
-                        client, nb_name, self._stack
+                    notebooks[nb_name] = retry(
+                        lambda c: check_and_make_notebook(c, nb_name, self._stack)
                     )
                 guid = notebooks[nb_name].get("guid", nb_name)
             note = build_note(guid, r["note_title"], (r["body"] or b""))
-            client.create_note(note)
+            retry(lambda c: c.create_note(note))
             n += 1
         return n
 
@@ -214,9 +269,10 @@ class EvernoteSink(RouteSink):
             routes = [r["notebook"] for r in rows.select("notebook").distinct().collect()]
             driver_client = self._client_factory()
             guids = {
-                name: check_and_make_notebook(driver_client, name, self._stack).get(
-                    "guid", name
-                )
+                name: evernote_retry(
+                    lambda c, _n=name: check_and_make_notebook(c, _n, self._stack),
+                    driver_client, self._client_factory, sleep=self._sleep,
+                ).get("guid", name)
                 for name in routes
             }
             factory, sink = self._client_factory, self

@@ -60,6 +60,23 @@ def test_ngram_jaccard_flags_near_dup(spark):
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 
+def test_ngram_jaccard_hot_set_not_force_broadcast(spark):
+    """VERDICT r2 #4: the max_df anti-join must carry NO broadcast hint —
+    at 100 TB the ubiquitous-shingle set is millions of rows and a forced
+    F.broadcast OOMs the driver. AQE may still *choose* a broadcast at
+    small scale (fine); what must be absent is the hint in the plan."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} common common w{i + 1}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, k=2, threshold=0.1, max_df=3)
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "BROADCAST" not in analyzed
+    # semantics unchanged: ubiquitous 'common common' shingle pruned, so
+    # unrelated docs do not pair through it
+    got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
+    assert (0, 3) not in got and (1, 4) not in got
+
+
 def test_lsh_pairs_superset_sanity(spark):
     # identical docs must share all bands
     df = spark.createDataFrame(
@@ -275,6 +292,76 @@ def test_ivf_topk_recall_and_shape(spark, emb):
     idx = similarity.ivf_index(emb, n_centroids=16)
     assert idx.count() == emb.count()
     assert idx.select("id").distinct().count() == emb.count()
+
+
+def _clustered_embeddings(spark, n_cent=8, per_cluster=24, dim=10, n_clusters=4):
+    """Adversarial fixture for first-N centroid selection: ids 0..n_cent-1
+    live purely in span(d0, d1) — a subspace NO cluster touches — so the
+    first-N centroids are blind to the cluster structure, and each
+    point's cell assignment is decided by its tiny per-id (d0, d1) noise:
+    pseudo-random, scattering every cluster's neighbors across cells.
+    Deterministic, unit vectors."""
+    import math
+
+    rows = []
+    for i in range(n_cent):
+        th = 2 * math.pi * i / n_cent
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(th), math.sin(th)
+        rows.append((i, [float(x) for x in v]))
+    nid = n_cent
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = [0.0] * dim
+            v[2 + 2 * c] = 1.0
+            for d in range(2, dim):  # in-cluster jitter, cluster dims only
+                v[d] += (((nid * 31 + d * 17) % 13) - 6) * 0.08 / 6
+            # per-point noise in (d0, d1) — all first-N centroids can see
+            v[0] = (((nid * 53) % 17) - 8) * 0.05 / 8
+            v[1] = (((nid * 97) % 19) - 9) * 0.05 / 9
+            nrm = sum(x * x for x in v) ** 0.5
+            rows.append((nid, [float(x / nrm) for x in v]))
+            nid += 1
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_ivf_kmeans_recall_on_clustered_distribution(spark):
+    """VERDICT r2 #5: first-N centroids break on a clustered distribution
+    whose mass is far from ids 0..7 (the init vectors span a subspace
+    orthogonal to every cluster), and the deterministic Lloyd refinement
+    fixes it: recall ≥ 0.9 at n_centroids=8 / n_probe=2, where first-N
+    scatters each cluster's neighbors pseudo-randomly across cells."""
+    emb = _clustered_embeddings(spark)
+    # one query per cluster (ids 8..31, 32..55, 56..79, 80..103)
+    qids = [12, 40, 60, 90]
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.brute_force_topk(emb, qids, k=5).collect()}
+
+    firstn = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.ivf_topk(
+                  emb, qids, k=5, n_centroids=8, n_probe=2).collect()}
+    recall_firstn = len(bf & firstn) / len(bf)
+
+    kms = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ivf_topk(
+               emb, qids, k=5, n_centroids=8, n_probe=2,
+               centroid_strategy="kmeans").collect()}
+    recall_kmeans = len(bf & kms) / len(bf)
+
+    assert recall_kmeans >= 0.9, f"kmeans recall {recall_kmeans}"
+    # the documented failure mode is real, not hypothetical (numpy mock
+    # of the same data puts first-N at 0.50)
+    assert recall_firstn < 0.7, f"fixture not adversarial enough: {recall_firstn}"
+
+
+def test_kmeans_centroids_deterministic_and_unit(spark):
+    emb = _clustered_embeddings(spark)
+    c1 = similarity.kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    c2 = similarity.kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    assert [cid for cid, _ in c1] == list(range(8))
+    for (_, v1), (_, v2) in zip(c1, c2):
+        assert v1 == pytest.approx(v2, abs=1e-12)  # fixed init + iterations
+        assert sum(x * x for x in v1) == pytest.approx(1.0, abs=1e-9)
 
 
 def test_bucketed_join_has_no_exchange(spark, docs, tmp_path):

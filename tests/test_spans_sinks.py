@@ -200,3 +200,77 @@ def test_evernote_note_shape_and_upload(spark):
     assert res["mime"] == "application/pdf" and res["body"] == b"hello body"
     # one notebook per route, created once
     assert {nb["name"] for nb in client.created_nb} == {"spark_docs", "default"}
+
+
+# ------------------------------------------------- Evernote auth retry (K4)
+class _AuthError(Exception):
+    def __init__(self, code):
+        self.errorCode = code
+
+
+def test_evernote_retry_refresh_then_succeed():
+    """ref pypdfocr_filer_evernote.py:39-80: AUTH_EXPIRED → sleep 3,
+    reconnect, retry; success on a later attempt returns normally."""
+    sleeps, rebuilt = [], []
+    attempts = {"n": 0}
+
+    def do(client):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise _AuthError(9)  # EDAMErrorCode.AUTH_EXPIRED
+        return f"ok via {client}"
+
+    out = sinks.evernote_retry(
+        do, "c0", client_factory=lambda: rebuilt.append(1) or f"c{len(rebuilt)}",
+        sleep=sleeps.append,
+    )
+    assert out == "ok via c2"  # reconnected twice
+    assert sleeps == [3, 3] and len(rebuilt) == 2
+
+
+def test_evernote_retry_three_attempts_then_raise():
+    """VERDICT r2 #7 done-criterion: persistent auth error → exactly 3
+    attempts, then the error raises (never the reference's silent None)."""
+    calls, sleeps = [], []
+
+    def do(client):
+        calls.append(client)
+        raise _AuthError("AUTH_EXPIRED")
+
+    with pytest.raises(_AuthError):
+        sinks.evernote_retry(do, "c", sleep=sleeps.append)
+    assert len(calls) == 3 and len(sleeps) == 3
+
+
+def test_evernote_retry_non_auth_raises_immediately():
+    calls = []
+
+    def do(client):
+        calls.append(client)
+        raise _AuthError(6)  # LIMIT_REACHED — not retried by the reference
+
+    with pytest.raises(_AuthError):
+        sinks.evernote_retry(do, "c", sleep=lambda s: None)
+    assert len(calls) == 1
+
+
+def test_evernote_upload_rows_retries_create_note():
+    class FlakyClient(_FakeEvernoteClient):
+        def __init__(self):
+            super().__init__()
+            self.failures_left = 2
+
+        def create_note(self, note):
+            if self.failures_left > 0:
+                self.failures_left -= 1
+                raise _AuthError(9)
+            super().create_note(note)
+
+    client = FlakyClient()
+    sleeps = []
+    sink = sinks.EvernoteSink(client_factory=lambda: client, sleep=sleeps.append)
+    n = sink.upload_rows(
+        [{"notebook": "nb", "note_title": "t", "body": b"x"}], client
+    )
+    assert n == 1 and len(client.notes) == 1
+    assert sleeps == [3, 3]

@@ -500,3 +500,74 @@ def test_heavy_real_pdf_page_split_ocr_failure_statuses(monkeypatch, tmp_path):
     doc = pipeline._make_reassemble(cfg)(out)
     assert doc["status"].iloc[0] == "decode_error"
     assert doc["extracted_text"].iloc[0] == "" and int(doc["n_pages"].iloc[0]) == 0
+
+
+# ------------------------------------------- ImageMagick preprocess (T3)
+def test_convert_cmd_shape():
+    """ref pypdfocr_preprocess.py:65-95: the exact option chain, argv
+    form (no shell, no backslash-paren os.name special case)."""
+    cmd = subproc.build_convert_cmd("convert", "/t/p_1.jpg", "/t/p_1_preprocess.jpg")
+    assert cmd[0] == "convert" and cmd[1] == "/t/p_1.jpg"
+    assert cmd[-1] == "/t/p_1_preprocess.jpg"
+    assert "(" in cmd and ")" in cmd and "-respect-parenthesis" in cmd
+    joined = " ".join(cmd)
+    assert "-lat 15x15+5%" in joined
+    assert "-contrast-stretch 0" in joined
+    assert "-compose copy_opacity -composite" in joined
+    assert "-modulate 100,100" in joined and "-blur 1x1" in joined
+    assert "-adaptive-sharpen 0x2" in joined
+    assert "-morphology Thinning Rectangle:1x30+0+0" in joined
+    assert "-define morphology:compose=darken" in joined
+    # negate bracket around the thinning (white-on-black morphology)
+    ni = [i for i, a in enumerate(cmd) if a == "-negate"]
+    mi = cmd.index("-morphology")
+    assert any(i < mi for i in ni[1:]) and any(i > mi for i in ni)
+
+
+def test_preprocess_img_subprocess_success_and_graceful(monkeypatch, tmp_path):
+    img = tmp_path / "page_1.jpg"
+    img.write_bytes(b"img")
+
+    def fake_convert(cmd, **kw):
+        with open(cmd[-1], "wb") as f:
+            f.write(b"preprocessed")
+
+    monkeypatch.setattr(subproc.subprocess, "run", fake_convert)
+    out = subproc.preprocess_img_subprocess(str(img))
+    assert out.endswith("page_1_preprocess.jpg")
+    with open(out, "rb") as f:
+        assert f.read() == b"preprocessed"
+
+    # failure → return the input unchanged (ref :92-93)
+    def boom(cmd, **kw):
+        raise subprocess.CalledProcessError(1, cmd, output="", stderr="err")
+
+    monkeypatch.setattr(subproc.subprocess, "run", boom)
+    assert subproc.preprocess_img_subprocess(str(tmp_path / "p2.jpg")) == str(tmp_path / "p2.jpg")
+    # convert "succeeds" but writes nothing → also graceful
+    monkeypatch.setattr(subproc.subprocess, "run", lambda cmd, **kw: None)
+    assert subproc.preprocess_img_subprocess(str(tmp_path / "p3.jpg")) == str(tmp_path / "p3.jpg")
+
+
+def test_extract_doc_subprocess_with_preprocess(monkeypatch):
+    """Opt-in preprocess slots between gs and tesseract; its graceful
+    failure must not change the extraction result."""
+    _fake_ocr_stack(monkeypatch, [["hi"]])
+    seen = []
+
+    def fake_pre(img_path, binary="convert"):
+        seen.append(img_path)
+        return img_path  # graceful identity
+
+    monkeypatch.setattr(subproc, "preprocess_img_subprocess", fake_pre)
+    pages, status = subproc.extract_doc_subprocess(PDF, preprocess=True)
+    assert (pages, status) == (["hi"], "ok") and len(seen) == 1
+    pages2, _ = subproc.extract_doc_subprocess(PDF, preprocess=False)
+    assert pages2 == ["hi"] and len(seen) == 1  # not called when off
+
+
+def test_select_preprocess_strategy(monkeypatch):
+    monkeypatch.setattr(envcheck, "binary_available", lambda n: n == "convert")
+    assert envcheck.select_preprocess_strategy() == "subprocess"
+    monkeypatch.setattr(envcheck, "binary_available", lambda n: False)
+    assert envcheck.select_preprocess_strategy() == "builtin"
