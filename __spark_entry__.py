@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pypdfocr_spark import dedup, events, multimodal, pipeline, similarity, spans, textops
+from pypdfocr_spark import dedup, events, multimodal, pipeline, similarity, spans, textops, webops
 from pypdfocr_spark.config import ExtractConfig
 from pypdfocr_spark.corpus import HEAVY_REPEAT
 
@@ -435,6 +435,98 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- web-corpus ops
+def _dirty_url_col() -> F.Column:
+    """A deterministically 'dirtied' URL per doc — uppercase heads,
+    default ports, tracking params, fragments, trailing slashes — so the
+    canonicalizer has real work; mirrored 1:1 by DIRTY_URL_SQL."""
+    head = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 97).cast("string"), F.lit(".example")
+    )
+    head = F.when(F.col("doc_id") % 5 == 0, F.upper(head)).otherwise(head)
+    head = F.when(F.col("doc_id") % 7 == 0, F.concat(head, F.lit(":443"))).otherwise(head)
+    path = F.concat(
+        F.lit("/"), F.col("source"), F.lit("/"),
+        F.when(F.col("doc_id") % 20 == 7, F.lit("my doc spark ")).otherwise(F.lit("p")),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    path = F.when(F.col("doc_id") % 11 == 0, F.concat(path, F.lit("/"))).otherwise(path)
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=feed&fbclid=abc123"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?a=1&utm_medium=email&b=2"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("#section-2"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(head, path, suffix)
+
+
+DIRTY_URL_SQL = (
+    "(CASE WHEN doc_id % 5 = 0 THEN upper('https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example') "
+    " ELSE 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) || "
+    "'/' || source || '/' || (CASE WHEN doc_id % 20 = 7 THEN 'my doc spark ' ELSE 'p' END) || "
+    "CAST(doc_id AS VARCHAR) || '.html' || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&fbclid=abc123' "
+    " WHEN doc_id % 4 = 2 THEN '?a=1&utm_medium=email&b=2' "
+    " WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END)"
+)
+
+# the canonicalization algorithm of webops.canonicalize_url as a DuckDB
+# SELECT over (doc_id, url [, extra cols]) — one step per CTE
+CANON_SQL = """
+    WITH s1 AS (SELECT *, regexp_replace(url, '#.*$', '') AS u FROM __IN__),
+    s2 AS (SELECT *, lower(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*')) AS head0 FROM s1),
+    s3 AS (SELECT *,
+                  CASE WHEN starts_with(head0, 'http://') AND head0 LIKE '%:80'
+                            THEN substr(head0, 1, len(head0) - 3)
+                       WHEN starts_with(head0, 'https://') AND head0 LIKE '%:443'
+                            THEN substr(head0, 1, len(head0) - 4)
+                       ELSE head0 END AS head,
+                  substr(u, len(head0) + 1) AS tail
+           FROM s2),
+    s4 AS (SELECT *,
+                  replace(regexp_replace(tail, '\\?.*$', ''), ' ', '%20') AS path0,
+                  CASE WHEN contains(tail, '?')
+                       THEN regexp_replace(tail, '^[^?]*\\?', '') ELSE '' END AS q
+           FROM s3),
+    s5 AS (SELECT *,
+                  CASE WHEN path0 LIKE '%/' AND len(path0) > 1
+                       THEN substr(path0, 1, len(path0) - 1) ELSE path0 END AS path,
+                  list_filter(string_split(q, '&'),
+                              p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                                        OR starts_with(p, 'gclid=') OR p = '')) AS kept
+           FROM s4)
+    SELECT *, head || path ||
+           (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+           AS canon_url
+    FROM s5
+"""
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webops.canonicalize_url_df(
+        _docs(spark, sf_dir).select("doc_id", _dirty_url_col().alias("url"))
+    )
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = _docs(spark, sf_dir).select(
+        "n_chars",
+        webops.canonicalize_url(_dirty_url_col()).alias("canon_url"),
+    )
+    return webops.host_stats_df(canon)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webops.stratified_sample_df(_docs(spark, sf_dir))
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ratios are single int/int divisions — IEEE-identical on both
+    # engines, no rounding needed
+    return webops.repetition_stats_df(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -470,6 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "extract_spans_stats": _q_extract_spans_stats,
         "multimodal_features": _q_multimodal_features,
+        "url_canonicalize": _q_url_canonicalize,
+        "host_stats": _q_host_stats,
+        "stratified_sample": _q_stratified_sample,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -890,5 +986,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE NOT (url LIKE '%!_ocr.pdf' ESCAPE '!') AND NOT (url LIKE '%!_test.pdf' ESCAPE '!')
+        """,
+        "url_canonicalize": (
+            "SELECT doc_id, canon_url FROM ("
+            + CANON_SQL.replace(
+                "__IN__",
+                f"(SELECT doc_id, {DIRTY_URL_SQL} AS url FROM documents)",
+            )
+            + ")"
+        ),
+        "host_stats": (
+            "SELECT regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+            "count(*) AS n_docs, count(DISTINCT canon_url) AS n_urls, "
+            "sum(n_chars) AS total_chars FROM ("
+            + CANON_SQL.replace(
+                "__IN__",
+                f"(SELECT doc_id, n_chars, {DIRTY_URL_SQL} AS url FROM documents)",
+            )
+            + ") GROUP BY 1"
+        ),
+        "stratified_sample": """
+            -- fixed-width lowercase hex: string order == numeric order,
+            -- and md5 of the identical id string is identical on both
+            -- engines — deterministic, partition-independent sampling
+            SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'de' THEN '40000000' WHEN 'es' THEN '40000000'
+                            WHEN 'fr' THEN '40000000' WHEN 'zh' THEN '40000000'
+                            ELSE '20000000' END
+        """,
+        "repetition_stats": """
+            -- int/int divisions: IEEE-identical on both engines, no rounding
+            SELECT doc_id, len(l) AS n_tokens,
+                   CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS distinct_ratio,
+                   CAST(list_max(list_transform(list_distinct(l),
+                            d -> len(list_filter(l, x -> x = d)))) AS DOUBLE) / len(l)
+                       AS top_token_frac
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
         """,
     }

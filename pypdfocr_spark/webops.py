@@ -1,0 +1,166 @@
+"""Web-corpus operators a Common-Crawl-scale training-data pipeline needs
+beyond the reference's own surface (BASELINE.json north_rule: the input is
+an Iceberg table of web pages): URL canonicalization, per-host rollups,
+deterministic stratified sampling, and Gopher-style repetition statistics.
+
+Everything is built-in expressions (whole-stage codegen, zero Python, zero
+UDFs) and every formula is mirrored 1:1 by DuckDB oracle SQL in
+``__spark_entry__`` — regexes are RE2-safe (no lookarounds, no
+backreferences) so the IDENTICAL pattern string runs on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe building blocks shared with the oracle SQL
+FRAGMENT_RE = "#.*$"
+HEAD_RE = "^[a-zA-Z]+://[^/?#]*"  # scheme://host[:port]
+QUERY_RE = "\\?.*$"
+HOST_RE = "^[a-z]+://([^/:?#]+)"
+
+# query parameters dropped by canonicalization (click-tracking noise that
+# fragments URL-level dedup at crawl scale)
+TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL, step by step:
+
+    1. strip the fragment (``#...``);
+    2. lowercase the scheme://host[:port] head (RFC 3986: scheme and host
+       are case-insensitive; the path is NOT touched);
+    3. drop default ports (``:80`` for http, ``:443`` for https);
+    4. drop tracking query params (utm_*, fbclid, gclid), and the ``?``
+       itself when nothing survives;
+    5. percent-encode spaces in the path;
+    6. strip a trailing slash from a non-root path.
+
+    Pure expressions; the same algorithm is spelled in SQL by
+    ``oracle_sql()['url_canonicalize']``.
+    """
+    u = F.regexp_replace(url, FRAGMENT_RE, "")
+    head = F.lower(F.regexp_extract(u, HEAD_RE, 0))
+    tail = F.substring(u, F.length(head) + 1, F.length(u))
+    # default ports — endswith+trim instead of a regex backreference
+    # (Spark spells backrefs $1, DuckDB \\1; avoid the divergence)
+    head = (
+        F.when(
+            head.startswith("http://") & head.endswith(":80"),
+            F.substring(head, F.lit(1), F.length(head) - 3),
+        )
+        .when(
+            head.startswith("https://") & head.endswith(":443"),
+            F.substring(head, F.lit(1), F.length(head) - 4),
+        )
+        .otherwise(head)
+    )
+    path = F.regexp_replace(tail, QUERY_RE, "")
+    query = F.when(tail.contains("?"), F.regexp_replace(tail, "^[^?]*\\?", "")).otherwise(
+        F.lit("")
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~(
+            p.startswith(TRACKING_PREFIXES[0])
+            | p.startswith(TRACKING_PREFIXES[1])
+            | p.startswith(TRACKING_PREFIXES[2])
+            | (p == "")
+        ),
+    )
+    query_out = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    path = F.replace(path, F.lit(" "), F.lit("%20"))
+    path = F.when(
+        path.endswith("/") & (F.length(path) > 1),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    return F.concat(head, path, query_out)
+
+
+def canonicalize_url_df(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), canonicalize_url(F.col(url_col)).alias("canon_url")
+    )
+
+
+def host_of(canon_url: Column) -> Column:
+    return F.regexp_extract(canon_url, HOST_RE, 1)
+
+
+def host_stats_df(
+    df: DataFrame, url_col: str = "canon_url", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Per-host rollup (doc count, distinct canonical URLs, total chars) —
+    the numbers behind per-domain caps and crawl-politeness budgeting.
+    One map-side-combinable hash aggregation; at 10^12 rows the host key
+    is low-cardinality relative to docs, so partial aggregation collapses
+    almost everything before the shuffle."""
+    return (
+        df.select(host_of(F.col(url_col)).alias("host"), F.col(url_col), F.col(chars_col))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(url_col).alias("n_urls"),
+            F.sum(chars_col).alias("total_chars"),
+        )
+    )
+
+
+# Per-language sample-keep thresholds, compared lexicographically against
+# the first 8 hex digits of md5(doc_id) — fixed-width lowercase hex, so
+# string order == numeric order, and both engines compute the identical
+# digest of the identical string. '80000000' keeps ~1/2, '40000000' ~1/4.
+SAMPLE_THRESHOLDS: dict[str, str] = {
+    "en": "80000000",
+    "de": "40000000",
+    "es": "40000000",
+    "fr": "40000000",
+    "zh": "40000000",
+}
+DEFAULT_THRESHOLD = "20000000"  # ~1/8 for any unlisted language
+
+
+def stratified_sample_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    thresholds: dict[str, str] | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the md5 prefix
+    of its id clears the stratum's threshold. No RNG, no seed plumbing —
+    the same row set falls out on any cluster, any partitioning, any
+    retry (resume-safe by construction, unlike ``df.sample`` whose
+    output changes with the split layout)."""
+    thresholds = thresholds or SAMPLE_THRESHOLDS
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thr = F.lit(DEFAULT_THRESHOLD)
+    for lang in sorted(thresholds):
+        thr = F.when(F.col(strat_col) == lang, F.lit(thresholds[lang])).otherwise(thr)
+    return df.where(h < thr).select(F.col(id_col), F.col(strat_col), h.alias("sample_key"))
+
+
+def repetition_stats_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio
+    and the most-frequent token's share. Expression-only and per-row
+    (O(distinct × tokens) inside codegen) — ZERO shuffle, versus the
+    explode→groupBy spelling that would shuffle every token of a 100-TB
+    corpus to count within-document duplicates."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (F.size(uniq).cast("double") / n).alias("distinct_ratio"),
+        (top.cast("double") / n).alias("top_token_frac"),
+    )

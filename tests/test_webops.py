@@ -1,0 +1,82 @@
+"""Web-corpus ops (webops.py): URL canonicalization, host rollup,
+deterministic stratified sampling, repetition stats."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypdfocr_spark import webops
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "doc_id INT, url STRING")
+    rows = webops.canonicalize_url_df(df).orderBy("doc_id").collect()
+    return [r["canon_url"] for r in rows]
+
+
+def test_canonicalize_url_rules(spark):
+    got = _canon(spark, [
+        "HTTPS://Example.COM/Path/Doc.html#frag",        # case + fragment
+        "https://example.com:443/a",                     # default port
+        "http://example.com:80/a",                       # default port (http)
+        "http://example.com:8080/a",                     # NON-default port kept
+        "https://example.com/p?utm_source=x&fbclid=1",   # all-tracking query
+        "https://example.com/p?a=1&utm_medium=m&b=2",    # mixed query
+        "https://example.com/dir/",                      # trailing slash
+        "https://example.com/",                          # root slash KEPT
+        "https://example.com/my doc.pdf",                # space
+    ])
+    assert got == [
+        "https://example.com/Path/Doc.html",
+        "https://example.com/a",
+        "http://example.com/a",
+        "http://example.com:8080/a",
+        "https://example.com/p",
+        "https://example.com/p?a=1&b=2",
+        "https://example.com/dir",
+        "https://example.com/",
+        "https://example.com/my%20doc.pdf",
+    ]
+
+
+def test_host_stats_rollup(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/x", 10), ("https://a.com/y", 20), ("https://a.com/x", 5),
+         ("https://b.org/z", 7)],
+        "canon_url STRING, n_chars INT",
+    )
+    rows = {r["host"]: r for r in webops.host_stats_df(df).collect()}
+    assert rows["a.com"]["n_docs"] == 3 and rows["a.com"]["n_urls"] == 2
+    assert rows["a.com"]["total_chars"] == 35 and rows["b.org"]["n_docs"] == 1
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(400)], "doc_id INT, lang STRING"
+    )
+    a = {r["doc_id"] for r in webops.stratified_sample_df(df).collect()}
+    b = {r["doc_id"] for r in webops.stratified_sample_df(df.repartition(7)).collect()}
+    assert a == b  # partition-layout independent (resume-safe)
+    en = sum(1 for i in a if i % 2 == 0) / 200
+    zh = sum(1 for i in a if i % 2 == 1) / 200
+    assert en == pytest.approx(0.5, abs=0.15)   # '80000000' ≈ 1/2
+    assert zh == pytest.approx(0.25, abs=0.12)  # '40000000' ≈ 1/4
+
+
+def test_repetition_stats_values_and_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w")], "doc_id INT, text STRING"
+    )
+    out = webops.repetition_stats_df(df)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["distinct_ratio"] == pytest.approx(2 / 5)
+    assert rows[1]["top_token_frac"] == pytest.approx(3 / 5)
+    assert rows[2]["distinct_ratio"] == 1.0 and rows[2]["top_token_frac"] == pytest.approx(1 / 4)
+    # the 100-TB claim: expression-only, ZERO shuffle in the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
