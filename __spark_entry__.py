@@ -527,6 +527,31 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webops.repetition_stats_df(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stand-in eval set: every 50th doc; the corpus is everything else
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(corpus, bench, k=2, min_overlap=3)
+
+
+def _q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic corpus is PII-free — inject deterministic emails /
+    # IPs / phones first (same trick as normalize_ascii's é injection),
+    # mirrored by the oracle's SQL CASE chain
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(" contact alice.smith@example.org now"))
+        .when(F.col("doc_id") % 6 == 1, F.lit(" server at 192.168.1.77 port"))
+        .when(F.col("doc_id") % 6 == 2, F.lit(" call +1 555-123-4567 today"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 15 == 0, F.lit(" cc bob@test.io")).otherwise(F.lit("")),
+    )
+    return textops.pii_df(
+        _docs(spark, sf_dir).select("doc_id", dirty.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -566,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
+        "pii_counts": _q_pii,
     }
 
 
@@ -1025,5 +1052,37 @@ def oracle_sql() -> dict[str, str]:
                             d -> len(list_filter(l, x -> x = d)))) AS DOUBLE) / len(l)
                        AS top_token_frac
             FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        """,
+        "decontaminate": f"""
+            WITH bench AS (
+                SELECT DISTINCT unnest({shingle2}) AS shingle
+                FROM documents WHERE doc_id % 50 = 0
+            ),
+            sh AS (
+                SELECT doc_id, unnest({shingle2}) AS shingle
+                FROM documents WHERE doc_id % 50 <> 0
+            )
+            SELECT s.doc_id, CAST(count(b.shingle) AS BIGINT) AS n_overlap,
+                   count(b.shingle) >= 3 AS contaminated
+            FROM sh s LEFT JOIN bench b USING (shingle)
+            GROUP BY s.doc_id
+        """,
+        "pii_counts": f"""
+            WITH dirty AS (
+                SELECT doc_id, text ||
+                    (CASE WHEN doc_id % 6 = 0 THEN ' contact alice.smith@example.org now'
+                          WHEN doc_id % 6 = 1 THEN ' server at 192.168.1.77 port'
+                          WHEN doc_id % 6 = 2 THEN ' call +1 555-123-4567 today'
+                          ELSE '' END) ||
+                    (CASE WHEN doc_id % 15 = 0 THEN ' cc bob@test.io' ELSE '' END)
+                    AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{textops.EMAIL_RE}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{textops.IPV4_RE}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{textops.PHONE_RE}')) AS INT) AS n_phones,
+                   md5(regexp_replace(text, '{textops.EMAIL_RE}', '[EMAIL]', 'g')) AS scrubbed_md5
+            FROM dirty
         """,
     }

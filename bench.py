@@ -54,6 +54,8 @@ HEADLINE_QUERIES = [
     "host_stats",
     "stratified_sample",
     "repetition_stats",
+    "decontaminate",
+    "pii_counts",
 ]
 
 

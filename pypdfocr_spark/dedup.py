@@ -64,6 +64,46 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+# ------------------------------------------------------- decontamination
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct token k-gram shingles appear in ``benchmark`` (a table with
+    the same text column — the eval set), and a contaminated flag at
+    ``min_overlap``. The standard pre-training hygiene step: documents
+    leaking eval n-grams are dropped or flagged before training.
+
+    Plan shape: the benchmark shingle set is distinct-ed and broadcast —
+    legitimately, unlike the hot-shingle set in ngram_jaccard_pairs: an
+    eval suite is bounded by construction (MBs, not corpus-scale), so
+    the broadcast is the co-location that turns this into one map-side
+    pass + a combinable count per doc. Docs with zero overlap are kept
+    (left join) so the output covers the full corpus.
+    """
+    bench_sh = (
+        with_shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = with_shingles(df, id_col, text_col, k)
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "shingle", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
+    )
+    return hits.select(
+        F.col(id_col),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -86,6 +86,30 @@ def quality_score_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+# PII patterns — RE2-safe (no lookarounds/backrefs) so the IDENTICAL
+# strings run in Spark (Java regex) and DuckDB (RE2). Non-overlapping
+# left-to-right matching is the same on both engines.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PHONE_RE = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def pii_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII signals per document: email / IPv4 / international-phone match
+    counts plus the md5 of the email-scrubbed text (emails replaced by
+    the ``[EMAIL]`` sentinel) — the scrub a training pipeline applies
+    before tokenization, hash-verifiable without shipping the text.
+    All JVM expressions (regexp_count / regexp_replace)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(F.regexp_replace(t, EMAIL_RE, "[EMAIL]")).alias("scrubbed_md5"),
+    )
+
+
 def fingerprint_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-insensitive bag fingerprint: md5 of the space-joined sorted
     distinct token set (kernels.textstats.bag_fingerprint)."""

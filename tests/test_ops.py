@@ -390,3 +390,39 @@ def test_bucketed_join_has_no_exchange(spark, docs, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
+def test_decontaminate_flags_leaked_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over everything else here"),  # heavy leak
+            (2, "totally unrelated text about spark engines"),
+            (3, "one quick brown mention only"),  # 1 shared bigram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.decontaminate(corpus, bench, k=2, min_overlap=3).collect()}
+    assert len(rows) == 3  # zero-overlap docs are kept (left join)
+    assert rows[1]["contaminated"] and rows[1]["n_overlap"] >= 3
+    assert rows[2]["n_overlap"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["n_overlap"] == 1 and not rows[3]["contaminated"]
+
+
+def test_pii_counts_and_scrub(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io and c.d@e.org, host 10.0.0.1, call +44 20 7946 0958"),
+         (2, "clean text with no identifiers at all")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in textops.pii_df(df).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_ipv4"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[2]["n_emails"] == rows[2]["n_ipv4"] == rows[2]["n_phones"] == 0
+    # scrub replaces emails only; hash differs from the raw text's
+    import hashlib
+    raw = "mail a@b.io and c.d@e.org, host 10.0.0.1, call +44 20 7946 0958"
+    scrubbed = "mail [EMAIL] and [EMAIL], host 10.0.0.1, call +44 20 7946 0958"
+    assert rows[1]["scrubbed_md5"] == hashlib.md5(scrubbed.encode()).hexdigest()
+    assert rows[2]["scrubbed_md5"] == hashlib.md5(b"clean text with no identifiers at all").hexdigest()
