@@ -552,6 +552,55 @@ def _q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the driver corpus is single-line; inject crawl boilerplate lines
+    # deterministically (mirrored by the oracle's CASE chain) so the
+    # cross-document line counts have something to find
+    nl = F.lit("\n")
+    dirty = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("Subscribe to our newsletter"), nl,
+                F.col("text"), nl,
+                F.lit("Copyright 2024 Example Corp"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("Cookie notice: we use cookies"), nl, F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return dedup.line_dedup(
+        _docs(spark, sf_dir).select("doc_id", dirty.alias("text")), min_docs=2
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-time lookup: each click joined to the user's latest
+    # purchase at-or-before the click (LEFT: clicks before any purchase
+    # keep nulls). Oracle is DuckDB's native ASOF LEFT JOIN — an
+    # independent formulation of the same semantics.
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return events.asof_join(clicks, purchases, right_cols=("value",))
+
+
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inject symbol/non-alpha junk into every 7th doc (mirrored by the
+    # oracle) so each rule has both passing and failing documents;
+    # min_tokens=30 splits the 10..99-token driver corpus ~20/80
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" #### ... 12 9")).otherwise(F.lit("")),
+    )
+    return textops.gopher_filter_df(
+        _docs(spark, sf_dir).select("doc_id", dirty.alias("text")), min_tokens=30
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -593,6 +642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "pii_counts": _q_pii,
+        "line_dedup": _q_line_dedup,
+        "gopher_filter": _q_gopher_filter,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -1084,5 +1136,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{textops.PHONE_RE}')) AS INT) AS n_phones,
                    md5(regexp_replace(text, '{textops.EMAIL_RE}', '[EMAIL]', 'g')) AS scrubbed_md5
             FROM dirty
+        """,
+        "line_dedup": """
+            WITH dirty AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0 THEN
+                             'Subscribe to our newsletter' || chr(10) || text
+                             || chr(10) || 'Copyright 2024 Example Corp'
+                         WHEN doc_id % 3 = 1 THEN
+                             'Cookie notice: we use cookies' || chr(10) || text
+                         ELSE text END AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       unnest(generate_series(1, len(ls))) AS pos
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dirty)
+            ),
+            dup AS (
+                SELECT line FROM lines
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM lines
+                WHERE line NOT IN (SELECT line FROM dup)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   CAST(coalesce(k.n_kept, 0) AS INT) AS n_lines_kept,
+                   CAST(len(string_split(d.text, chr(10))) - coalesce(k.n_kept, 0) AS INT)
+                       AS n_lines_removed
+            FROM dirty d LEFT JOIN kept k USING (doc_id)
+        """,
+        "gopher_filter": f"""
+            WITH dirty AS (
+                SELECT doc_id,
+                       text || (CASE WHEN doc_id % 7 = 0 THEN ' #### ... 12 9'
+                                     ELSE '' END) AS text
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n,
+                       list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+                           / len(string_split(text, ' ')) AS mean_token_len,
+                       len(list_filter(string_split(text, ' '),
+                                       t -> regexp_matches(t, '[A-Za-z]')))
+                           / len(string_split(text, ' ')) AS alpha_frac,
+                       len(regexp_extract_all(text, '{textops.SYMBOL_RE}'))
+                           / len(string_split(text, ' ')) AS symbol_ratio
+                FROM dirty
+            )
+            SELECT doc_id,
+                   CAST(n AS INT) AS n_tokens,
+                   mean_token_len,
+                   alpha_frac,
+                   symbol_ratio,
+                   n >= 30 AND n <= 100000 AS ok_n_tokens,
+                   mean_token_len >= 3.0 AND mean_token_len <= 10.0 AS ok_mean_len,
+                   alpha_frac >= 0.8 AS ok_alpha,
+                   symbol_ratio <= 0.1 AS ok_symbol,
+                   (n >= 30 AND n <= 100000)
+                       AND (mean_token_len >= 3.0 AND mean_token_len <= 10.0)
+                       AND alpha_frac >= 0.8
+                       AND symbol_ratio <= 0.1 AS keep
+            FROM feat
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS matched_ts, r.value AS matched_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
     }

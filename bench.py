@@ -56,6 +56,9 @@ HEADLINE_QUERIES = [
     "repetition_stats",
     "decontaminate",
     "pii_counts",
+    "line_dedup",
+    "gopher_filter",
+    "asof_join",
 ]
 
 

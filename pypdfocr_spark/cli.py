@@ -73,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--watch", help="streaming: watch this dir for corpus files")
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="bench mode: run the extract+commit cycle N times (first is a "
+        "JVM/JIT warm-up) into out/r0..r{N-1}, print per-run wall times — "
+        "steady-state throughput, the regime a 10^12-doc job runs in",
+    )
     args = p.parse_args(argv)
 
     if bool(args.watch) == bool(args.sf_dir or args.corpus):
@@ -97,6 +105,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.resume:
         corpus_df = lineage.resume_filter(corpus_df, args.out)
+    if args.repeat > 1:
+        runs_sec = []
+        for i in range(args.repeat):
+            t0 = time.monotonic()
+            result = pipeline.extract(corpus_df, cfg)
+            lineage.commit(result, f"{args.out}/r{i}")
+            runs_sec.append(round(time.monotonic() - t0, 2))
+        print(json.dumps({"runs_sec": runs_sec, "n_warmup": 1}))
+        return 0
     t0 = time.monotonic()
     result = pipeline.extract(corpus_df, cfg)
     stats = lineage.commit(result, args.out)

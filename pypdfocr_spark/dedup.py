@@ -104,6 +104,62 @@ def decontaminate(
     )
 
 
+# ---------------------------------------------------------- line-level dedup
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style line-level deduplication: drop every line that occurs
+    in ``min_docs`` or more *distinct* documents (boilerplate — cookie
+    banners, nav footers, subscribe prompts — repeats across a crawl;
+    body text does not), reassemble each document from its surviving
+    lines in original order. Output covers the full corpus: docs whose
+    every line was boilerplate come back with ``clean_text=''``.
+
+    Plan shape: posexplode → one map-side-combinable
+    (line → count_distinct(doc)) agg → left_anti join back → per-doc
+    collect_list + array_sort reassembly. Two shuffles on the line key,
+    both partial-aggregated; the join key here is the raw line string so
+    the DuckDB oracle is exact — at 100 TB you'd key both the agg and
+    the anti-join on ``xxhash64(line)`` instead (shuffles 8-byte keys,
+    tolerates the ~dozens of birthday collisions a 10^12-line corpus
+    implies for a hygiene op).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept_agg = (
+        lines.join(dup, "line", "left_anti")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("kl"))
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform("kl", lambda x: x["line"]), "\n").alias("clean_text"),
+            F.size("kl").alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_total")
+    )
+    return totals.join(kept_agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_lines_kept"),
+        (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_lines_removed"),
+    )
+
+
 # ---------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -110,6 +110,53 @@ def pii_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
+# symbol marks the Gopher rules count against words: hash signs and
+# ellipses (both the three-dot and the single-char form). RE2-safe.
+SYMBOL_RE = "#|\\.\\.\\.|…"
+
+
+def gopher_filter_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021 §A1.1.2,
+    public report): keep a document only if its token count, mean token
+    length, alphabetic-word fraction, and symbol-to-word ratio all sit
+    inside the configured bounds. Emits one boolean per rule plus the
+    conjunction, so a pipeline can both filter and report per-rule drop
+    rates. Pure JVM expressions — no UDFs, fully codegen'd; the agg a
+    100-TB filter stage needs is a map-only pass.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    symbol_ratio = F.regexp_count(F.col(text_col), F.lit(SYMBOL_RE)) / n
+    ok_len = (n >= min_tokens) & (n <= max_tokens)
+    ok_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_symbol = symbol_ratio <= max_symbol_ratio
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        ok_len.alias("ok_n_tokens"),
+        ok_mean.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbol.alias("ok_symbol"),
+        (ok_len & ok_mean & ok_alpha & ok_symbol).alias("keep"),
+    )
+
+
 def fingerprint_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-insensitive bag fingerprint: md5 of the space-joined sorted
     distinct token set (kernels.textstats.bag_fingerprint)."""

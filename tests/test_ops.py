@@ -426,3 +426,74 @@ def test_pii_counts_and_scrub(spark):
     scrubbed = "mail [EMAIL] and [EMAIL], host 10.0.0.1, call +44 20 7946 0958"
     assert rows[1]["scrubbed_md5"] == hashlib.md5(scrubbed.encode()).hexdigest()
     assert rows[2]["scrubbed_md5"] == hashlib.md5(b"clean text with no identifiers at all").hexdigest()
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    boiler = "Subscribe now"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique body one\nmore body one"),
+            (2, f"{boiler}\nunique body two"),
+            (3, boiler),  # all lines boilerplate -> empty doc, still present
+            (4, "fully unique document"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.line_dedup(df, min_docs=2).collect()}
+    assert len(rows) == 4
+    # order of surviving lines preserved
+    assert rows[1]["clean_text"] == "unique body one\nmore body one"
+    assert rows[1]["n_lines_kept"] == 2 and rows[1]["n_lines_removed"] == 1
+    assert rows[2]["clean_text"] == "unique body two"
+    assert rows[3]["clean_text"] == "" and rows[3]["n_lines_kept"] == 0
+    assert rows[3]["n_lines_removed"] == 1
+    assert rows[4]["clean_text"] == "fully unique document"
+    assert rows[4]["n_lines_removed"] == 0
+
+
+def test_gopher_filter_rules_and_plan(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a solid document " * 10 + "ends here"),      # keep
+            (2, "too short"),                                   # fails n_tokens
+            (3, "## ## ## " * 12 + "symbol heavy text body"),  # fails symbol+alpha
+            (4, "zz " * 40),                                    # fails mean_len (<3)
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.gopher_filter_df(df, min_tokens=20)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["keep"]
+    assert not rows[2]["ok_n_tokens"] and not rows[2]["keep"]
+    assert not rows[3]["ok_symbol"] and not rows[3]["ok_alpha"] and not rows[3]["keep"]
+    assert not rows[4]["ok_mean_len"] and not rows[4]["keep"]
+    # map-only filter stage: no shuffle anywhere in the plan
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
+
+
+def test_asof_join_point_in_time(spark):
+    import datetime as dt
+
+    from pypdfocr_spark import events as ev
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    clicks = spark.createDataFrame(
+        [
+            (1, 100, t(5)),   # after purchases at 1 and 3 -> matches 3
+            (2, 100, t(3)),   # equal ts -> inclusive match at 3
+            (3, 100, t(0)),   # before any purchase -> null
+            (4, 200, t(9)),   # user with no purchases -> null
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    purchases = spark.createDataFrame(
+        [(100, t(1), 10.0), (100, t(3), 30.0), (300, t(2), 99.0)],
+        ["user_id", "ts", "value"],
+    )
+    rows = {r["event_id"]: r for r in ev.asof_join(clicks, purchases).collect()}
+    assert len(rows) == 4  # LEFT: every click kept
+    assert rows[1]["matched_value"] == 30.0 and rows[1]["matched_ts"] == t(3)
+    assert rows[2]["matched_value"] == 30.0  # >= is inclusive
+    assert rows[3]["matched_value"] is None and rows[3]["matched_ts"] is None
+    assert rows[4]["matched_value"] is None
