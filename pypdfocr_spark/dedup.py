@@ -119,13 +119,17 @@ def line_dedup(
     every line was boilerplate come back with ``clean_text=''``.
 
     Plan shape: posexplode → one map-side-combinable
-    (line → count_distinct(doc)) agg → left_anti join back → per-doc
-    collect_list + array_sort reassembly. Two shuffles on the line key,
-    both partial-aggregated; the join key here is the raw line string so
-    the DuckDB oracle is exact — at 100 TB you'd key both the agg and
-    the anti-join on ``xxhash64(line)`` instead (shuffles 8-byte keys,
-    tolerates the ~dozens of birthday collisions a 10^12-line corpus
-    implies for a hygiene op).
+    (line → count_distinct(doc)) agg → mark duplicated lines with a LEFT
+    join back → ONE per-doc aggregation that both filters (collect_list
+    skips the nulled dup structs) and counts totals — so the corpus is
+    scanned twice (the line-count side and the reassembly side), never a
+    third time for totals, and no final doc-level outer join is needed
+    (all-boilerplate docs survive the groupBy with an empty kept list).
+    The join key here is the raw line string so the DuckDB oracle is
+    exact — at 100 TB you'd key both the agg and the join on
+    ``xxhash64(line)`` instead (shuffles 8-byte keys, tolerates the
+    ~dozens of birthday collisions a 10^12-line corpus implies for a
+    hygiene op).
     """
     lines = df.select(
         F.col(id_col),
@@ -135,28 +139,23 @@ def line_dedup(
         lines.groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("line")
+        .select("line", F.lit(True).alias("_dup"))
     )
-    kept_agg = (
-        lines.join(dup, "line", "left_anti")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("kl"))
+    marked = lines.join(dup, "line", "left")
+    # when() without otherwise -> null for dup lines; collect_list drops nulls
+    kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(kept_struct)).alias("kl"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
         .select(
             F.col(id_col),
             F.array_join(F.transform("kl", lambda x: x["line"]), "\n").alias("clean_text"),
-            F.size("kl").alias("n_kept"),
+            F.size("kl").cast("int").alias("n_lines_kept"),
+            (F.col("n_total") - F.size("kl")).cast("int").alias("n_lines_removed"),
         )
-    )
-    totals = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_total")
-    )
-    return totals.join(kept_agg, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_lines_kept"),
-        (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("int")
-        .alias("n_lines_removed"),
     )
 
 

@@ -497,3 +497,25 @@ def test_asof_join_point_in_time(spark):
     assert rows[2]["matched_value"] == 30.0  # >= is inclusive
     assert rows[3]["matched_value"] is None and rows[3]["matched_ts"] is None
     assert rows[4]["matched_value"] is None
+
+
+def test_asof_join_single_shuffle(spark):
+    from pypdfocr_spark import events as ev
+
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 10).alias("user_id"),
+        (F.col("id") * 2).cast("timestamp").alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    out = ev.asof_join(left, right)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    # exactly one hash exchange on the key in the plan tree — the
+    # sort-merge as-of minimum (detail section repeats nodes, so count
+    # only the tree block)
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
