@@ -577,6 +577,32 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cents pattern (exact integer sums) + epoch-integer window keys,
+    # both TZ-proof — see _q_tumbling_events
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return events.sliding_counts(
+        ev, value_col="value_cents", window_seconds=3600, slide_seconds=900
+    )
+
+
+def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inject trivial variants (case, trailing punctuation, doubled
+    # spaces) that raw-md5 dedup can't merge; mirrored by the oracle
+    dirty = (
+        F.when(F.col("doc_id") % 4 == 0, F.upper(F.col("text")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit("!!")))
+        .when(F.col("doc_id") % 4 == 2, F.regexp_replace(F.col("text"), " ", "  "))
+        .otherwise(F.col("text"))
+    )
+    return dedup.normalized_exact_dedup(
+        _docs(spark, sf_dir).select("doc_id", dirty.alias("text"))
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time lookup: each click joined to the user's latest
     # purchase at-or-before the click (LEFT: clicks before any purchase
@@ -645,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "gopher_filter": _q_gopher_filter,
         "asof_join": _q_asof_join,
+        "sliding_events": _q_sliding_events,
+        "normalized_dedup": _q_normalized_dedup,
     }
 
 
@@ -1214,5 +1242,51 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sliding_events": """
+            -- hopping windows via slide-index explode; same TZ-armored
+            -- floor-mod epoch arithmetic as tumbling_events (W=3600 s,
+            -- S=900 s; membership [start, start+W), k in
+            -- (floor((t-W)/S), floor(t/S)])
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events
+            ),
+            ex AS (
+                SELECT event_type, value_cents,
+                       unnest(generate_series(
+                           CAST(((us - 3600000000)
+                                 - (((us - 3600000000) % 900000000) + 900000000) % 900000000)
+                                / 900000000 AS BIGINT) + 1,
+                           CAST((us - ((us % 900000000) + 900000000) % 900000000)
+                                / 900000000 AS BIGINT)
+                       )) AS k
+                FROM ev
+            )
+            SELECT CAST(k * 900 AS BIGINT) AS window_start, event_type,
+                   count(*) AS n_events, sum(value_cents) AS sum_value_cents
+            FROM ex GROUP BY 1, 2
+        """,
+        "normalized_dedup": """
+            WITH dirty AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 4 = 0 THEN upper(text)
+                         WHEN doc_id % 4 = 1 THEN text || '!!'
+                         WHEN doc_id % 4 = 2 THEN replace(text, ' ', '  ')
+                         ELSE text END AS text
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+                FROM dirty
+            )
+            SELECT doc_id, norm_hash,
+                   min(doc_id) OVER (PARTITION BY norm_hash) AS keeper_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_keeper
+            FROM h
         """,
     }

@@ -59,6 +59,8 @@ HEADLINE_QUERIES = [
     "line_dedup",
     "gopher_filter",
     "asof_join",
+    "sliding_events",
+    "normalized_dedup",
 ]
 
 

@@ -45,6 +45,42 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# the C4-style canonical form: lowercase, strip non-alphanumerics,
+# collapse whitespace. RE2-safe so the identical patterns run in DuckDB.
+NORM_STRIP_RE = "[^a-z0-9 ]"
+NORM_WS_RE = " +"
+
+
+def normalized_exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fuzzy-exact dedup (the C4 recipe): documents identical after
+    canonicalization — lowercase, punctuation stripped, whitespace
+    collapsed, trimmed — are one group. Per-doc output: the canonical
+    hash, the group's keeper (min id), and an ``is_keeper`` flag, via a
+    min-over-window on the hash — one shuffle, no join back. Catches the
+    near-universal trivial variants (case, trailing punctuation,
+    double spaces) that raw-md5 dedup misses.
+    """
+    from pyspark.sql.window import Window
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), NORM_STRIP_RE, ""),
+            NORM_WS_RE,
+            " ",
+        )
+    )
+    hashed = df.select(F.col(id_col), F.md5(norm).alias("norm_hash"))
+    keeper = F.min(id_col).over(Window.partitionBy("norm_hash"))
+    return hashed.select(
+        F.col(id_col),
+        F.col("norm_hash"),
+        keeper.alias("keeper_id"),
+        (F.col(id_col) == keeper).alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------- shingles (shared)
 def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Explode distinct token k-gram shingles per document — entirely
@@ -189,6 +225,13 @@ def ngram_jaccard_pairs(
         # shuffle.
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
+    # The pruned shingle relation feeds three consumers (sizes + both
+    # self-join sides); unpersisted, Spark re-runs the split/explode scan
+    # for each. Persist it once (MEMORY_AND_DISK default; LRU-evicted
+    # when cold). The 100-TB analog is materializing the shingle index as
+    # a table bucketed by shingle before the self-join
+    # (catalog.write_bucketed) — one explode pass either way.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -50,6 +50,48 @@ def sessionize(
     )
 
 
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by_col: str = "event_type",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+) -> DataFrame:
+    """Sliding (hopping) window rollup: every event contributes to the
+    ``window_seconds / slide_seconds`` overlapping windows that contain
+    it, convention ``[start, start + window)``. Same zone-free
+    epoch-integer keying as :func:`tumbling_counts` (the r1/r2 lesson);
+    membership is an explode over ``F.sequence`` of slide indices —
+    bounded fan-out (W/S rows per event, a constant), then one
+    map-side-combinable agg. No Python, no window functions, no range
+    join: at 100 TB the cost is (W/S)× the tumbling rollup, linear in
+    input.
+    """
+    s_us = slide_seconds * 1_000_000
+    w_us = window_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # slide indices k with k*S > t - W and k*S <= t  (floor math is exact
+    # for pre-1970 too); F.sequence is inclusive on both ends
+    lo = F.floor((us - F.lit(w_us)) / F.lit(s_us)) + 1
+    hi = F.floor(us / F.lit(s_us))
+    exploded = df.select(
+        F.col(by_col),
+        F.col(value_col),
+        F.explode(F.sequence(lo.cast("long"), hi.cast("long"))).alias("_k"),
+    )
+    return (
+        exploded.groupBy(
+            (F.col("_k") * slide_seconds).cast("long").alias("window_start"),
+            F.col(by_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias(f"sum_{value_col}"),
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

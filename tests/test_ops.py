@@ -519,3 +519,41 @@ def test_asof_join_single_shuffle(spark):
     # only the tree block)
     tree = plan.split("\n\n")[0]
     assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
+
+
+def test_sliding_counts_membership(spark):
+    import datetime as dt
+
+    from pypdfocr_spark import events as ev
+
+    # W=60s, S=20s -> each event is in exactly 3 windows
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, 30), "a", 1), (dt.datetime(2024, 1, 1, 0, 1, 0), "a", 2)],
+        ["ts", "event_type", "value"],
+    )
+    out = ev.sliding_counts(df, window_seconds=60, slide_seconds=20)
+    rows = {(r["window_start"], r["event_type"]): r for r in out.collect()}
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    # t=30s -> windows starting -20, 0, 20; t=60s -> 20, 40, 60 (boundary:
+    # [start, start+W) means t=60 is NOT in the window starting at 0)
+    assert set(k[0] for k in rows) == {base - 20, base, base + 20, base + 40, base + 60}
+    assert rows[(base + 20, "a")]["n_events"] == 2
+    assert rows[(base, "a")]["n_events"] == 1
+    assert rows[(base + 60, "a")]["sum_value"] == 2
+
+
+def test_normalized_dedup_merges_trivial_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world"),
+            (2, "hello  world!!"),   # case, spaces, punct -> same group
+            (3, "HELLO WORLD."),
+            (4, "different entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.normalized_exact_dedup(df).collect()}
+    assert rows[1]["keeper_id"] == rows[2]["keeper_id"] == rows[3]["keeper_id"] == 1
+    assert rows[1]["is_keeper"] and not rows[2]["is_keeper"] and not rows[3]["is_keeper"]
+    assert rows[4]["is_keeper"] and rows[4]["keeper_id"] == 4
+    assert rows[1]["norm_hash"] == rows[2]["norm_hash"] == rows[3]["norm_hash"]
