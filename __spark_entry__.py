@@ -603,6 +603,10 @@ def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webops.grouped_quantiles_df(_docs(spark, sf_dir))
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time lookup: each click joined to the user's latest
     # purchase at-or-before the click (LEFT: clicks before any purchase
@@ -673,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "sliding_events": _q_sliding_events,
         "normalized_dedup": _q_normalized_dedup,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -1288,5 +1293,25 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY norm_hash) AS keeper_id,
                    doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_keeper
             FROM h
+        """,
+        "length_quantiles": """
+            -- percentile_disc at rank ceil(q*n) under a deterministic
+            -- (value, id) order — unique answer, exact on both engines
+            WITH ranked AS (
+                SELECT lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                            THEN n_chars END) AS p25,
+                   max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                            THEN n_chars END) AS p50,
+                   max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                            THEN n_chars END) AS p75
+            FROM ranked GROUP BY lang
         """,
     }

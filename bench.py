@@ -61,6 +61,7 @@ HEADLINE_QUERIES = [
     "asof_join",
     "sliding_events",
     "normalized_dedup",
+    "length_quantiles",
 ]
 
 
@@ -141,6 +142,16 @@ def main() -> None:
         if "pair_4_16" in s:  # second N→4N pair, r2-comparable protocol
             out["scaling_4_16_raw"] = s["pair_4_16"].get("raw_min")
             out["scaling_4_16_normalized"] = s["pair_4_16"].get("normalized")
+    # fold in the spark-submit --py-files launch evidence if present
+    # (scripts/submit_bench.py; the north rule's prescribed launch shape)
+    submit_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "submit.json")
+    if os.path.exists(submit_path):
+        with open(submit_path) as f:
+            sub = json.load(f)
+        out["submit_efficiency"] = sub.get("efficiency_median_of_pairs")
+        out["submit_levels"] = sub.get("levels")
+        out["submit_resume_new_rows"] = sub.get("resume_new_rows")
+        out["submit_mechanism"] = sub.get("mechanism")
     print(json.dumps(out))
 
 

@@ -80,3 +80,18 @@ def test_repetition_stats_values_and_no_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_grouped_quantiles_exact(spark):
+    from pypdfocr_spark import webops
+
+    # group g: values 10,20,30,40 -> n=4; p25=rank1=10, p50=rank2=20, p75=rank3=30
+    # group h: single value -> all quantiles equal it
+    df = spark.createDataFrame(
+        [(1, "g", 40), (2, "g", 10), (3, "g", 30), (4, "g", 20), (5, "h", 7)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    rows = {r["lang"]: r for r in webops.grouped_quantiles_df(df).collect()}
+    assert rows["g"]["n_docs"] == 4
+    assert (rows["g"]["p25"], rows["g"]["p50"], rows["g"]["p75"]) == (10, 20, 30)
+    assert (rows["h"]["p25"], rows["h"]["p50"], rows["h"]["p75"]) == (7, 7, 7)
