@@ -149,6 +149,38 @@ def tumbling_stream(
     )
 
 
+def sliding_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sliding (hopping) window rollup — the Structured
+    Streaming form of ``events.sliding_counts``: ``window()`` with a
+    ``slideDuration`` assigns each event to its W/S overlapping windows,
+    watermark finalizes them for append-mode emission. Window key emitted
+    as epoch seconds, matching the batch mirror's timezone-proof
+    convention."""
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), F.col(by_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias("window_start"),
+            by_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def debounced_ready(
     df: DataFrame,
     key_col: str = "url",

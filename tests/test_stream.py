@@ -160,3 +160,43 @@ def test_original_move_manifest_uniquifies(spark):
 
     untouched = sinks.original_move_manifest(df, None).collect()
     assert all(r["url"] == r["moved_to"] for r in untouched)
+
+
+def test_sliding_stream_matches_batch_finalized_windows(spark, tmp_path):
+    """Streaming sliding rollup emits finalized overlapping windows that
+    match the batch mirror events.sliding_counts (same epoch-aligned
+    [start, start+W) convention)."""
+    from pypdfocr_spark import events as ev
+
+    src = str(tmp_path / "events_src_slide")
+    ev_df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev_df.coalesce(1).write.parquet(src)
+
+    stream_df = spark.readStream.schema(ev_df.schema).parquet(src)
+    q = (
+        stream.sliding_stream(stream_df, window="1 hour", slide="15 minutes",
+                              watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    assert got, "no finalized windows emitted"
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.sliding_counts(
+            ev_df, window_seconds=3600, slide_seconds=900).collect()
+    }
+    for k, (n, s) in got.items():
+        bn, bs = batch[k]
+        assert bn == n
+        assert abs(bs - s) < 1e-6
+    # every event lands in W/S = 4 windows: totals line up on the emitted set
+    assert len(got) >= 4
