@@ -607,6 +607,10 @@ def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webops.grouped_quantiles_df(_docs(spark, sf_dir))
 
 
+def _q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webops.dup_ngram_frac_df(_docs(spark, sf_dir), n=2)
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time lookup: each click joined to the user's latest
     # purchase at-or-before the click (LEFT: clicks before any purchase
@@ -678,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_events": _q_sliding_events,
         "normalized_dedup": _q_normalized_dedup,
         "length_quantiles": _q_length_quantiles,
+        "dup_ngram_frac": _q_dup_ngram_frac,
     }
 
 
@@ -1313,5 +1318,29 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
                             THEN n_chars END) AS p75
             FROM ranked GROUP BY lang
+        """,
+        "dup_ngram_frac": """
+            -- positional (non-distinct) 2-grams; generate_series(1, 0)
+            -- is empty for sub-2-token docs, the LEFT join zeroes them
+            WITH g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(string_split(text, ' ')) - 1),
+                           i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+                       )) AS gram
+                FROM documents
+            ),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            agg AS (
+                SELECT doc_id, sum(c) AS n_grams,
+                       sum(CASE WHEN c >= 2 THEN c * len(gram) ELSE 0 END)
+                           AS dup_gram_chars
+                FROM pg GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(a.dup_gram_chars, 0) AS BIGINT) AS dup_gram_chars,
+                   coalesce(a.dup_gram_chars, 0) / len(d.text) AS dup_char_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "sliding_events",
     "normalized_dedup",
     "length_quantiles",
+    "dup_ngram_frac",
 ]
 
 

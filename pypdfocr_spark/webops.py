@@ -206,3 +206,64 @@ def grouped_quantiles_df(
     return ranked.groupBy(group_col).agg(
         F.max("n").cast("long").alias("n_docs"), *aggs
     )
+
+
+def dup_ngram_frac_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher's duplicate n-gram character fraction (Rae et al. 2021
+    §A1.1.2): the share of the document's characters covered by word
+    n-grams that occur more than once in it — high values mean templated /
+    looping text. Definition pinned exactly (both engines, the oracle
+    mirrors it 1:1): every positional n-gram (space-joined), a gram is
+    duplicated when its string occurs ≥2 in the doc, and
+    ``dup_char_frac = Σ_{dup grams} count·len(gram) / len(text)``.
+
+    Unlike ``repetition_stats_df`` (expression-only, O(distinct·tokens)
+    per row — fine for unigrams), counting n-gram multiplicity in-row is
+    O(tokens²); here the grams explode → one map-side-combinable
+    (doc, gram) count → per-doc agg → join back (LEFT keeps gram-less
+    short docs at 0). Linear work, shuffles keyed on (doc, gram) then
+    doc — the scalable spelling for 10k-token crawl documents.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nt = F.size(toks)
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(0), nt - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per_doc = (
+        g.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length(F.col("gram"))).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("dup_gram_chars"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.length(F.col(text_col)).alias("n_chars"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("dup_gram_chars"), F.lit(0)).cast("long").alias("dup_gram_chars"),
+            (
+                F.coalesce(F.col("dup_gram_chars"), F.lit(0))
+                / F.col("n_chars")
+            ).alias("dup_char_frac"),
+        )
+    )

@@ -95,3 +95,21 @@ def test_grouped_quantiles_exact(spark):
     assert rows["g"]["n_docs"] == 4
     assert (rows["g"]["p25"], rows["g"]["p50"], rows["g"]["p75"]) == (10, 20, 30)
     assert (rows["h"]["p25"], rows["h"]["p50"], rows["h"]["p75"]) == (7, 7, 7)
+
+
+def test_dup_ngram_frac(spark):
+    from pypdfocr_spark import webops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # "a b" x3, "b a" x2 -> all 5 grams dup
+            (2, "w x y z"),          # 3 grams, all unique
+            (3, "solo"),             # <2 tokens -> zero grams, kept at 0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in webops.dup_ngram_frac_df(df, n=2).collect()}
+    assert rows[1]["n_grams"] == 5 and rows[1]["dup_gram_chars"] == 5 * 3
+    assert abs(rows[1]["dup_char_frac"] - 15 / 11) < 1e-12
+    assert rows[2]["dup_gram_chars"] == 0 and rows[2]["dup_char_frac"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["dup_char_frac"] == 0.0
