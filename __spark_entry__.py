@@ -611,6 +611,10 @@ def _q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webops.dup_ngram_frac_df(_docs(spark, sf_dir), n=2)
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.top_terms_df(_docs(spark, sf_dir), k=3)
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time lookup: each click joined to the user's latest
     # purchase at-or-before the click (LEFT: clicks before any purchase
@@ -683,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "length_quantiles": _q_length_quantiles,
         "dup_ngram_frac": _q_dup_ngram_frac,
+        "top_terms": _q_top_terms,
     }
 
 
@@ -1342,5 +1347,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.dup_gram_chars, 0) AS BIGINT) AS dup_gram_chars,
                    coalesce(a.dup_gram_chars, 0) / len(d.text) AS dup_char_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "top_terms": """
+            -- exact-arithmetic tf-idf surrogate: rank by (tf desc,
+            -- corpus df asc, term asc) — see textops.top_terms_df
+            WITH tf AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+            dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+            ranked AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       row_number() OVER (PARTITION BY t.doc_id
+                                          ORDER BY t.tf DESC, d.df ASC, t.term ASC)
+                           AS rank
+                FROM tfc t JOIN dfc d USING (term)
+            )
+            SELECT doc_id, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
     }

@@ -63,6 +63,7 @@ HEADLINE_QUERIES = [
     "normalized_dedup",
     "length_quantiles",
     "dup_ngram_frac",
+    "top_terms",
 ]
 
 

@@ -165,3 +165,51 @@ def fingerprint_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
     )
+
+
+def top_terms_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document: rank by term frequency,
+    rarity (corpus document frequency, ascending) as the tiebreak, term
+    string as the final deterministic tiebreak. This is the
+    exact-arithmetic surrogate of tf-idf ranking — a real tf·ln(N/df)
+    score is avoided ON PURPOSE: ln() is not bit-identical across
+    engines/libms, which would break the hash-exact oracle; the
+    (tf desc, df asc) lexicographic order preserves tf-idf's intent with
+    integer-only comparisons.
+
+    Distributed shape: one token explode → combinable (doc,term) tf agg →
+    combinable term df agg (from the distinct doc-term pairs already in
+    hand) → join tf×df on term (vocabulary-sized build side, AQE decides
+    broadcast vs shuffle) → per-doc top-k window. At 100 TB the df table
+    is the classic skew point (stopword terms are hot) — the join is on
+    term with the SMALL side being the df aggregate, so AQE's skew-join
+    split applies to the probe side.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

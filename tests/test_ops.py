@@ -557,3 +557,18 @@ def test_normalized_dedup_merges_trivial_variants(spark):
     assert rows[1]["is_keeper"] and not rows[2]["is_keeper"] and not rows[3]["is_keeper"]
     assert rows[4]["is_keeper"] and rows[4]["keeper_id"] == 4
     assert rows[1]["norm_hash"] == rows[2]["norm_hash"] == rows[3]["norm_hash"]
+
+
+def test_top_terms_ranking_and_tiebreaks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare common zzz"),   # tf: rare=2 > {common,zzz}=1; df(zzz)=1 < df(common)=2
+            (2, "common other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = [
+        (r["term"], r["rank"])
+        for r in textops.top_terms_df(df, k=3).where(F.col("doc_id") == 1).collect()
+    ]
+    assert sorted(rows, key=lambda x: x[1]) == [("rare", 1), ("zzz", 2), ("common", 3)]
