@@ -615,6 +615,14 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.top_terms_df(_docs(spark, sf_dir), k=3)
 
 
+def _q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.chunk_df(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+
+
+def _q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webops.shard_assign_df(_docs(spark, sf_dir), n_shards=8)
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time lookup: each click joined to the user's latest
     # purchase at-or-before the click (LEFT: clicks before any purchase
@@ -688,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "dup_ngram_frac": _q_dup_ngram_frac,
         "top_terms": _q_top_terms,
+        "chunk_windows": _q_chunk,
+        "shard_assign": _q_shard_assign,
     }
 
 
@@ -1368,5 +1378,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "chunk_windows": """
+            -- chunk k covers tokens [k*24, k*24+32); list slice [a:b] is
+            -- inclusive and clamps, matching Spark's slice(start, 32)
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            k AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0,
+                           CASE WHEN len(toks) <= 32 THEN 0
+                                ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)
+                           END)) AS chunk_id
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')
+                       AS chunk_text,
+                   CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS INT)
+                       AS n_chunk_tokens
+            FROM k
+        """,
+        "shard_assign": """
+            WITH h AS (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shard_key
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, shard_key,
+                       CAST(((strpos('0123456789abcdef', substr(shard_key, 1, 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(shard_key, 2, 1)) - 1))
+                            % 8 AS INT) AS shard
+                FROM h
+            )
+            SELECT doc_id, shard_key, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY shard_key, doc_id) AS BIGINT) AS pos
+            FROM s
         """,
     }

@@ -64,6 +64,8 @@ HEADLINE_QUERIES = [
     "length_quantiles",
     "dup_ngram_frac",
     "top_terms",
+    "chunk_windows",
+    "shard_assign",
 ]
 
 

@@ -213,3 +213,40 @@ def top_terms_df(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def chunk_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the standard prep step
+    that turns variable-length documents into training-window rows.
+    Chunk k covers tokens [k·stride, k·stride + chunk_tokens); the last
+    chunk may be short; every token is covered and consecutive chunks
+    overlap by ``chunk_tokens − stride``. Pure expressions: a per-row
+    ``sequence`` of chunk indices (bounded fan-out ≈ n/stride), explode,
+    ``slice`` + ``array_join`` — no Python, no shuffle beyond whatever
+    consumes the chunks.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    k_max = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(stride)).cast("long")
+    )
+    with_k = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), k_max)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+    )
+    return with_k.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+    )

@@ -267,3 +267,34 @@ def dup_ngram_frac_df(
             ).alias("dup_char_frac"),
         )
     )
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def shard_assign_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = (first two md5
+    hex digits of the id, read as 0..255) mod ``n_shards``, position =
+    rank of the full md5 key within the shard. Like
+    ``stratified_sample_df``, zero RNG: the same rows land in the same
+    shard at the same position on any cluster, any partitioning, any
+    retry — what makes a 10^12-doc training-data shuffle resumable and
+    auditable. Hex digits are mapped via ``instr`` so the IDENTICAL
+    integer falls out of the DuckDB oracle (no engine-specific hex→int
+    conversion). One shuffle (the per-shard rank window).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    d1 = F.instr(F.lit(HEX_DIGITS), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(HEX_DIGITS), F.substring(h, 2, 1)) - 1
+    shard = ((d1 * 16 + d2) % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("shard_key", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("shard_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -572,3 +572,40 @@ def test_top_terms_ranking_and_tiebreaks(spark):
         for r in textops.top_terms_df(df, k=3).where(F.col("doc_id") == 1).collect()
     ]
     assert sorted(rows, key=lambda x: x[1]) == [("rare", 1), ("zzz", 2), ("common", 3)]
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(50))  # 50 tokens, chunk 32 stride 24
+    df = spark.createDataFrame([(1, text), (2, "short doc only")], ["doc_id", "text"])
+    rows = sorted(
+        textops.chunk_df(df, chunk_tokens=32, stride=24).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # 50 tokens -> chunks at 0 and 24 (24+32 >= 50): exactly 2
+    assert [r["chunk_id"] for r in d1] == [0, 1]
+    assert d1[0]["n_chunk_tokens"] == 32 and d1[1]["n_chunk_tokens"] == 26
+    # overlap: chunk 1 starts at token 24
+    assert d1[0]["chunk_text"].split(" ")[24:] == d1[1]["chunk_text"].split(" ")[:8]
+    # full coverage: last token present
+    assert d1[1]["chunk_text"].split(" ")[-1] == "t49"
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc only"
+
+
+def test_shard_assign_deterministic_across_partitioning(spark):
+    from pypdfocr_spark import webops
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in webops.shard_assign_df(df).collect()}
+    b = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in webops.shard_assign_df(df.repartition(13)).collect()
+    }
+    assert a == b  # layout-independent
+    shards = {v[0] for v in a.values()}
+    assert shards <= set(range(8)) and len(shards) == 8
+    # positions are 1..count within each shard
+    for s in shards:
+        poss = sorted(p for sh, p in a.values() if sh == s)
+        assert poss == list(range(1, len(poss) + 1))
