@@ -630,7 +630,14 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent formulation of the same semantics.
     ev = _events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    # pre-aggregate to one row per (user, ts): asof_join (and DuckDB's
+    # ASOF) is ambiguous under right-side ties — the docstring's stated
+    # precondition, enforced here so the hash check can never go flaky
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
     return events.asof_join(clicks, purchases, right_cols=("value",))
 
 
@@ -1260,12 +1267,14 @@ def oracle_sql() -> dict[str, str]:
             FROM feat
         """,
         "asof_join": """
+            -- right side pre-aggregated to one row per (user, ts): ASOF
+            -- is ambiguous under right ties (mirrors the Spark query fn)
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS matched_ts, r.value AS matched_value
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                            WHERE event_type = 'purchase') r
+            ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                            WHERE event_type = 'purchase' GROUP BY 1, 2) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sliding_events": """
@@ -1304,8 +1313,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             h AS (
+                -- whitespace class -> space FIRST, then strip, then
+                -- re-collapse (same order as dedup.normalized_exact_dedup)
                 SELECT doc_id,
-                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                       md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g'),
                            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
                 FROM dirty
             )
@@ -1349,13 +1361,14 @@ def oracle_sql() -> dict[str, str]:
             agg AS (
                 SELECT doc_id, sum(c) AS n_grams,
                        sum(CASE WHEN c >= 2 THEN c * len(gram) ELSE 0 END)
-                           AS dup_gram_chars
+                           AS dup_gram_chars,
+                       sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
                 FROM pg GROUP BY 1
             )
             SELECT d.doc_id,
                    CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
                    CAST(coalesce(a.dup_gram_chars, 0) AS BIGINT) AS dup_gram_chars,
-                   coalesce(a.dup_gram_chars, 0) / len(d.text) AS dup_char_frac
+                   coalesce(a.dup_occ / a.n_grams, 0.0) AS dup_gram_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "top_terms": """

@@ -42,24 +42,31 @@ def _read_with_retry(path: str, attempts: int = 6, delay: float = 0.0) -> str:
     raise last  # type: ignore[misc]
 
 
-def load_config(path: str | None) -> ExtractConfig:
+def load_config(
+    path: str | None,
+    preprocess: bool = False,
+    scratch_dir: str | None = None,
+) -> ExtractConfig:
     """YAML (like the reference, ref: pypdfocr/pypdfocr.py:92-103) or JSON
     routing config. Mapping key order is preserved — first-match routing
-    depends on it (ref: pypdfocr/pypdfocr.py:301-307)."""
-    if not path:
-        return ExtractConfig()
-    text = _read_with_retry(path)
-    try:
-        import yaml  # safe_load keeps dict insertion order on py>=3.7
+    depends on it (ref: pypdfocr/pypdfocr.py:301-307). ``preprocess`` /
+    ``scratch_dir`` CLI flags override the file keys of the same name."""
+    raw: dict = {}
+    if path:
+        text = _read_with_retry(path)
+        try:
+            import yaml  # safe_load keeps dict insertion order on py>=3.7
 
-        raw = yaml.safe_load(text) or {}
-    except ImportError:  # pragma: no cover - yaml is present in sandbox
-        raw = json.loads(text)
+            raw = yaml.safe_load(text) or {}
+        except ImportError:  # pragma: no cover - yaml is present in sandbox
+            raw = json.loads(text)
     targets = normalize_targets(list(raw.get("folders", {}).items())) or list(DEFAULT_TARGETS)
     return ExtractConfig(
         targets=targets,
         default_route=raw.get("default_folder", DEFAULT_ROUTE),
         use_filename=bool(raw.get("match_using_filename", True)),
+        preprocess=preprocess or bool(raw.get("preprocess", False)),
+        scratch_dir=scratch_dir or raw.get("scratch_dir"),
     )
 
 
@@ -73,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--watch", help="streaming: watch this dir for corpus files")
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--preprocess",
+        action="store_true",
+        help="opt-in ImageMagick cleanup before OCR (reference -p; "
+        "subprocess strategy only)",
+    )
+    p.add_argument(
+        "--scratch-dir",
+        default=None,
+        help="shared scratch mount for per-page staging of real PDFs; "
+        "must be reachable from every executor (unset = whole-doc tasks)",
+    )
     p.add_argument(
         "--repeat",
         type=int,
@@ -89,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--watch requires --checkpoint")
 
     spark = get_spark("pypdfocr-spark-cli", master=args.master)
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, preprocess=args.preprocess, scratch_dir=args.scratch_dir)
 
     if args.watch:
         from .stream import watch_extract
@@ -112,13 +131,28 @@ def main(argv: list[str] | None = None) -> int:
             result = pipeline.extract(corpus_df, cfg)
             lineage.commit(result, f"{args.out}/r{i}")
             runs_sec.append(round(time.monotonic() - t0, 2))
+        _clean_scratch(cfg)
         print(json.dumps({"runs_sec": runs_sec, "n_warmup": 1}))
         return 0
     t0 = time.monotonic()
     result = pipeline.extract(corpus_df, cfg)
     stats = lineage.commit(result, args.out)
+    _clean_scratch(cfg)
     print(json.dumps({"run_id": stats["run_id"], "wall_sec": round(time.monotonic() - t0, 2)}))
     return 0
+
+
+def _clean_scratch(cfg: ExtractConfig) -> None:
+    """Job-end scratch cleanup (the promise in config.scratch_dir): drop
+    aged staged PDFs from the shared mount after commit. Best-effort —
+    a cleanup failure must not fail a committed job."""
+    if cfg.scratch_dir:
+        try:
+            from .kernels import subproc
+
+            subproc.clean_scratch(cfg.scratch_dir)
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

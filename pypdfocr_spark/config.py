@@ -40,9 +40,17 @@ class ExtractConfig:
     # image, else 'builtin' (the deterministic synthetic codec). Mirrors
     # the reference's pluggable binary override (ref: pypdfocr.py:314-324).
     ocr_strategy: str = "auto"
+    # Opt-in ImageMagick cleanup pass before OCR (the reference's
+    # preprocess stage, off by default there too — README.rst:223-229);
+    # honored by the subprocess kernels (kernels.subproc
+    # preprocess_img_subprocess), a no-op for the builtin codec.
+    preprocess: bool = False
     # Shared scratch for staging real-PDF payloads so the page explode can
     # rasterize one page per task (subproc.stage_pdf). Must be reachable
     # from every executor: on a cluster a shared mount (HDFS/NFS/FUSE)
-    # with a job-scoped prefix, cleaned at job end (subproc.clean_scratch);
-    # None → the local temp dir (right for local[N] and single-host runs).
+    # with a job-scoped prefix, cleaned at job end (cli calls
+    # subproc.clean_scratch after commit). None (the default) DISABLES
+    # page-split staging — real PDFs fall back to a single whole-doc task
+    # — because an executor-local default would silently blank pages on
+    # any multi-host cluster (staged path unreachable after the shuffle).
     scratch_dir: str | None = None

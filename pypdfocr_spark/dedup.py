@@ -45,8 +45,13 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-# the C4-style canonical form: lowercase, strip non-alphanumerics,
-# collapse whitespace. RE2-safe so the identical patterns run in DuckDB.
+# the C4-style canonical form: lowercase, map whitespace runs (incl.
+# newlines/tabs) to single spaces FIRST, then strip non-alphanumerics,
+# then re-collapse (stripping can leave doubled spaces: 'a , b' → 'a  b').
+# Stripping before the whitespace pass would DELETE newlines outright,
+# wrongly merging 'ab\ncd' with 'abcd' and failing to merge 'hello\nworld'
+# with 'hello world'. RE2-safe so the identical patterns run in DuckDB.
+NORM_WS_CLASS_RE = "\\s+"
 NORM_STRIP_RE = "[^a-z0-9 ]"
 NORM_WS_RE = " +"
 
@@ -66,7 +71,11 @@ def normalized_exact_dedup(
 
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), NORM_STRIP_RE, ""),
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), NORM_WS_CLASS_RE, " "),
+                NORM_STRIP_RE,
+                "",
+            ),
             NORM_WS_RE,
             " ",
         )
@@ -227,10 +236,15 @@ def ngram_jaccard_pairs(
         sh = sh.join(hot, "shingle", "left_anti")
     # The pruned shingle relation feeds three consumers (sizes + both
     # self-join sides); unpersisted, Spark re-runs the split/explode scan
-    # for each. Persist it once (MEMORY_AND_DISK default; LRU-evicted
-    # when cold). The 100-TB analog is materializing the shingle index as
-    # a table bucketed by shingle before the self-join
-    # (catalog.write_bucketed) — one explode pass either way.
+    # for each. Persist it once (MEMORY_AND_DISK default). Lifecycle:
+    # the result is returned LAZY, so this function cannot pair the
+    # persist with an unpersist (that would drop the cache before the
+    # caller computes anything); the blocks are LRU-evicted under
+    # pressure and GC'd with the DataFrame by the ContextCleaner. A
+    # caller looping many invocations in one session can reclaim eagerly
+    # with spark.catalog.clearCache(). The 100-TB analog is materializing
+    # the shingle index as a table bucketed by shingle before the
+    # self-join (catalog.write_bucketed) — one explode pass either way.
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")

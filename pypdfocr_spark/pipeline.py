@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import time
 from collections.abc import Iterator
 
@@ -105,7 +104,7 @@ def _doc_kernel(payload: bytes, cfg: ExtractConfig):
     if cfg.ocr_strategy == "subprocess" and payload.startswith(b"%PDF"):
         from .kernels import subproc
 
-        return subproc.extract_doc_subprocess(payload)
+        return subproc.extract_doc_subprocess(payload, preprocess=cfg.preprocess)
     return ck.extract_doc(payload)
 
 
@@ -184,16 +183,20 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             # its own task via gs -dFirstPage/-dLastPage downstream. This
             # is what breaks the multi-hundred-page skew the explode
             # exists for; the reference's analog is the in-host page pool
-            # (pypdfocr_tesseract.py:138-150). Probe failure falls back to
-            # a single whole-doc carrier row (graceful, single task).
+            # (pypdfocr_tesseract.py:138-150). Page-split staging REQUIRES
+            # cfg.scratch_dir (a mount every executor can reach): with an
+            # executor-local default the shuffled (path, page) rows would
+            # point at files that exist on one host only and pages would
+            # silently blank on a multi-host cluster — so no scratch_dir
+            # (or a probe failure) means the safe single-task whole-doc
+            # carrier instead.
             from .kernels import subproc
 
             n = None
             try:
-                scratch = cfg.scratch_dir or os.path.join(
-                    tempfile.gettempdir(), "pypdfocr_spark_scratch"
-                )
-                path = subproc.stage_pdf(payload, scratch)
+                if cfg.scratch_dir is None:
+                    raise RuntimeError("no shared scratch configured")
+                path = subproc.stage_pdf(payload, cfg.scratch_dir)
                 n = subproc.pdf_page_count(path)
                 geom = subproc.detect_dpi(path)
             except Exception:
@@ -232,7 +235,7 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in PAGE_SCHEMA.fields])
 
 
-def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+def _page_text_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     """Per-page OCR kernel: rasterize the native-dpi page at the document
     output dpi, emit+parse hOCR, reassemble text — the compute-heavy stage,
     running on hash-spread page rows. Emits a per-page ``status`` so heavy
@@ -268,6 +271,7 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
                         text = subproc.extract_page_subprocess(
                             page["pdf_path"], int(page["page"]), int(dpi),
                             bool(page.get("greyscale", True)), float(height),
+                            preprocess=cfg.preprocess,
                         )
                     except subproc.OcrError:
                         text, status = "", "ocr_error"
@@ -279,7 +283,7 @@ def _page_text_rows(pdf: pd.DataFrame) -> pd.DataFrame:
                     from .kernels import subproc
 
                     pages, status = subproc.extract_doc_subprocess(
-                        base64.b64decode(page["pdf_b64"])
+                        base64.b64decode(page["pdf_b64"]), preprocess=cfg.preprocess
                     )
                     # one output row PER PAGE, so reassembly keeps page
                     # boundaries and routes with the same per-page
@@ -397,7 +401,7 @@ def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame
         heavy.repartition(spark.sparkContext.defaultParallelism, F.xxhash64("url"))
         .mapInPandas(lambda it: (_explode_rows(pdf, cfg) for pdf in it), PAGE_SCHEMA)
         .repartition(k, F.xxhash64("url", "page_no"))
-        .mapInPandas(lambda it: (_page_text_rows(pdf) for pdf in it), PAGE_TEXT_SCHEMA)
+        .mapInPandas(lambda it: (_page_text_rows(pdf, cfg) for pdf in it), PAGE_TEXT_SCHEMA)
         .groupBy("url")
         .applyInPandas(_make_reassemble(cfg), EXTRACTED_SCHEMA)
     )

@@ -169,6 +169,7 @@ def evernote_retry(
     retries: int = 3,
     sleep=None,
     is_auth_error=_is_auth_error,
+    on_reconnect=None,
 ):
     """Reference parity for the ``en_handle`` wrapper around every
     Evernote API call (ref: pypdfocr_filer_evernote.py:39-80): up to
@@ -193,6 +194,12 @@ def evernote_retry(
             sleep(3)  # ref :77 time.sleep(3)
             if client_factory is not None:
                 client = client_factory()  # ref :65 _connect_to_evernote
+                if on_reconnect is not None:
+                    # let the caller rebind its connection like the
+                    # reference's en_handle does persistently (ref :65) —
+                    # otherwise every later call repays the stale-token
+                    # failure + 3 s sleep
+                    on_reconnect(client)
     assert last is not None
     raise last
 
@@ -228,8 +235,16 @@ class EvernoteSink(RouteSink):
         (ref: pypdfocr_filer_evernote.py:39-80,210)."""
         n = 0
         notebooks: dict[str, dict] = {}
+        # cur[0] is the LIVE client: an auth-expiry reconnect inside
+        # evernote_retry rebinds it (on_reconnect), so later rows use the
+        # fresh token instead of repaying fail+sleep per call
+        cur = [client]
+
+        def _rebind(c):
+            cur[0] = c
+
         retry = lambda do: evernote_retry(  # noqa: E731 — bind factory/clock once
-            do, client, self._client_factory, sleep=self._sleep
+            do, cur[0], self._client_factory, sleep=self._sleep, on_reconnect=_rebind
         )
         for r in rows:
             nb_name = r["notebook"]

@@ -214,13 +214,19 @@ def dup_ngram_frac_df(
     text_col: str = "text",
     n: int = 2,
 ) -> DataFrame:
-    """Gopher's duplicate n-gram character fraction (Rae et al. 2021
-    §A1.1.2): the share of the document's characters covered by word
-    n-grams that occur more than once in it — high values mean templated /
-    looping text. Definition pinned exactly (both engines, the oracle
-    mirrors it 1:1): every positional n-gram (space-joined), a gram is
-    duplicated when its string occurs ≥2 in the doc, and
-    ``dup_char_frac = Σ_{dup grams} count·len(gram) / len(text)``.
+    """Gopher-style duplicate n-gram fraction (Rae et al. 2021 §A1.1.2
+    family): how much of the document consists of word n-grams that occur
+    more than once in it — high values mean templated / looping text.
+    Definition pinned exactly (both engines, the oracle mirrors it 1:1):
+    every positional n-gram (space-joined), a gram is duplicated when its
+    string occurs ≥2 in the doc, and
+    ``dup_gram_frac = Σ_{dup grams} count / n_grams`` — the fraction of
+    n-gram OCCURRENCES that are duplicated, a true [0,1] quantity (0 for
+    gram-less short docs). ``dup_gram_chars`` (Σ count·len over dup
+    grams) stays as a raw weight but is deliberately NOT divided by
+    len(text): overlapping occurrences double-count characters, so that
+    ratio can exceed 1 and must not be compared against published
+    character-coverage thresholds.
 
     Unlike ``repetition_stats_df`` (expression-only, O(distinct·tokens)
     per row — fine for unigrams), counting n-gram multiplicity in-row is
@@ -252,19 +258,21 @@ def dup_ngram_frac_df(
             )
             .cast("long")
             .alias("dup_gram_chars"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_gram_occ"),
         )
     )
     return (
-        df.select(F.col(id_col), F.length(F.col(text_col)).alias("n_chars"))
+        df.select(F.col(id_col))
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce(F.col("dup_gram_chars"), F.lit(0)).cast("long").alias("dup_gram_chars"),
-            (
-                F.coalesce(F.col("dup_gram_chars"), F.lit(0))
-                / F.col("n_chars")
-            ).alias("dup_char_frac"),
+            F.coalesce(
+                F.col("dup_gram_occ") / F.col("n_grams"), F.lit(0.0)
+            ).alias("dup_gram_frac"),
         )
     )
 

@@ -38,7 +38,12 @@ def main() -> int:
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, cwd=REPO,
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith('{"metric"')][-1]
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith('{"metric"')]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"bench run {i + 1} failed (rc={out.returncode}):\n{out.stderr[-2000:]}"
+            )
+        line = lines[-1]
         d = json.loads(line)
         runs.append(d["queries"])
         values.append(d["value"])

@@ -96,3 +96,21 @@ def test_config_open_gives_up_after_six(tmp_path, monkeypatch):
     with pytest.raises(OSError):
         cli._read_with_retry(str(p))
     assert calls["n"] == 6  # exactly the reference's retry budget
+
+
+def test_load_config_preprocess_and_scratch(tmp_path):
+    from pypdfocr_spark.cli import load_config
+
+    # CLI flags with no config file
+    cfg = load_config(None, preprocess=True, scratch_dir="/mnt/shared")
+    assert cfg.preprocess and cfg.scratch_dir == "/mnt/shared"
+    # file keys picked up; CLI flags override
+    p = tmp_path / "c.yaml"
+    p.write_text("preprocess: true\nscratch_dir: /mnt/file\n")
+    cfg = load_config(str(p))
+    assert cfg.preprocess and cfg.scratch_dir == "/mnt/file"
+    cfg = load_config(str(p), scratch_dir="/mnt/cli")
+    assert cfg.scratch_dir == "/mnt/cli"
+    # defaults stay off
+    cfg = load_config(None)
+    assert not cfg.preprocess and cfg.scratch_dir is None

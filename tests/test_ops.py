@@ -609,3 +609,18 @@ def test_shard_assign_deterministic_across_partitioning(spark):
     for s in shards:
         poss = sorted(p for sh, p in a.values() if sh == s)
         assert poss == list(range(1, len(poss) + 1))
+
+
+def test_normalized_dedup_multiline_canon(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello\nworld"),    # newline == space after canon
+            (2, "hello world"),
+            (3, "helloworld"),      # must NOT merge with 1/2
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.normalized_exact_dedup(df).collect()}
+    assert rows[1]["norm_hash"] == rows[2]["norm_hash"]
+    assert rows[1]["keeper_id"] == rows[2]["keeper_id"] == 1
+    assert rows[3]["norm_hash"] != rows[1]["norm_hash"] and rows[3]["is_keeper"]

@@ -274,3 +274,53 @@ def test_evernote_upload_rows_retries_create_note():
     )
     assert n == 1 and len(client.notes) == 1
     assert sleeps == [3, 3]
+
+
+def test_evernote_retry_rebinds_via_on_reconnect():
+    """Review fix: after an auth-expiry reconnect, the NEW client must be
+    reported to the caller (on_reconnect) so subsequent rows do not repay
+    the stale-token failure + sleep on every call."""
+    rebound, sleeps = [], []
+    attempts = {"n": 0}
+
+    def do(client):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise _AuthError(9)
+        return client
+
+    out = sinks.evernote_retry(
+        do, "stale", client_factory=lambda: "fresh",
+        sleep=sleeps.append, on_reconnect=rebound.append,
+    )
+    assert out == "fresh" and rebound == ["fresh"]
+
+
+def test_upload_rows_uses_fresh_client_after_expiry():
+    """End-to-end: token expires on row 1's create_note; rows 2..n must go
+    straight to the fresh client (exactly ONE sleep in total)."""
+    sleeps = []
+
+    class Client:
+        def __init__(self, name, expired=False):
+            self.name, self.expired, self.created = name, expired, []
+
+        def list_notebooks(self):
+            return [type("NB", (), {"name": "default", "guid": "g1", "stack": None})()]
+
+        def create_note(self, note):
+            if self.expired:
+                raise _AuthError(9)
+            self.created.append(note)
+
+    stale, fresh = Client("stale", expired=True), Client("fresh")
+    sink = sinks.EvernoteSink(
+        client_factory=lambda: fresh, sleep=sleeps.append
+    )
+    rows = [
+        {"notebook": "default", "note_title": f"t{i}", "body": b"x"} for i in range(4)
+    ]
+    n = sink.upload_rows(rows, stale, notebook_guids={"default": "g1"})
+    assert n == 4
+    assert len(fresh.created) == 4 and not stale.created
+    assert sleeps == [3]  # one expiry, one sleep — not one per row

@@ -46,9 +46,12 @@ def test_submit_runs_from_zip_and_resumes(submit_env):
     # corpus minus the suffix-excluded urls == extracted rows
     import duckdb
 
+    # escape the LIKE underscores: the engine filter is a literal
+    # endswith('_ocr.pdf'), not a single-char-wildcard match
     expected = duckdb.connect().execute(
         f"SELECT count(*) FROM '{corpus}/*.parquet' "
-        "WHERE NOT (url LIKE '%_ocr.pdf' OR url LIKE '%_test.pdf')"
+        "WHERE NOT (url LIKE '%!_ocr.pdf' ESCAPE '!' "
+        "OR url LIKE '%!_test.pdf' ESCAPE '!')"
     ).fetchone()[0]
     assert rows == expected
 

@@ -323,7 +323,7 @@ def test_heavy_path_carries_pdf_to_page_stage(monkeypatch):
     pages = pipeline._explode_rows(pdf, cfg)
     assert len(pages) == 1
     assert "pdf_b64" in json.loads(pages["page_json"].iloc[0])
-    page_out = pipeline._page_text_rows(pages)
+    page_out = pipeline._page_text_rows(pages, cfg)
     # one row PER PAGE so reassembly routes with per-page early exit
     assert list(page_out["page_text"]) == ["p1", "p2", "p3"]
     assert list(page_out["page_no"]) == [0, 1, 2]
@@ -339,7 +339,7 @@ def test_heavy_path_non_utf8_synpdf_is_decode_error():
     pdf = pd.DataFrame([_corpus_pdf_row("https://x/bad.pdf", bad)])
     pages = pipeline._explode_rows(pdf, cfg)  # must not raise
     assert len(pages) == 1 and int(pages["n_pages"].iloc[0]) == 0
-    out = pipeline._page_text_rows(pages)
+    out = pipeline._page_text_rows(pages, cfg)
     assert out["status"].iloc[0] == "decode_error"
 
 
@@ -459,7 +459,7 @@ def test_heavy_real_pdf_page_split(monkeypatch, tmp_path):
     # each page row is independently processable (simulate the salted
     # shuffle scattering rows to different tasks: one batch per row,
     # reversed order)
-    outs = [pipeline._page_text_rows(pages.iloc[[i]]) for i in (2, 0, 1)]
+    outs = [pipeline._page_text_rows(pages.iloc[[i]], cfg) for i in (2, 0, 1)]
     page_out = pd.concat(outs, ignore_index=True)
     assert set(page_out["status"]) == {"ok"}
     assert sorted(page_out["page_text"]) == sorted(" ".join(w) for w in words)
@@ -487,14 +487,14 @@ def test_heavy_real_pdf_page_split_ocr_failure_statuses(monkeypatch, tmp_path):
         return None  # writes no output file → OcrError
 
     monkeypatch.setattr(subproc.subprocess, "run", tess_fails)
-    out = pipeline._page_text_rows(pages)
+    out = pipeline._page_text_rows(pages, cfg)
     assert set(out["status"]) == {"ocr_error"}
 
     def gs_fails(cmd):
         raise subproc.SubprocessKernelError("gs failed")
 
     monkeypatch.setattr(subproc, "run_gs", gs_fails)
-    out = pipeline._page_text_rows(pages)
+    out = pipeline._page_text_rows(pages, cfg)
     assert set(out["status"]) == {"decode_error"}
     # doc-level parity: a failed page fails the doc like the light path
     doc = pipeline._make_reassemble(cfg)(out)
@@ -571,3 +571,46 @@ def test_select_preprocess_strategy(monkeypatch):
     assert envcheck.select_preprocess_strategy() == "subprocess"
     monkeypatch.setattr(envcheck, "binary_available", lambda n: False)
     assert envcheck.select_preprocess_strategy() == "builtin"
+
+
+def test_scratch_dir_none_falls_back_to_whole_doc(monkeypatch):
+    """Review fix: with no shared scratch configured, a real %PDF heavy
+    doc must NOT be staged to executor-local /tmp (paths would be
+    unreachable after the shuffle on a multi-host cluster) — it takes the
+    single-task whole-doc carrier instead."""
+    _fake_page_range_ocr_stack(monkeypatch, [["a"], ["b"]])
+    cfg = replace(ExtractConfig(), ocr_strategy="subprocess", heavy_payload_bytes=4)
+    assert cfg.scratch_dir is None
+    pdf = pd.DataFrame([_corpus_pdf_row("https://x/big.pdf", PDF)])
+    pages = pipeline._explode_rows(pdf, cfg)
+    assert len(pages) == 1
+    meta = json.loads(pages["page_json"].iloc[0])
+    assert "pdf_b64" in meta and "pdf_path" not in meta
+
+
+def test_preprocess_flag_reaches_page_kernel(monkeypatch, tmp_path):
+    """Review fix: cfg.preprocess must actually reach the subprocess
+    kernels (it was previously unplumbed dead code)."""
+    seen = []
+
+    def spy(pdf_path, page, dpi, greyscale, height_pt, **kw):
+        seen.append(kw.get("preprocess"))
+        return "text"
+
+    monkeypatch.setattr(subproc, "extract_page_subprocess", spy)
+    cfg = replace(
+        ExtractConfig(), ocr_strategy="subprocess", preprocess=True,
+        scratch_dir=str(tmp_path / "s"),
+    )
+    pdf = pd.DataFrame(
+        [{
+            "url": "https://x/p.pdf", "warc_ts": None, "lang": "en",
+            "page_no": 0, "n_pages": 1, "height_pt": 792.0, "output_dpi": 300,
+            "page_json": json.dumps({"pdf_path": "/nonexistent", "page": 1,
+                                     "greyscale": True}),
+            "byte_count": 10,
+        }]
+    )
+    out = pipeline._page_text_rows(pdf, cfg)
+    assert list(out["page_text"]) == ["text"]
+    assert seen == [True]

@@ -110,6 +110,6 @@ def test_dup_ngram_frac(spark):
     )
     rows = {r["doc_id"]: r for r in webops.dup_ngram_frac_df(df, n=2).collect()}
     assert rows[1]["n_grams"] == 5 and rows[1]["dup_gram_chars"] == 5 * 3
-    assert abs(rows[1]["dup_char_frac"] - 15 / 11) < 1e-12
-    assert rows[2]["dup_gram_chars"] == 0 and rows[2]["dup_char_frac"] == 0.0
-    assert rows[3]["n_grams"] == 0 and rows[3]["dup_char_frac"] == 0.0
+    assert rows[1]["dup_gram_frac"] == 1.0  # every occurrence is a dup; bounded [0,1]
+    assert rows[2]["dup_gram_chars"] == 0 and rows[2]["dup_gram_frac"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["dup_gram_frac"] == 0.0
