@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -108,7 +109,17 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--watch requires --checkpoint")
 
     spark = get_spark("pypdfocr-spark-cli", master=args.master)
-    cfg = load_config(args.config, preprocess=args.preprocess, scratch_dir=args.scratch_dir)
+    # Job-scoped scratch prefix (the contract in config.scratch_dir):
+    # staging goes under <scratch>/job-<id> so job-end cleanup can remove
+    # THIS job's files unconditionally without racing concurrent jobs on
+    # the same shared mount. An age-based sweep of the parent also reaps
+    # leftovers of crashed jobs.
+    scratch = args.scratch_dir
+    if scratch:
+        import uuid as _uuid
+
+        scratch = os.path.join(scratch, f"job-{_uuid.uuid4().hex[:12]}")
+    cfg = load_config(args.config, preprocess=args.preprocess, scratch_dir=scratch)
 
     if args.watch:
         from .stream import watch_extract
@@ -143,14 +154,19 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _clean_scratch(cfg: ExtractConfig) -> None:
-    """Job-end scratch cleanup (the promise in config.scratch_dir): drop
-    aged staged PDFs from the shared mount after commit. Best-effort —
-    a cleanup failure must not fail a committed job."""
+    """Job-end scratch cleanup (the promise in config.scratch_dir):
+    remove THIS job's staging subdir entirely (it is job-scoped, so no
+    other job can be using it), then age-sweep the parent for leftovers
+    of crashed jobs. Best-effort — a cleanup failure must not fail a
+    committed job."""
     if cfg.scratch_dir:
         try:
+            import shutil
+
             from .kernels import subproc
 
-            subproc.clean_scratch(cfg.scratch_dir)
+            shutil.rmtree(cfg.scratch_dir, ignore_errors=True)
+            subproc.clean_scratch(os.path.dirname(cfg.scratch_dir))
         except Exception:
             pass
 

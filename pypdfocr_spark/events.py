@@ -68,21 +68,33 @@ def sliding_counts(
     join: at 100 TB the cost is (W/S)× the tumbling rollup, linear in
     input.
     """
+    if window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    m = window_seconds // slide_seconds
     s_us = slide_seconds * 1_000_000
-    w_us = window_seconds * 1_000_000
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    # slide indices k with k*S > t - W and k*S <= t  (floor math is exact
-    # for pre-1970 too); F.sequence is inclusive on both ends
-    lo = F.floor((us - F.lit(w_us)) / F.lit(s_us)) + 1
-    hi = F.floor(us / F.lit(s_us))
+    # Integer-exact membership (review fix): an event at t belongs to the
+    # m consecutive slide-aligned starts ending at t's own slide floor,
+    # base = t - pmod(t, S) — pure long arithmetic, no double division
+    # whose quotient could round across a window edge at |epoch_us|
+    # approaching 2^53. The final µs→s division goes through decimal
+    # (the numerator is a multiple of 10^6, so the quotient is exact).
+    base_us = us - F.pmod(us, F.lit(s_us))
     exploded = df.select(
         F.col(by_col),
         F.col(value_col),
-        F.explode(F.sequence(lo.cast("long"), hi.cast("long"))).alias("_k"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: base_us - j.cast("long") * F.lit(s_us),
+            )
+        ).alias("_ws_us"),
     )
     return (
         exploded.groupBy(
-            (F.col("_k") * slide_seconds).cast("long").alias("window_start"),
+            (F.col("_ws_us").cast("decimal(30,0)") / F.lit(1_000_000))
+            .cast("long")
+            .alias("window_start"),
             F.col(by_col),
         )
         .agg(
@@ -163,8 +175,11 @@ def tumbling_counts(
     would truncate toward zero there).
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # integer-exact floor (same review fix as sliding_counts): pmod keeps
+    # it in long arithmetic; decimal division of the 10^6-multiple is exact
+    ws_us = us - F.pmod(us, F.lit(window_seconds * 1_000_000))
     window_start = (
-        F.floor(us / F.lit(window_seconds * 1_000_000)) * window_seconds
+        ws_us.cast("decimal(30,0)") / F.lit(1_000_000)
     ).cast("long")
     return (
         df.groupBy(window_start.alias("window_start"), F.col(by_col))

@@ -269,12 +269,17 @@ def preprocess_img_subprocess(img_path: str, binary: str = "convert") -> str:
 # ------------------------------------------------- distributed page split
 def pdf_page_count(pdf_path: str, pdfinfo: str = "pdfinfo") -> int | None:
     """Page-count probe for the distributed page split: ``pdfinfo``'s
-    ``Pages: N`` line, falling back to the last page index in
-    ``pdfimages -list`` (both poppler tools — the same suite
-    :func:`detect_dpi` already probes with). Returns ``None`` when neither
-    probe works, in which case the caller falls back to whole-document
-    processing (graceful, like the reference's warn-and-continue probes,
+    ``Pages: N`` line ONLY. Returns ``None`` when the probe fails, in
+    which case the caller falls back to whole-document processing
+    (graceful, like the reference's warn-and-continue probes,
     ref: pypdfocr_gs.py:132-141).
+
+    A ``pdfimages -list`` fallback (max listed page index) was removed
+    deliberately: it counts pages that CONTAIN raster images, so a
+    10-page PDF whose last 5 pages are text/vector-only probes as 5 and
+    the page split would silently drop the rest with status 'ok' —
+    silent data loss. An uncertain count must read as None (safe
+    whole-doc path), never as a plausible underestimate.
 
     The reference never needs this number up front — it learns the page
     count from the filenames gs produced (ref: pypdfocr_pdf.py:261-267).
@@ -287,16 +292,6 @@ def pdf_page_count(pdf_path: str, pdfinfo: str = "pdfinfo") -> int | None:
         m = re.search(r"^Pages:\s+(\d+)", out, re.MULTILINE)
         if m:
             return int(m.group(1))
-    except Exception:
-        pass
-    try:
-        out = subprocess.run(
-            ["pdfimages", "-list", pdf_path], check=True, capture_output=True, text=True
-        ).stdout
-        rows = [ln.split() for ln in out.splitlines()[2:]]
-        pages = [int(r[0]) for r in rows if r and r[0].isdigit()]
-        if pages:
-            return max(pages)
     except Exception:
         pass
     return None
@@ -345,13 +340,20 @@ def clean_scratch(scratch_dir: str, max_age_s: float = 86_400.0) -> int:
         return 0
     cutoff = _time.time() - max_age_s
     for fn in os.listdir(scratch_dir):
-        if not (fn.endswith(".pdf") or fn.endswith(".pdf.part")):
-            continue
         p = os.path.join(scratch_dir, fn)
         try:
-            if os.path.getmtime(p) < cutoff:
-                os.remove(p)
-                removed += 1
+            if fn.startswith("job-") and os.path.isdir(p):
+                # a crashed job's whole staging subdir (a live job's dir
+                # is younger than the cutoff and is skipped)
+                if os.path.getmtime(p) < cutoff:
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+            elif fn.endswith(".pdf") or fn.endswith(".pdf.part"):
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    removed += 1
         except OSError:
             pass  # concurrent cleanup / in-flight rename
     return removed

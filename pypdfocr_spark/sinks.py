@@ -174,12 +174,14 @@ def evernote_retry(
     """Reference parity for the ``en_handle`` wrapper around every
     Evernote API call (ref: pypdfocr_filer_evernote.py:39-80): up to
     ``retries`` attempts; an auth-expired error sleeps 3 s, reconnects
-    (``client_factory()``), and retries. Two deliberate deltas, both on
+    (``client_factory()``), and retries. Three deliberate deltas, all on
     the safe side of the reference: a non-auth error raises immediately
-    instead of being silently swallowed in the loop, and exhausting the
+    instead of being silently swallowed in the loop; exhausting the
     budget raises the last auth error instead of returning ``None`` (the
     reference's silent-loss mode — a lost upload must surface in lineage
-    failure accounting here)."""
+    failure accounting here); and the sleep/reconnect happens only when
+    an attempt REMAINS (the reference also sleeps+reconnects after its
+    final failure, 3 dead seconds per permanently-failing call)."""
     import time as _time
 
     sleep = sleep or _time.sleep
@@ -191,6 +193,8 @@ def evernote_retry(
             if not is_auth_error(e):
                 raise
             last = e
+            if attempt == retries - 1:
+                break  # no attempt left — don't pay a useless sleep+reconnect
             sleep(3)  # ref :77 time.sleep(3)
             if client_factory is not None:
                 client = client_factory()  # ref :65 _connect_to_evernote
@@ -282,11 +286,15 @@ class EvernoteSink(RouteSink):
             # resource md5 as its idempotency key); exactly-once delivery
             # to an external API is not expressible from inside a task.
             routes = [r["notebook"] for r in rows.select("notebook").distinct().collect()]
-            driver_client = self._client_factory()
+            # same live-client rebinding as upload_rows: a token expiry
+            # during route k must not make routes k+1.. repay a stale
+            # call + sleep each
+            cur = [self._client_factory()]
             guids = {
                 name: evernote_retry(
                     lambda c, _n=name: check_and_make_notebook(c, _n, self._stack),
-                    driver_client, self._client_factory, sleep=self._sleep,
+                    cur[0], self._client_factory, sleep=self._sleep,
+                    on_reconnect=lambda c: cur.__setitem__(0, c),
                 ).get("guid", name)
                 for name in routes
             }

@@ -60,15 +60,16 @@ def canonicalize_url(url: Column) -> Column:
     query = F.when(tail.contains("?"), F.regexp_replace(tail, "^[^?]*\\?", "")).otherwise(
         F.lit("")
     )
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: ~(
-            p.startswith(TRACKING_PREFIXES[0])
-            | p.startswith(TRACKING_PREFIXES[1])
-            | p.startswith(TRACKING_PREFIXES[2])
-            | (p == "")
-        ),
-    )
+    def _is_dropped(p: Column) -> Column:
+        # fold over TRACKING_PREFIXES so the constant is authoritative —
+        # extending it must change the filter (and the oracle SQL, which
+        # mirrors the same list)
+        cond = p == ""
+        for prefix in TRACKING_PREFIXES:
+            cond = cond | p.startswith(prefix)
+        return cond
+
+    kept = F.filter(F.split(query, "&"), lambda p: ~_is_dropped(p))
     query_out = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))

@@ -239,7 +239,8 @@ def test_evernote_retry_three_attempts_then_raise():
 
     with pytest.raises(_AuthError):
         sinks.evernote_retry(do, "c", sleep=sleeps.append)
-    assert len(calls) == 3 and len(sleeps) == 3
+    # review fix: no sleep after the FINAL attempt (nothing can use it)
+    assert len(calls) == 3 and len(sleeps) == 2
 
 
 def test_evernote_retry_non_auth_raises_immediately():

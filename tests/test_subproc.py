@@ -344,7 +344,7 @@ def test_heavy_path_non_utf8_synpdf_is_decode_error():
 
 
 # --------------------------------------- distributed page split (real PDFs)
-def test_pdf_page_count_pdfinfo_and_fallback(monkeypatch):
+def test_pdf_page_count_pdfinfo_only(monkeypatch):
     def fake_pdfinfo(cmd, **kw):
         class R:
             stdout = "Title:   x\nPages:          17\nEncrypted: no\n"
@@ -354,18 +354,16 @@ def test_pdf_page_count_pdfinfo_and_fallback(monkeypatch):
     monkeypatch.setattr(subproc.subprocess, "run", fake_pdfinfo)
     assert subproc.pdf_page_count("/t/d.pdf") == 17
 
+    # review fix: NO pdfimages fallback — it counts image-bearing pages
+    # only, so a text-tail PDF would probe short and the page split would
+    # silently drop pages; an uncertain count must be None (whole-doc path)
     def fake_pdfimages_only(cmd, **kw):
         if cmd[0] == "pdfinfo":
             raise FileNotFoundError(cmd[0])
-
-        class R:
-            stdout = ("page   num  type\n---------------\n"
-                      "   1     0 image\n   2     1 image\n   3     2 image\n")
-            stderr = ""
-        return R()
+        raise AssertionError("pdfimages must not be used for page counts")
 
     monkeypatch.setattr(subproc.subprocess, "run", fake_pdfimages_only)
-    assert subproc.pdf_page_count("/t/d.pdf") == 3
+    assert subproc.pdf_page_count("/t/d.pdf") is None
 
     def fake_nothing(cmd, **kw):
         raise FileNotFoundError(cmd[0])
