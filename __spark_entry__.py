@@ -18,7 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pypdfocr_spark import dedup, events, multimodal, pipeline, similarity, spans, textops, webops
+from pypdfocr_spark import (
+    dedup,
+    events,
+    multimodal,
+    pipeline,
+    recipe,
+    similarity,
+    spans,
+    textops,
+    webops,
+)
 from pypdfocr_spark.config import ExtractConfig
 from pypdfocr_spark.corpus import HEAVY_REPEAT
 
@@ -623,6 +633,15 @@ def _q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webops.shard_assign_df(_docs(spark, sf_dir), n_shards=8)
 
 
+def _q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed curation run: eval set = every 50th doc (same framing
+    # as the decontaminate query), corpus = the rest
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return recipe.curate(corpus, bench, min_tokens=30)
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time lookup: each click joined to the user's latest
     # purchase at-or-before the click (LEFT: clicks before any purchase
@@ -705,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "chunk_windows": _q_chunk,
         "shard_assign": _q_shard_assign,
+        "corpus_curate": _q_corpus_curate,
     }
 
 
@@ -1430,5 +1450,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                                            ORDER BY shard_key, doc_id) AS BIGINT) AS pos
             FROM s
+        """,
+        "corpus_curate": f"""
+            -- the composed curation recipe: each CTE is the SAME formula
+            -- as its standalone oracled query, over the corpus slice
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+            ),
+            lid AS (
+                SELECT doc_id,
+                       (best > 0 AND CASE WHEN sc_de = best THEN 'de'
+                                          WHEN sc_en = best THEN 'en'
+                                          WHEN sc_es = best THEN 'es'
+                                          ELSE 'fr' END = 'en') AS passed_lang
+                FROM (
+                    SELECT doc_id, sc_de, sc_en, sc_es, sc_fr,
+                           greatest(sc_de, sc_en, sc_es, sc_fr) AS best
+                    FROM (
+                        SELECT doc_id,
+                               {lang_score['de']} AS sc_de, {lang_score['en']} AS sc_en,
+                               {lang_score['es']} AS sc_es, {lang_score['fr']} AS sc_fr
+                        FROM corpus
+                    )
+                )
+            ),
+            gf AS (
+                SELECT doc_id,
+                       (n >= 30 AND n <= 100000
+                        AND mean_len >= 3.0 AND mean_len <= 10.0
+                        AND alpha >= 0.8 AND sym <= 0.1) AS passed_quality
+                FROM (
+                    SELECT doc_id,
+                           len(string_split(text, ' ')) AS n,
+                           list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+                               / len(string_split(text, ' ')) AS mean_len,
+                           len(list_filter(string_split(text, ' '),
+                                           t -> regexp_matches(t, '[A-Za-z]')))
+                               / len(string_split(text, ' ')) AS alpha,
+                           len(regexp_extract_all(text, '{textops.SYMBOL_RE}'))
+                               / len(string_split(text, ' ')) AS sym
+                    FROM corpus
+                )
+            ),
+            nd AS (
+                SELECT doc_id,
+                       doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_keeper
+                FROM (
+                    SELECT doc_id,
+                           md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                               lower(text), '\\s+', ' ', 'g'),
+                               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+                    FROM corpus
+                )
+            ),
+            bench_sh AS (
+                SELECT DISTINCT unnest({shingle2}) AS shingle
+                FROM documents WHERE doc_id % 50 = 0
+            ),
+            corpus_sh AS (
+                SELECT doc_id, unnest({shingle2}) AS shingle FROM corpus
+            ),
+            dc AS (
+                SELECT s.doc_id, count(b.shingle) >= 3 AS contaminated
+                FROM corpus_sh s LEFT JOIN bench_sh b USING (shingle)
+                GROUP BY s.doc_id
+            )
+            SELECT c.doc_id, lid.passed_lang, gf.passed_quality,
+                   nd.is_keeper, dc.contaminated,
+                   (lid.passed_lang AND gf.passed_quality AND nd.is_keeper
+                    AND NOT dc.contaminated) AS survived
+            FROM corpus c
+            JOIN lid USING (doc_id) JOIN gf USING (doc_id)
+            JOIN nd USING (doc_id) JOIN dc USING (doc_id)
         """,
     }

@@ -66,6 +66,7 @@ HEADLINE_QUERIES = [
     "top_terms",
     "chunk_windows",
     "shard_assign",
+    "corpus_curate",
 ]
 
 

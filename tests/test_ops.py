@@ -624,3 +624,29 @@ def test_normalized_dedup_multiline_canon(spark):
     assert rows[1]["norm_hash"] == rows[2]["norm_hash"]
     assert rows[1]["keeper_id"] == rows[2]["keeper_id"] == 1
     assert rows[3]["norm_hash"] != rows[1]["norm_hash"] and rows[3]["is_keeper"]
+
+
+def test_corpus_curate_gates_compose(spark):
+    from pypdfocr_spark import recipe
+
+    corpus = spark.createDataFrame(
+        [
+            # english, long enough, unique, clean -> survives
+            (1, "the and for with this that " + " ".join(f"word{i}" for i in range(30))),
+            (2, "der und die das nicht ist " + " ".join(f"wort{i}" for i in range(30))),  # german
+            (3, "the and for with this that " + " ".join(f"word{i}" for i in range(30))),  # dup of 1
+            (4, "the and short"),  # fails quality (too short)
+            (5, "the and for leaked bench fragment here now " + " ".join(f"zeta{i}" for i in range(25))),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "leaked bench fragment here now definitely")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in recipe.curate(corpus, bench, min_tokens=20).collect()}
+    assert len(rows) == 5  # full-corpus coverage
+    assert rows[1]["survived"]
+    assert not rows[2]["passed_lang"] and not rows[2]["survived"]
+    assert not rows[3]["is_keeper"] and not rows[3]["survived"]  # dup loses to min id
+    assert not rows[4]["passed_quality"] and not rows[4]["survived"]
+    assert rows[5]["contaminated"] and not rows[5]["survived"]
