@@ -642,6 +642,10 @@ def _q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recipe.curate(corpus, bench, min_tokens=30)
 
 
+def _q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recipe.curation_report(_q_corpus_curate(spark, sf_dir))
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time lookup: each click joined to the user's latest
     # purchase at-or-before the click (LEFT: clicks before any purchase
@@ -725,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk,
         "shard_assign": _q_shard_assign,
         "corpus_curate": _q_corpus_curate,
+        "curation_report": _q_curation_report,
     }
 
 
@@ -771,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(plane_weights(8, 64, table=0))
     )
-    return {
+    d = {
         "extract_text": f"""
             SELECT url, {EXPECTED_NORM_SQL} AS extracted_norm, {NPAGES_SQL} AS n_pages,
                    'ok' AS status
@@ -1524,3 +1529,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nd USING (doc_id) JOIN dc USING (doc_id)
         """,
     }
+    # the one-row operational report is an aggregation over the SAME
+    # composed curation SQL — build it from the entry above so the two
+    # oracles can never drift apart
+    d["curation_report"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN passed_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_passed_lang,
+               CAST(sum(CASE WHEN passed_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_passed_quality,
+               CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+               CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(sum(CASE WHEN survived THEN 1 ELSE 0 END) AS BIGINT) AS n_survived
+        FROM ({d["corpus_curate"]})
+    """
+    return d

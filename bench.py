@@ -67,6 +67,7 @@ HEADLINE_QUERIES = [
     "chunk_windows",
     "shard_assign",
     "corpus_curate",
+    "curation_report",
 ]
 
 

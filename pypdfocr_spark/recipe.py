@@ -70,3 +70,20 @@ def curate(
             & ~F.col("contaminated")
         ).alias("survived"),
     )
+
+
+def curation_report(verdicts: DataFrame) -> DataFrame:
+    """The operational one-row report over :func:`curate`'s output:
+    corpus size, per-gate pass counts, and the survivor count — what a
+    curation run logs and alerts on. One map-side-combinable aggregation;
+    at 100 TB this is a free second action on the verdict frame (or the
+    same scan, if the caller persists it)."""
+    b = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        b("passed_lang").alias("n_passed_lang"),
+        b("passed_quality").alias("n_passed_quality"),
+        b("is_keeper").alias("n_keepers"),
+        b("contaminated").alias("n_contaminated"),
+        b("survived").alias("n_survived"),
+    )

@@ -650,3 +650,19 @@ def test_corpus_curate_gates_compose(spark):
     assert not rows[3]["is_keeper"] and not rows[3]["survived"]  # dup loses to min id
     assert not rows[4]["passed_quality"] and not rows[4]["survived"]
     assert rows[5]["contaminated"] and not rows[5]["survived"]
+
+
+def test_curation_report_counts(spark):
+    from pypdfocr_spark import recipe
+
+    verdicts = spark.createDataFrame(
+        [
+            (1, True, True, True, False, True),
+            (2, False, True, True, False, False),
+            (3, True, False, False, True, False),
+        ],
+        ["doc_id", "passed_lang", "passed_quality", "is_keeper", "contaminated", "survived"],
+    )
+    r = recipe.curation_report(verdicts).first()
+    assert (r["n_docs"], r["n_passed_lang"], r["n_passed_quality"]) == (3, 2, 2)
+    assert (r["n_keepers"], r["n_contaminated"], r["n_survived"]) == (2, 1, 1)
