@@ -1239,7 +1239,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dirty)
             ),
             dup AS (
-                SELECT line FROM lines
+                -- blank lines are structure, not boilerplate (mirrors
+                -- dedup.line_dedup's exemption)
+                SELECT line FROM lines WHERE line <> ''
                 GROUP BY line HAVING count(DISTINCT doc_id) >= 2
             ),
             kept AS (
@@ -1341,10 +1343,14 @@ def oracle_sql() -> dict[str, str]:
                 -- whitespace class -> space FIRST, then strip, then
                 -- re-collapse (same order as dedup.normalized_exact_dedup)
                 SELECT doc_id,
-                       md5(trim(regexp_replace(regexp_replace(regexp_replace(
-                           lower(text), '\\s+', ' ', 'g'),
-                           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
-                FROM dirty
+                       md5(CASE WHEN canon = '' THEN text ELSE canon END) AS norm_hash
+                FROM (
+                    SELECT doc_id, text,
+                           trim(regexp_replace(regexp_replace(regexp_replace(
+                               lower(text), '\\s+', ' ', 'g'),
+                               '[^\\p{L}\\p{N} ]', '', 'g'), ' +', ' ', 'g')) AS canon
+                    FROM dirty
+                )
             )
             SELECT doc_id, norm_hash,
                    min(doc_id) OVER (PARTITION BY norm_hash) AS keeper_id,
@@ -1403,7 +1409,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split(text, ' ')) AS term
                 FROM documents
             ),
-            tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+            tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf
+                    WHERE term <> '' GROUP BY 1, 2),
             dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
             ranked AS (
                 SELECT t.doc_id, t.term, t.tf, d.df,
@@ -1502,10 +1509,14 @@ def oracle_sql() -> dict[str, str]:
                        doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_keeper
                 FROM (
                     SELECT doc_id,
-                           md5(trim(regexp_replace(regexp_replace(regexp_replace(
-                               lower(text), '\\s+', ' ', 'g'),
-                               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
-                    FROM corpus
+                           md5(CASE WHEN canon = '' THEN text ELSE canon END) AS norm_hash
+                    FROM (
+                        SELECT doc_id, text,
+                               trim(regexp_replace(regexp_replace(regexp_replace(
+                                   lower(text), '\\s+', ' ', 'g'),
+                                   '[^\\p{{L}}\\p{{N}} ]', '', 'g'), ' +', ' ', 'g')) AS canon
+                        FROM corpus
+                    )
                 )
             ),
             bench_sh AS (

@@ -109,17 +109,21 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--watch requires --checkpoint")
 
     spark = get_spark("pypdfocr-spark-cli", master=args.master)
+    cfg = load_config(args.config, preprocess=args.preprocess, scratch_dir=args.scratch_dir)
     # Job-scoped scratch prefix (the contract in config.scratch_dir):
     # staging goes under <scratch>/job-<id> so job-end cleanup can remove
     # THIS job's files unconditionally without racing concurrent jobs on
-    # the same shared mount. An age-based sweep of the parent also reaps
-    # leftovers of crashed jobs.
-    scratch = args.scratch_dir
-    if scratch:
+    # the same shared mount. Applied AFTER load_config so a config-file
+    # scratch_dir is scoped exactly like the CLI flag — an unscoped value
+    # would make _clean_scratch rmtree the shared mount itself.
+    if cfg.scratch_dir:
+        import dataclasses
         import uuid as _uuid
 
-        scratch = os.path.join(scratch, f"job-{_uuid.uuid4().hex[:12]}")
-    cfg = load_config(args.config, preprocess=args.preprocess, scratch_dir=scratch)
+        cfg = dataclasses.replace(
+            cfg,
+            scratch_dir=os.path.join(cfg.scratch_dir, f"job-{_uuid.uuid4().hex[:12]}"),
+        )
 
     if args.watch:
         from .stream import watch_extract
@@ -155,18 +159,19 @@ def main(argv: list[str] | None = None) -> int:
 
 def _clean_scratch(cfg: ExtractConfig) -> None:
     """Job-end scratch cleanup (the promise in config.scratch_dir):
-    remove THIS job's staging subdir entirely (it is job-scoped, so no
-    other job can be using it), then age-sweep the parent for leftovers
-    of crashed jobs. Best-effort — a cleanup failure must not fail a
-    committed job."""
+    remove THIS job's staging subdir entirely — it is job-scoped, so no
+    other job can be using it, which makes the unconditional rmtree safe.
+    Deliberately does NOT age-sweep the shared parent here: directory
+    mtimes stop updating once staging ends, so an age sweep from job B
+    could delete a still-running job A's dir mid-OCR (silent blank
+    pages). Crash leftovers are the operator's `subproc.clean_scratch`
+    maintenance call with a max_age they know exceeds any job's wall
+    time. Best-effort — a cleanup failure must not fail a committed job."""
     if cfg.scratch_dir:
         try:
             import shutil
 
-            from .kernels import subproc
-
             shutil.rmtree(cfg.scratch_dir, ignore_errors=True)
-            subproc.clean_scratch(os.path.dirname(cfg.scratch_dir))
         except Exception:
             pass
 

@@ -46,13 +46,17 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 # the C4-style canonical form: lowercase, map whitespace runs (incl.
-# newlines/tabs) to single spaces FIRST, then strip non-alphanumerics,
+# newlines/tabs) to single spaces FIRST, then strip punctuation/symbols,
 # then re-collapse (stripping can leave doubled spaces: 'a , b' → 'a  b').
 # Stripping before the whitespace pass would DELETE newlines outright,
 # wrongly merging 'ab\ncd' with 'abcd' and failing to merge 'hello\nworld'
-# with 'hello world'. RE2-safe so the identical patterns run in DuckDB.
+# with 'hello world'. The keep-class is Unicode letters/digits
+# (\p{L}\p{N}) — an ASCII [a-z0-9] class would normalize EVERY non-Latin
+# document (CJK, Cyrillic, Arabic…) to the empty string and collapse
+# them all into one bogus duplicate group. Both patterns are RE2-safe
+# and behave identically in Java regex and DuckDB's RE2.
 NORM_WS_CLASS_RE = "\\s+"
-NORM_STRIP_RE = "[^a-z0-9 ]"
+NORM_STRIP_RE = "[^\\p{L}\\p{N} ]"
 NORM_WS_RE = " +"
 
 
@@ -69,7 +73,7 @@ def normalized_exact_dedup(
     """
     from pyspark.sql.window import Window
 
-    norm = F.trim(
+    canon = F.trim(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(F.lower(F.col(text_col)), NORM_WS_CLASS_RE, " "),
@@ -80,6 +84,10 @@ def normalized_exact_dedup(
             " ",
         )
     )
+    # a document whose canon is empty (pure punctuation/symbols) falls
+    # back to its RAW text — grouping every such doc together would be a
+    # bogus merge, not a dedup
+    norm = F.when(canon == "", F.col(text_col)).otherwise(canon)
     hashed = df.select(F.col(id_col), F.md5(norm).alias("norm_hash"))
     keeper = F.min(id_col).over(Window.partitionBy("norm_hash"))
     return hashed.select(
@@ -181,7 +189,11 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     dup = (
-        lines.groupBy("line")
+        # blank lines are structure, not boilerplate: nearly every real
+        # document contains one, so counting them would strip all
+        # paragraph breaks corpus-wide — exempt them from the dup test
+        lines.where(F.col("line") != "")
+        .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
         .select("line", F.lit(True).alias("_dup"))

@@ -329,10 +329,14 @@ def stage_pdf(payload: bytes, scratch_dir: str) -> str:
 
 
 def clean_scratch(scratch_dir: str, max_age_s: float = 86_400.0) -> int:
-    """Remove staged PDFs older than ``max_age_s`` (K6 temp-cleanup analog,
-    ref: pypdfocr/pypdfocr.py cleanup of _preprocessed/temp outputs). Run
-    from the driver at job end; the age guard keeps a concurrent job's
-    in-flight stages safe. Returns the number of files removed."""
+    """OPERATOR MAINTENANCE sweep of a shared scratch mount: remove
+    staged PDFs and crashed jobs' ``job-*`` subdirs older than
+    ``max_age_s`` (K6 temp-cleanup analog, ref: pypdfocr/pypdfocr.py
+    cleanup of _preprocessed/temp outputs). NOT called automatically at
+    job end (a job removes only its own job-scoped subdir): directory
+    mtimes stop updating once staging ends, so ``max_age_s`` MUST exceed
+    the longest job's staging-to-finish wall time or this sweep deletes
+    a still-running job's staged files. Returns entries removed."""
     import time as _time
 
     removed = 0
@@ -343,8 +347,9 @@ def clean_scratch(scratch_dir: str, max_age_s: float = 86_400.0) -> int:
         p = os.path.join(scratch_dir, fn)
         try:
             if fn.startswith("job-") and os.path.isdir(p):
-                # a crashed job's whole staging subdir (a live job's dir
-                # is younger than the cutoff and is skipped)
+                # a crashed job's whole staging subdir — see the
+                # max_age_s contract in the docstring (dir mtime goes
+                # stale once staging ends; the age must exceed job wall)
                 if os.path.getmtime(p) < cutoff:
                     import shutil
 

@@ -194,6 +194,7 @@ def top_terms_df(
 
     tf = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .where(F.col("term") != "")  # space runs split into '' pseudo-terms
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -231,6 +232,11 @@ def chunk_df(
     ``slice`` + ``array_join`` — no Python, no shuffle beyond whatever
     consumes the chunks.
     """
+    if stride <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            "stride must be in (0, chunk_tokens] — a larger stride would "
+            "silently skip tokens between consecutive chunks"
+        )
     toks = _tokens(text_col)
     n = F.size(toks)
     k_max = F.when(n <= chunk_tokens, F.lit(0)).otherwise(

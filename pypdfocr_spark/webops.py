@@ -196,10 +196,16 @@ def grouped_quantiles_df(
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
     )
+    # rank in decimal arithmetic: double q*n drifts above the exact
+    # product for many (q, n) pairs (0.07*100 = 7.000...001 -> ceil 8);
+    # casting q to decimal(18,10) pins the intended 10-dp value and the
+    # decimal product is exact
     aggs = [
         F.max(
             F.when(
-                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col(value_col)
+                F.col("rn")
+                == F.ceil(F.lit(q).cast("decimal(18,10)") * F.col("n")),
+                F.col(value_col),
             )
         ).alias(f"p{int(q * 100)}")
         for q in qs

@@ -666,3 +666,53 @@ def test_curation_report_counts(spark):
     r = recipe.curation_report(verdicts).first()
     assert (r["n_docs"], r["n_passed_lang"], r["n_passed_quality"]) == (3, 2, 2)
     assert (r["n_keepers"], r["n_contaminated"], r["n_survived"]) == (2, 1, 1)
+
+
+def test_normalized_dedup_non_latin_not_collapsed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "你好 世界"),         # distinct CJK docs must NOT merge
+            (2, "完全 不同 的 文档"),
+            (3, "!!! ???"),           # pure punctuation: canon='' -> raw-text hash
+            (4, ",,, ..."),           # different punctuation doc stays distinct
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.normalized_exact_dedup(df).collect()}
+    assert len({r["norm_hash"] for r in rows.values()}) == 4
+    assert all(r["is_keeper"] for r in rows.values())
+
+
+def test_line_dedup_keeps_blank_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "intro\n\nbody one"), (2, "other\n\nstuff two")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.line_dedup(df, min_docs=2).collect()}
+    # the shared '' line must NOT be treated as cross-doc boilerplate
+    assert rows[1]["clean_text"] == "intro\n\nbody one"
+    assert rows[2]["n_lines_removed"] == 0
+
+
+def test_top_terms_ignores_empty_tokens(spark):
+    df = spark.createDataFrame([(1, "alpha  beta  gamma  delta")], ["doc_id", "text"])
+    terms = [r["term"] for r in textops.top_terms_df(df, k=3).collect()]
+    assert "" not in terms and len(terms) == 3
+
+
+def test_chunk_df_rejects_gapping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="stride"):
+        textops.chunk_df(df, chunk_tokens=32, stride=48)
+
+
+def test_grouped_quantiles_exact_rank_off_defaults(spark):
+    from pypdfocr_spark import webops
+
+    # q=0.07 over n=100: double 0.07*100 = 7.000...001 -> ceil 8 (wrong);
+    # decimal arithmetic must give rank 7 -> value 7
+    df = spark.createDataFrame(
+        [(i, "g", i) for i in range(1, 101)], ["doc_id", "lang", "n_chars"]
+    )
+    r = webops.grouped_quantiles_df(df, qs=(0.07,)).first()
+    assert r["p7"] == 7
