@@ -60,6 +60,23 @@ NORM_STRIP_RE = "[^\\p{L}\\p{N} ]"
 NORM_WS_RE = " +"
 
 
+def canonical_text(col):
+    """The C4-style canonical form of a text column (see NORM_* above).
+    Exposed so tests can pin its invariants (idempotence, whitespace
+    insensitivity) directly."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(col), NORM_WS_CLASS_RE, " "),
+                NORM_STRIP_RE,
+                "",
+            ),
+            NORM_WS_RE,
+            " ",
+        )
+    )
+
+
 def normalized_exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -73,17 +90,7 @@ def normalized_exact_dedup(
     """
     from pyspark.sql.window import Window
 
-    canon = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col(text_col)), NORM_WS_CLASS_RE, " "),
-                NORM_STRIP_RE,
-                "",
-            ),
-            NORM_WS_RE,
-            " ",
-        )
-    )
+    canon = canonical_text(F.col(text_col))
     # a document whose canon is empty (pure punctuation/symbols) falls
     # back to its RAW text — grouping every such doc together would be a
     # bogus merge, not a dedup

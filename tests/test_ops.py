@@ -716,3 +716,71 @@ def test_grouped_quantiles_exact_rank_off_defaults(spark):
     )
     r = webops.grouped_quantiles_df(df, qs=(0.07,)).first()
     assert r["p7"] == 7
+
+
+ADVERSARIAL_STRINGS = [
+    "",
+    " ",
+    "\n",
+    "\t\t\n  \n",
+    "Hello,   World!!",
+    "hello world",
+    "a\nb\nc",
+    "a \n b \n c",
+    "MIXED case With\tTabs",
+    "你好，世界！",
+    "ΚΕΦΑΛΑΙΑ ελληνικά",
+    "München straße",
+    "!!! ??? ...",
+    "a" * 500,
+    "x " * 200,
+    "line\n\n\nline",
+    "ünïcödé, püñctuation; «quotes»",
+]
+
+
+def test_canonical_text_invariants_batch(spark):
+    """Engine-level invariants of the dedup canon over adversarial
+    strings, checked in ONE Spark job: idempotence (canon∘canon = canon)
+    and whitespace-form insensitivity (any whitespace run == one space)."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL_STRINGS)], ["doc_id", "text"]
+    )
+    once = dedup.canonical_text(F.col("text"))
+    twice = dedup.canonical_text(once)
+    ws_variant = dedup.canonical_text(
+        F.regexp_replace(F.col("text"), "\\s+", "\n\t ")
+    )
+    rows = df.select(
+        "doc_id", once.alias("c1"), twice.alias("c2"), ws_variant.alias("c3")
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], f"not idempotent for doc {r['doc_id']}"
+        assert r["c1"] == r["c3"], f"ws-sensitive for doc {r['doc_id']}"
+
+
+def test_line_dedup_conservation_batch(spark):
+    """kept + removed == total line count, for every adversarial doc."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL_STRINGS)], ["doc_id", "text"]
+    )
+    totals = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", F.size(F.split("text", "\n")).alias("n")).collect()
+    }
+    for r in dedup.line_dedup(df, min_docs=2).collect():
+        assert r["n_lines_kept"] + r["n_lines_removed"] == totals[r["doc_id"]]
+
+
+def test_chunk_df_lossless_at_full_stride(spark):
+    """stride == chunk_tokens (no overlap): rejoining the chunks in order
+    reproduces the original token stream exactly, for every doc."""
+    docs = [(i, s) for i, s in enumerate(ADVERSARIAL_STRINGS) if s]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = textops.chunk_df(df, chunk_tokens=7, stride=7).collect()
+    rebuilt: dict[int, list[tuple[int, str]]] = {}
+    for r in out:
+        rebuilt.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for doc_id, text in docs:
+        parts = [t for _, t in sorted(rebuilt[doc_id])]
+        assert " ".join(parts) == " ".join(text.split(" "))
