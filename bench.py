@@ -117,22 +117,32 @@ def main() -> None:
             t0 = time.monotonic()
             queries[name](spark, sf_dir).count()
             q.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(q), 3)
+        timings[name] = round(statistics.median(q), 2)
         spreads[name] = round(max(q) - min(q), 3)
 
+    # The r3 driver record came back ``parsed: null`` because the printed
+    # line carried two full per-query maps + long protocol strings and the
+    # driver's tail buffer truncated its front (VERDICT r3 "missing" #1).
+    # Keep the printed line SHORT — headline + queries map (driver spec) +
+    # numeric scaling/submit evidence — and park everything verbose in
+    # BENCH/bench_detail_<sf>.json.
     out = {
         "metric": "docs_per_sec_extract",
         "value": round(docs_per_sec, 2),
         "unit": "docs/sec",
         "queries": timings,
-        "query_spread": spreads,  # max−min over the 3 runs, per query
         "sf": tag,
-        "n_docs_extracted": n_docs,
         "cpus": int(cpus),
-        "corpus_build_sec": round(corpus_build_sec, 3),
     }
+    detail = {
+        "n_docs_extracted": n_docs,
+        "corpus_build_sec": round(corpus_build_sec, 3),
+        "query_spread": spreads,  # max−min over the 3 runs, per query
+        "extract_runs": [round(r, 3) for r in runs],
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     # fold in the latest two-level scaling evidence if present
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             s = json.load(f)
@@ -140,7 +150,7 @@ def main() -> None:
         out["scaling_levels"] = s.get("scaling_levels") or [
             s.get("low", {}).get("cores"), s.get("high", {}).get("cores")
         ]
-        out["scaling_protocol"] = s.get("protocol")
+        detail["scaling_protocol"] = s.get("protocol")
         out["machine_ceiling"] = s.get(
             "machine_ceiling_1_4",
             s.get("machine_calibration", {}).get("machine_efficiency"),
@@ -150,15 +160,30 @@ def main() -> None:
             out["scaling_4_16_normalized"] = s["pair_4_16"].get("normalized")
     # fold in the spark-submit --py-files launch evidence if present
     # (scripts/submit_bench.py; the north rule's prescribed launch shape)
-    submit_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "submit.json")
+    submit_path = os.path.join(bench_dir, "submit.json")
     if os.path.exists(submit_path):
         with open(submit_path) as f:
             sub = json.load(f)
         out["submit_efficiency"] = sub.get("efficiency_median_of_pairs")
         out["submit_levels"] = sub.get("levels")
         out["submit_resume_new_rows"] = sub.get("resume_new_rows")
-        out["submit_mechanism"] = sub.get("mechanism")
-    print(json.dumps(out))
+        detail["submit_mechanism"] = sub.get("mechanism")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, f"bench_detail_{tag}.json"), "w") as f:
+            json.dump({**out, **detail}, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the printed line is the record
+    line = json.dumps(out)
+    if len(line) > 3500:  # stay inside the driver's tail buffer
+        slim = dict(out)
+        slim["queries"] = {
+            k: timings[k]
+            for k in ["extract_pipeline"] + sorted(timings, key=timings.get, reverse=True)[:20]
+            if k in timings
+        }
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

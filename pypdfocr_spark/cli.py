@@ -129,7 +129,13 @@ def main(argv: list[str] | None = None) -> int:
         from .stream import watch_extract
 
         q = watch_extract(spark, args.watch, args.out, args.checkpoint, cfg)
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            # the watch loop stages pages under the same job-scoped
+            # prefix for as long as it runs; without this the dir leaked
+            # one job-<id> per launch (ADVICE r3)
+            _clean_scratch(cfg)
         return 0
 
     corpus_df = (
@@ -139,20 +145,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.resume:
         corpus_df = lineage.resume_filter(corpus_df, args.out)
+    # finally-scoped so a failed run releases its job-scoped staging too
+    # (a dead job's pages are useless; crash-without-finally leftovers
+    # remain the operator's clean_scratch maintenance sweep)
     if args.repeat > 1:
         runs_sec = []
-        for i in range(args.repeat):
-            t0 = time.monotonic()
-            result = pipeline.extract(corpus_df, cfg)
-            lineage.commit(result, f"{args.out}/r{i}")
-            runs_sec.append(round(time.monotonic() - t0, 2))
-        _clean_scratch(cfg)
+        try:
+            for i in range(args.repeat):
+                t0 = time.monotonic()
+                result = pipeline.extract(corpus_df, cfg)
+                lineage.commit(result, f"{args.out}/r{i}")
+                runs_sec.append(round(time.monotonic() - t0, 2))
+        finally:
+            _clean_scratch(cfg)
         print(json.dumps({"runs_sec": runs_sec, "n_warmup": 1}))
         return 0
     t0 = time.monotonic()
-    result = pipeline.extract(corpus_df, cfg)
-    stats = lineage.commit(result, args.out)
-    _clean_scratch(cfg)
+    try:
+        result = pipeline.extract(corpus_df, cfg)
+        stats = lineage.commit(result, args.out)
+    finally:
+        _clean_scratch(cfg)
     print(json.dumps({"run_id": stats["run_id"], "wall_sec": round(time.monotonic() - t0, 2)}))
     return 0
 

@@ -53,9 +53,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # with 'hello world'. The keep-class is Unicode letters/digits
 # (\p{L}\p{N}) — an ASCII [a-z0-9] class would normalize EVERY non-Latin
 # document (CJK, Cyrillic, Arabic…) to the empty string and collapse
-# them all into one bogus duplicate group. Both patterns are RE2-safe
-# and behave identically in Java regex and DuckDB's RE2.
-NORM_WS_CLASS_RE = "\\s+"
+# them all into one bogus duplicate group.
+#
+# The whitespace class is spelled out as LITERAL characters rather than
+# \s because Java regex and DuckDB's RE2 disagree on \s (Java includes
+# U+000B vertical tab, RE2 does not, and neither matches Unicode spaces
+# like NBSP) — 'ab\x0Bcd' would canonicalize to 'ab cd' on Spark but
+# 'abcd' on the oracle (ADVICE r3). The set is Python str.split()'s
+# whitespace set — the same contract the simhash tokenizer already pins
+# — so NBSP/ideographic-space separated words stay separated instead of
+# being fused by the strip pass.
+WS_CHARS = (
+    " \t\n\x0b\x0c\r\x1c\x1d\x1e\x1f\x85\u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+NORM_WS_CLASS_RE = "[" + WS_CHARS + "]+"
 NORM_STRIP_RE = "[^\\p{L}\\p{N} ]"
 NORM_WS_RE = " +"
 
@@ -170,6 +183,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """CCNet-style line-level deduplication: drop every line that occurs
     in ``min_docs`` or more *distinct* documents (boilerplate — cookie
@@ -185,27 +199,34 @@ def line_dedup(
     scanned twice (the line-count side and the reassembly side), never a
     third time for totals, and no final doc-level outer join is needed
     (all-boilerplate docs survive the groupBy with an empty kept list).
-    The join key here is the raw line string so the DuckDB oracle is
-    exact — at 100 TB you'd key both the agg and the join on
-    ``xxhash64(line)`` instead (shuffles 8-byte keys, tolerates the
-    ~dozens of birthday collisions a 10^12-line corpus implies for a
-    hygiene op).
+    The default join key is the raw line string so the DuckDB oracle is
+    exact. ``hash_keys=True`` is the 100-TB variant: both the agg and
+    the join key on ``xxhash64(line)`` instead, so the duplicate-count
+    shuffle and the mark-join ship 8-byte keys rather than raw
+    boilerplate lines (often hundreds of bytes each — the dominant
+    shuffle payload of this op at crawl scale). Semantics are identical
+    up to xxhash64 collisions — a 10^12-line corpus implies ~dozens of
+    birthday collisions, each falsely dropping one line, which a hygiene
+    op tolerates; parity vs the exact path on the sandbox corpus is
+    pytest-pinned.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
+    line_key = F.xxhash64(F.col("line")).alias("_k") if hash_keys else F.col("line").alias("_k")
     dup = (
         # blank lines are structure, not boilerplate: nearly every real
         # document contains one, so counting them would strip all
         # paragraph breaks corpus-wide — exempt them from the dup test
         lines.where(F.col("line") != "")
-        .groupBy("line")
+        .select(F.col(id_col), line_key)
+        .groupBy("_k")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("line", F.lit(True).alias("_dup"))
+        .select("_k", F.lit(True).alias("_dup"))
     )
-    marked = lines.join(dup, "line", "left")
+    marked = lines.withColumn("_k", line_key).join(dup, "_k", "left")
     # when() without otherwise -> null for dup lines; collect_list drops nulls
     kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
     return (
@@ -231,12 +252,19 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by token k-gram Jaccard ≥ threshold.
 
     shingle self-join on equal shingles → per-pair intersection count →
     Jaccard = |∩| / (|A| + |B| − |∩|). ``max_df`` drops ubiquitous
     shingles before the join (skew + fan-out control at scale).
+
+    ``cache_registry``: the pruned shingle relation is persisted (three
+    consumers); pass a list to receive the persisted DataFrame so a
+    caller looping many invocations in one session can ``.unpersist()``
+    it deterministically once the result is consumed, instead of relying
+    on LRU eviction / ContextCleaner GC (ADVICE r3).
     """
     sh = with_shingles(df, id_col, text_col, k)
     if max_df is not None:
@@ -261,10 +289,13 @@ def ngram_jaccard_pairs(
     # caller computes anything); the blocks are LRU-evicted under
     # pressure and GC'd with the DataFrame by the ContextCleaner. A
     # caller looping many invocations in one session can reclaim eagerly
-    # with spark.catalog.clearCache(). The 100-TB analog is materializing
-    # the shingle index as a table bucketed by shingle before the
-    # self-join (catalog.write_bucketed) — one explode pass either way.
+    # via ``cache_registry`` (or spark.catalog.clearCache()). The 100-TB
+    # analog is materializing the shingle index as a table bucketed by
+    # shingle before the self-join (catalog.write_bucketed) — one explode
+    # pass either way.
     sh = sh.persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -110,6 +110,7 @@ def asof_join(
     key_col: str = "user_id",
     ts_col: str = "ts",
     right_cols: tuple[str, ...] = ("value",),
+    block_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: each left row picks the latest right row of the same
     key with ``right.ts <= left.ts`` (inclusive — DuckDB ``ASOF JOIN``
@@ -125,10 +126,19 @@ def asof_join(
     (side 0 < 1) so it is visible to the left row, matching the
     inclusive >= semantics. Right rows are assumed unique per
     (key, ts) — pre-aggregate otherwise, as the oracle's ASOF is
-    ambiguous under such ties too. At 100 TB: key-skew splits via AQE
-    don't apply to window sorts, so a hot key (one user with 10^8
-    events) needs range re-partitioning on (key, ts) — documented here,
-    not needed at corpus key cardinalities.
+    ambiguous under such ties too.
+
+    At 100 TB: key-skew splits via AQE don't apply to window sorts, so a
+    hot key (one user with 10^8 events) pins the default path to one
+    unsplittable task. ``block_seconds`` enables the skew-safe variant:
+    rows are bucketed into time blocks of that width, the window
+    partitions on (key, block) — a hot key now spreads over as many
+    tasks as it spans blocks — and a compact per-(key, block) carry
+    frame (one row per non-empty block, NOT per event) propagates the
+    last right value across block boundaries with a second, tiny window.
+    Output is row-identical to the default path (pytest-pinned on a
+    one-hot-key fixture); cost is one extra combinable agg + one
+    equi-join on (key, block).
     """
     rv = F.struct(
         F.col(ts_col).alias("ts"), *[F.col(c).alias(c) for c in right_cols]
@@ -141,14 +151,57 @@ def asof_join(
         "_rv", F.lit(None).cast(rv_type)
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)).where(
-        F.col("_side") == 1
-    )
+    if block_seconds is None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, "_side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)).where(
+            F.col("_side") == 1
+        )
+    else:
+        if block_seconds <= 0:
+            raise ValueError("block_seconds must be positive")
+        blk = F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(block_seconds * 1_000_000)
+        ).alias("_blk")
+        u = u.withColumn("_blk", blk)
+        # pass 1: prefix-last WITHIN each (key, block) — the skew split;
+        # same (ts, _side) order as the default path, so equal-timestamp
+        # inclusive semantics carry over unchanged
+        w_in = (
+            Window.partitionBy(key_col, "_blk")
+            .orderBy(ts_col, "_side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        u = u.withColumn("_m_in", F.last("_rv", ignorenulls=True).over(w_in))
+        # pass 2: carry-in per block = last right value of any STRICTLY
+        # earlier block, computed on the compact one-row-per-(key, block)
+        # frame. max_by on ts is safe: right rows are unique per (key, ts)
+        # by contract.
+        blk_last = (
+            u.where(F.col("_side") == 0)
+            .groupBy(key_col, "_blk")
+            .agg(F.max_by("_rv", F.col(ts_col)).alias("_blk_last"))
+        )
+        all_blocks = u.select(key_col, "_blk").distinct()
+        w_carry = (
+            Window.partitionBy(key_col)
+            .orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            all_blocks.join(blk_last, [key_col, "_blk"], "left")
+            .withColumn("_carry", F.last("_blk_last", ignorenulls=True).over(w_carry))
+            .select(key_col, "_blk", "_carry")
+        )
+        matched = (
+            u.where(F.col("_side") == 1)
+            .join(carry, [key_col, "_blk"])
+            .withColumn("_m", F.coalesce(F.col("_m_in"), F.col("_carry")))
+        )
     return matched.select(
         *[F.col(c) for c in left.columns],
         F.col("_m.ts").alias("matched_ts"),

@@ -1,12 +1,15 @@
 """Multimodal column plumbing (brief: image/audio/video as opaque binary
 columns with typed metadata; decode/feature-extract as Arrow-batched UDFs).
 
-The container has no image/audio libraries, so the *decode* step is a
-deterministic stand-in (float32 tensor payloads round-tripped with numpy)
-and the real-decoder hook raises ``NotImplementedError`` — but the
-Spark-side plumbing (schema, mapInPandas batch shape, binary columns,
-partitioning) is real and tested. A real cluster swaps ``decode_image``
-for a PIL/ffmpeg-backed kernel behind the same signature.
+The container has no image/audio libraries, but the netpbm family
+(PPM/PGM — what ghostscript's pnmraw devices and pdfimages emit) needs
+none: :func:`decode_image` decodes P2/P3/P5/P6 with stdlib+numpy, and
+:func:`extract_image_features` runs real decoded-pixel features through
+the same mapInPandas plumbing. Formats genuinely requiring an external
+codec (PNG/JPEG/…) still raise ``NotImplementedError`` — a real cluster
+swaps in a PIL/ffmpeg-backed kernel behind the same signature. The
+float32-tensor payload path (:func:`media_table`/:func:`extract_features`)
+is the byte-round-trip fidelity check the SQL oracle verifies.
 """
 
 from __future__ import annotations
@@ -54,11 +57,86 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _parse_pnm_header(payload: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Parse ``n_fields`` whitespace-separated integer header fields after
+    the PNM magic, honoring ``#`` comments; returns (fields, offset of the
+    first data byte — one whitespace char past the last field)."""
+    fields: list[int] = []
+    i = 2  # past the 2-byte magic
+    n = len(payload)
+    while len(fields) < n_fields:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    return fields, i + 1  # exactly ONE whitespace byte separates header and raster
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — unavailable in this container (no PIL/cv2).
-    Pluggable strategy, mirroring the reference's binary override design
-    (ref: pypdfocr/pypdfocr.py:314-324)."""
-    raise NotImplementedError("image decoding requires PIL/cv2 on the cluster")
+    """Decode an image payload to an ndarray — pure stdlib+numpy, no PIL.
+
+    Supported: the netpbm family — the exact interchange formats the
+    reference's toolchain emits (ghostscript's ``pnmraw`` devices and
+    ``pdfimages`` both write PPM/PGM — ref: pypdfocr/pypdfocr_gs.py
+    device table): P5/P6 binary and P2/P3 ASCII, 8- and 16-bit
+    (binary 16-bit is big-endian per the netpbm spec). Returns uint8 or
+    uint16, shape (h, w) for grayscale, (h, w, 3) for RGB.
+
+    Formats genuinely needing an external codec (PNG/JPEG/…) still raise
+    ``NotImplementedError`` — the pluggable-strategy gate, mirroring the
+    reference's binary override design (ref: pypdfocr/pypdfocr.py:314-324).
+    """
+    magic = bytes(payload[:2])
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise NotImplementedError(
+            f"unsupported image magic {magic!r}: only PNM (P2/P3/P5/P6) decodes "
+            "without PIL/cv2 on the cluster"
+        )
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    (w, h, maxval), data_off = _parse_pnm_header(payload, 3)
+    if not (0 < maxval < 65536 and w > 0 and h > 0):
+        raise ValueError(f"invalid PNM dimensions {w}x{h} maxval={maxval}")
+    count = w * h * channels
+    if magic in (b"P5", b"P6"):
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        raster = payload[data_off : data_off + count * dtype.itemsize]
+        if len(raster) != count * dtype.itemsize:
+            raise ValueError("truncated PNM raster")
+        arr = np.frombuffer(raster, dtype=dtype).astype(
+            "uint16" if maxval > 255 else "uint8"
+        )
+    else:
+        vals = bytes(payload[data_off - 1 :]).split()
+        if len(vals) != count:
+            raise ValueError(f"ASCII PNM has {len(vals)} samples, expected {count}")
+        arr = np.array([int(v) for v in vals], dtype="uint16" if maxval > 255 else "uint8")
+    return arr.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def encode_pnm(arr: "np.ndarray", binary: bool = True) -> bytes:
+    """Inverse of :func:`decode_image` for PNM — the deterministic fixture
+    builder tests and synthetic media tables use (uint8 only)."""
+    arr = np.asarray(arr, dtype="uint8")
+    if arr.ndim == 2:
+        magic = b"P5" if binary else b"P2"
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6" if binary else b"P3"
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    header = b"%s\n%d %d\n255\n" % (magic, w, h)
+    if binary:
+        return header + arr.tobytes()
+    return header + (" ".join(str(int(v)) for v in arr.reshape(-1)) + "\n").encode()
 
 
 def media_table(emb: DataFrame) -> DataFrame:
@@ -80,6 +158,81 @@ def media_table(emb: DataFrame) -> DataFrame:
             )
 
     return emb.mapInPandas(pack, MEDIA_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("min_val", IntegerType(), False),
+        StructField("max_val", IntegerType(), False),
+        StructField("mean_val", DoubleType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+
+def image_media_table(emb: DataFrame, width: int = 8) -> DataFrame:
+    """Deterministic synthetic raster media table derived from the
+    embeddings table: each vector's float32 values are affinely mapped to
+    uint8 and packed as a binary PPM (``width``×ceil(dim/width/3) RGB,
+    zero-padded) — real image payloads for the decode path without any
+    external data, same construction on every run."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf["embedding"]:
+                f = np.asarray(v, dtype="<f4")
+                u8 = np.clip((f * 64.0 + 128.0), 0, 255).astype("uint8")
+                rows = -(-u8.size // (width * 3))  # ceil
+                img = np.zeros((rows, width, 3), dtype="uint8")
+                img.reshape(-1)[: u8.size] = u8
+                payloads.append(encode_pnm(img))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "media": payloads,
+                    "media_type": "image/x-portable-pixmap",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return emb.mapInPandas(pack, MEDIA_SCHEMA)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Decoded-image features over Arrow batches: payload →
+    :func:`decode_image` → (dims, min/max, float64-accumulated mean, md5
+    of the raw payload). Same mapInPandas plumbing as the tensor path —
+    the shape a PIL/ffmpeg decoder plugs into unchanged."""
+    import hashlib
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["media"]):
+                buf = bytes(payload)
+                img = decode_image(buf)
+                h, w = img.shape[:2]
+                ch = 1 if img.ndim == 2 else img.shape[2]
+                flat = img.reshape(-1)
+                rows.append(
+                    (int(vid), len(buf), int(w), int(h), int(ch),
+                     int(flat.min()), int(flat.max()),
+                     float(flat.astype("float64").sum() / flat.size),
+                     hashlib.md5(buf).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "n_bytes", "width", "height", "channels",
+                         "min_val", "max_val", "mean_val", "checksum"],
+            )
+
+    return media.mapInPandas(feats, IMAGE_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

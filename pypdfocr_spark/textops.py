@@ -23,25 +23,30 @@ def _marker_hits(text_col: str, markers: frozenset) -> Column:
     return F.size(F.filter(_tokens(text_col), lambda t: F.array_contains(arr, F.lower(t))))
 
 
-def lang_id_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-stopword language ID: score per language = count of marker
-    tokens; argmax with score>0, ties → lexicographically first language
-    (matches kernels.textstats.lang_id)."""
-    scored = df.select(
-        F.col(id_col),
-        *[
-            _marker_hits(text_col, LANG_MARKERS[lang]).alias(f"score_{lang}")
-            for lang in sorted(LANG_MARKERS)
-        ],
-    )
+def lang_pred_expr(text_col: str) -> tuple[Column, Column]:
+    """(pred_lang, score) as pure column expressions — argmax of marker
+    hits with score>0, ties → lexicographically first language (matches
+    kernels.textstats.lang_id). Exposed as expressions so a fused
+    curation pass can inline the gate into one corpus scan instead of a
+    join (recipe.curate, VERDICT r3 #5); repeated score subtrees are
+    deterministic, so whole-stage codegen CSEs them."""
     pred = F.lit("unk")
     best = F.lit(0)
     # iterate langs in sorted order; strictly-greater keeps the first max
     for lang in sorted(LANG_MARKERS):
-        cond = F.col(f"score_{lang}") > best
+        score = _marker_hits(text_col, LANG_MARKERS[lang])
+        cond = score > best
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
-    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("score"))
+        best = F.when(cond, score).otherwise(best)
+    return pred, best
+
+
+def lang_id_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-stopword language ID: score per language = count of marker
+    tokens; argmax with score>0, ties → lexicographically first language
+    (matches kernels.textstats.lang_id)."""
+    pred, best = lang_pred_expr(text_col)
+    return df.select(F.col(id_col), pred.alias("pred_lang"), best.alias("score"))
 
 
 # GPT-2-style pre-tokenizer classes: letter runs, digit runs, single
@@ -115,6 +120,41 @@ def pii_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
 SYMBOL_RE = "#|\\.\\.\\.|…"
 
 
+def gopher_exprs(
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+) -> dict[str, Column]:
+    """The Gopher-rule features and booleans as pure column expressions,
+    keyed by output column name — exposed so a fused curation pass can
+    inline the quality gate into one scan (recipe.curate, VERDICT r3 #5).
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    symbol_ratio = F.regexp_count(F.col(text_col), F.lit(SYMBOL_RE)) / n
+    ok_len = (n >= min_tokens) & (n <= max_tokens)
+    ok_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_symbol = symbol_ratio <= max_symbol_ratio
+    return {
+        "n_tokens": n,
+        "mean_token_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "ok_n_tokens": ok_len,
+        "ok_mean_len": ok_mean,
+        "ok_alpha": ok_alpha,
+        "ok_symbol": ok_symbol,
+        "keep": ok_len & ok_mean & ok_alpha & ok_symbol,
+    }
+
+
 def gopher_filter_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,15 +174,19 @@ def gopher_filter_df(
     rates. Pure JVM expressions — no UDFs, fully codegen'd; the agg a
     100-TB filter stage needs is a map-only pass.
     """
-    toks = _tokens(text_col)
-    n = F.size(toks)
-    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n
-    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
-    symbol_ratio = F.regexp_count(F.col(text_col), F.lit(SYMBOL_RE)) / n
-    ok_len = (n >= min_tokens) & (n <= max_tokens)
-    ok_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
-    ok_alpha = alpha_frac >= min_alpha_frac
-    ok_symbol = symbol_ratio <= max_symbol_ratio
+    e = gopher_exprs(
+        text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_mean_len=min_mean_len,
+        max_mean_len=max_mean_len,
+        min_alpha_frac=min_alpha_frac,
+        max_symbol_ratio=max_symbol_ratio,
+    )
+    n, mean_len = e["n_tokens"], e["mean_token_len"]
+    alpha_frac, symbol_ratio = e["alpha_frac"], e["symbol_ratio"]
+    ok_len, ok_mean = e["ok_n_tokens"], e["ok_mean_len"]
+    ok_alpha, ok_symbol = e["ok_alpha"], e["ok_symbol"]
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),

@@ -77,6 +77,20 @@ def test_ngram_jaccard_hot_set_not_force_broadcast(spark):
     assert (0, 3) not in got and (1, 4) not in got
 
 
+def test_ngram_jaccard_cache_registry_enables_deterministic_unpersist(spark):
+    """ADVICE r3: looping callers need a deterministic release path for
+    the persisted shingle relation, not LRU-eviction luck."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], ["doc_id", "text"]
+    )
+    reg: list = []
+    out = dedup.ngram_jaccard_pairs(df, k=2, threshold=0.1, cache_registry=reg)
+    out.count()
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    reg[0].unpersist(blocking=True)
+    assert not reg[0].storageLevel.useMemory
+
+
 def test_lsh_pairs_superset_sanity(spark):
     # identical docs must share all bands
     df = spark.createDataFrame(
@@ -187,6 +201,68 @@ def test_multimodal_roundtrip(spark, emb):
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_pnm_decode_roundtrip_and_variants():
+    """decode_image handles the whole netpbm family without PIL: binary/
+    ASCII × gray/RGB roundtrip, header comments, 16-bit big-endian, and
+    truncation errors; non-PNM magics stay behind the pluggable gate."""
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    rgb = (np.arange(5 * 4 * 3, dtype="uint8") * 3 % 251).reshape(5, 4, 3)
+    gray = (np.arange(6 * 7, dtype="uint8") * 5 % 241).reshape(6, 7)
+    for arr, binary in [(rgb, True), (rgb, False), (gray, True), (gray, False)]:
+        out = multimodal.decode_image(multimodal.encode_pnm(arr, binary=binary))
+        assert out.shape == arr.shape and (out == arr).all()
+    # header comments + arbitrary whitespace
+    with_comment = b"P5\n# a comment\n 3\t2 # inline\n255\n" + bytes(range(6))
+    out = multimodal.decode_image(with_comment)
+    assert out.shape == (2, 3) and out.reshape(-1).tolist() == list(range(6))
+    # 16-bit binary is big-endian per the netpbm spec
+    vals16 = np.array([[0, 300], [65535, 1]], dtype="uint16")
+    payload16 = b"P5\n2 2\n65535\n" + vals16.astype(">u2").tobytes()
+    out16 = multimodal.decode_image(payload16)
+    assert out16.dtype == np.uint16 and (out16 == vals16).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(b"P5\n3 2\n255\n\x00\x01")
+    with _pytest.raises(NotImplementedError, match="magic"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+
+
+def test_image_features_from_synthetic_ppm(spark, emb):
+    """VERDICT r3 #8: real decoded-pixel features over the Spark plumbing —
+    the synthetic PPM table derived from embeddings, decoded per batch,
+    checked value-for-value against a local numpy replica."""
+    import hashlib
+
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    sample = emb.limit(6)
+    feats = {
+        r["vec_id"]: r
+        for r in multimodal.extract_image_features(
+            multimodal.image_media_table(sample, width=8)
+        ).collect()
+    }
+    for row in sample.collect():
+        f = np.asarray(row["embedding"], dtype="<f4")
+        u8 = np.clip(f * 64.0 + 128.0, 0, 255).astype("uint8")
+        rows = -(-u8.size // 24)
+        img = np.zeros((rows, 8, 3), dtype="uint8")
+        img.reshape(-1)[: u8.size] = u8
+        payload = multimodal.encode_pnm(img)
+        got = feats[row["vec_id"]]
+        assert (got["width"], got["height"], got["channels"]) == (8, rows, 3)
+        assert got["min_val"] == int(img.min()) and got["max_val"] == int(img.max())
+        assert abs(got["mean_val"] - img.astype("float64").mean()) < 1e-12
+        assert got["checksum"] == hashlib.md5(payload).hexdigest()
+        assert got["n_bytes"] == len(payload)
+
+
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -195,6 +271,10 @@ def test_entry_contract(spark):
     # EVERY query carries a DuckDB oracle — zero rows-only exemptions;
     # a new query without an oracle fails here before the driver sees it
     assert set(oracles) == set(qs)
+    # the driver checks at most 50 queries (r3: 51 registered, 50 checked,
+    # the 51st silently lost its correctness row) — cap the battery so
+    # every registered query actually gets a driver verdict
+    assert len(qs) <= 50, "driver caps correctness rows at 50 queries"
 
 
 def test_connected_components_chain_and_islands(spark):
@@ -521,6 +601,49 @@ def test_asof_join_single_shuffle(spark):
     assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
 
 
+def test_asof_join_blocked_matches_default_on_hot_key(spark):
+    """VERDICT r3 #6: the skew-safe time-blocked variant must be
+    row-identical to the default single-window path on a fixture where
+    ONE key holds ~all events (the case that pins the default path to a
+    single task). Covers: blocks with no right rows (carry-through),
+    right rows at block boundaries, equal-ts inclusivity, the no-match
+    prefix, and a cold key."""
+    from pypdfocr_spark import events as ev
+
+    # hot key 7: 400 left events over 400s; right rows every 35s -> with
+    # block_seconds=60 some blocks have no right row at all. Cold key 8
+    # exercises the per-key independence of the carry.
+    left = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+    ).unionByName(
+        spark.range(5).select(
+            (F.col("id") + 1000).alias("event_id"),
+            F.lit(8).alias("user_id"),
+            (F.col("id") * 50).cast("timestamp").alias("ts"),
+        )
+    )
+    right = spark.range(12).select(
+        F.lit(7).alias("user_id"),
+        (F.col("id") * 35).cast("timestamp").alias("ts"),  # 0,35,70,... incl. 420>max
+        (F.col("id") * 1.0).alias("value"),
+    ).unionByName(
+        spark.range(2).select(
+            F.lit(8).alias("user_id"),
+            (F.col("id") * 120 + 60).cast("timestamp").alias("ts"),
+            (F.col("id") * 1.0 + 100).alias("value"),
+        )
+    )
+    base = sorted(map(tuple, ev.asof_join(left, right).collect()))
+    blocked = sorted(
+        map(tuple, ev.asof_join(left, right, block_seconds=60).collect())
+    )
+    assert blocked == base and len(base) == 405
+    with pytest.raises(ValueError, match="block_seconds"):
+        ev.asof_join(left, right, block_seconds=0)
+
+
 def test_sliding_counts_membership(spark):
     import datetime as dt
 
@@ -652,6 +775,24 @@ def test_corpus_curate_gates_compose(spark):
     assert rows[5]["contaminated"] and not rows[5]["survived"]
 
 
+def test_curate_fused_matches_composed(spark, docs):
+    """The single-scan fused plan (default) must be row-identical to the
+    operator-by-operator composition on real corpus data — the cross-check
+    that lets the fused form inherit the composed form's oracle."""
+    from pypdfocr_spark import recipe
+
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    fused = recipe.curate(corpus, bench, min_tokens=30, mode="fused")
+    composed = recipe.curate(corpus, bench, min_tokens=30, mode="composed")
+    assert fused.columns == composed.columns
+    f_rows = sorted(map(tuple, fused.collect()))
+    c_rows = sorted(map(tuple, composed.collect()))
+    assert f_rows == c_rows
+    with pytest.raises(ValueError, match="mode"):
+        recipe.curate(corpus, bench, mode="bogus")
+
+
 def test_curation_report_counts(spark):
     from pypdfocr_spark import recipe
 
@@ -759,6 +900,40 @@ def test_canonical_text_invariants_batch(spark):
         assert r["c1"] == r["c3"], f"ws-sensitive for doc {r['doc_id']}"
 
 
+def test_canonical_text_hostile_whitespace_cross_engine(spark):
+    """Java \\s and DuckDB RE2 \\s disagree on VT (U+000B) and both miss
+    Unicode spaces — the ADVICE-r3 divergence. The shared literal class
+    (dedup.WS_CHARS) must canonicalize hostile whitespace IDENTICALLY on
+    both engines: every WS_CHARS character acts as a word separator."""
+    import duckdb
+
+    cases = [
+        (0, "ab\x0bcd"),          # vertical tab — the reported divergence
+        (1, "ab cd"),        # NBSP
+        (2, "ab\u3000cd"),       # ideographic space
+        (3, "ab\x1ccd\x1fef"),    # file/unit separators (str.split() set)
+        (4, "a b c"),   # line/paragraph separators
+        (5, "plain text"),
+    ]
+    df = spark.createDataFrame(cases, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", dedup.canonical_text(F.col("text")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    ws = "[" + dedup.WS_CHARS + "]+"
+    for i, s in cases:
+        (oracle,) = con.execute(
+            "SELECT trim(regexp_replace(regexp_replace(regexp_replace("
+            "lower(?), ?, ' ', 'g'), '[^\\p{L}\\p{N} ]', '', 'g'), ' +', ' ', 'g'))",
+            [s, ws],
+        ).fetchone()
+        assert got[i] == oracle, f"case {i}: spark {got[i]!r} vs duckdb {oracle!r}"
+    assert got[0] == "ab cd" and got[1] == "ab cd" and got[2] == "ab cd"
+
+
 def test_line_dedup_conservation_batch(spark):
     """kept + removed == total line count, for every adversarial doc."""
     df = spark.createDataFrame(
@@ -770,6 +945,17 @@ def test_line_dedup_conservation_batch(spark):
     }
     for r in dedup.line_dedup(df, min_docs=2).collect():
         assert r["n_lines_kept"] + r["n_lines_removed"] == totals[r["doc_id"]]
+
+
+def test_line_dedup_hash_keys_parity(spark, docs):
+    """VERDICT r3 #7: the xxhash64-keyed variant (8-byte shuffle keys —
+    the 100-TB shape) must reproduce the exact raw-string path on the
+    sandbox corpus, where no hash collisions exist."""
+    exact = sorted(map(tuple, dedup.line_dedup(docs, min_docs=2).collect()))
+    hashed = sorted(
+        map(tuple, dedup.line_dedup(docs, min_docs=2, hash_keys=True).collect())
+    )
+    assert hashed == exact
 
 
 def test_chunk_df_lossless_at_full_stride(spark):
