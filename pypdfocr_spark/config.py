@@ -54,3 +54,9 @@ class ExtractConfig:
     # — because an executor-local default would silently blank pages on
     # any multi-host cluster (staged path unreachable after the shuffle).
     scratch_dir: str | None = None
+    # Heavy-path document reassembly engine. False (default): pure JVM
+    # aggregation (pipeline._jvm_reassemble) — collect_list + array_sort +
+    # array_join + ordered route reduction, no Python stage. True: the
+    # original applyInPandas reassembly, kept as the semantic cross-check
+    # (pytest pins the two row-identical on corpus + failure fixtures).
+    python_reassembly: bool = False

@@ -10,8 +10,10 @@ Logical plan::
       └─ heavy docs (payload > threshold):          # the skew tail
            mapInPandas(explode_pages)               # doc → per-page rows
            → repartition(K, xxhash64(url, page_no)) # salt: spread one doc's pages
-           → mapInPandas(extract_page)              # per-page OCR+parse
-           → groupBy(url).applyInPandas(reassemble) # page-order concat + route
+           → mapInPandas(extract_page)              # per-page OCR+parse+norm+route-match
+           → groupBy(url).agg(...)                  # JVM reassembly: collect_list
+                                                    #   + array_sort + array_join +
+                                                    #   ordered route reduction
       → unionByName
 
 Why this shape at 100 TB:
@@ -45,7 +47,7 @@ from . import corpus as ck
 from .config import ExtractConfig
 from .kernels import codec, hocr, htmlx
 from .kernels.normalize import normalize_page_text
-from .kernels.route import route_document
+from .kernels.route import first_matching_folder, route_document
 from .schema import (
     CORPUS_SCHEMA,
     EXTRACTED_SCHEMA,
@@ -290,8 +292,11 @@ def _page_text_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     # early-exit the light path uses (P2) — a combined
                     # pseudo-page would route differently for the same doc
                     for i, ptext in enumerate(pages):
+                        pnorm = normalize_page_text(ptext)
                         out.append(
-                            (url, ts, lang, i, len(pages), ptext, status, int(nbytes))
+                            (url, ts, lang, i, len(pages), ptext, pnorm,
+                             first_matching_folder(pnorm, cfg.targets),
+                             status, int(nbytes))
                         )
                     if pages:
                         continue
@@ -308,7 +313,11 @@ def _page_text_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     text = hocr.page_text_from_spans(spans)
             except Exception as exc:  # data error → row, never task failure
                 text, status = "", f"error:{type(exc).__name__}"
-        out.append((url, ts, lang, int(pno), int(n), text, status, int(nbytes)))
+        norm = normalize_page_text(text)
+        out.append(
+            (url, ts, lang, int(pno), int(n), text, norm,
+             first_matching_folder(norm, cfg.targets), status, int(nbytes))
+        )
     share = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
     res = pd.DataFrame(out, columns=[f.name for f in PAGE_TEXT_SCHEMA.fields][:-1])
     res["wall_ms"] = share
@@ -346,6 +355,82 @@ def _make_reassemble(cfg: ExtractConfig):
         )
 
     return reassemble
+
+
+def _filename_route_expr(url_col, targets):
+    """JVM form of ``first_matching_folder(url, targets)``: an ordered
+    when-chain of substring tests on the lowered url — exact parity with
+    the Python kernel because keywords are already lowercased
+    (route.normalize_targets) and the match is plain substring."""
+    low = F.lower(url_col)
+    expr = None
+    for folder, kws in targets:
+        for kw in kws:
+            cond = F.lit(True) if kw == "" else (F.instr(low, kw) > 0)
+            expr = F.when(cond, F.lit(folder)) if expr is None else expr.when(cond, F.lit(folder))
+    if expr is None:
+        return F.lit(None).cast("string")
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def _jvm_reassemble(pages_df: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Document reassembly as pure JVM aggregation — the default since
+    round 4. The per-page Python stage already produced ``norm_text`` and
+    ``route_match``; rebuilding the document is then collect_list +
+    array_sort + array_join and an ordered route reduction, all inside
+    whole-stage codegen. vs the former ``applyInPandas`` reassembly this
+    removes one Python stage (and its Arrow round trip of every heavy
+    document's full text) from the hot path; semantics are pinned
+    row-identical by tests/test_pipeline.py::test_jvm_reassembly_parity.
+
+    Semantics mirrored from the Python ``_make_reassemble`` exactly:
+
+    * doc status = first non-ok page status in page order, via
+      ``min(struct(page_no, status))`` over non-ok rows;
+    * failed docs collapse to (text='', n_pages=0) and route only through
+      the filename fallback / default — page matches are ignored;
+    * doc text = page texts joined by newline; doc norm = per-page norms
+      joined by space (ascii-ignore distributes over concat and the
+      joining newline itself normalizes to a space, so this equals
+      ``normalize_page_text(text)`` — the S6 contract);
+    * route = first page (by page_no) with a match → its folder, else
+      filename fallback (when enabled), else the default.
+    """
+    struct_sorted = F.array_sort(
+        F.collect_list(F.struct("page_no", "n_pages", "page_text", "norm_text", "route_match"))
+    )
+    g = pages_df.groupBy("url").agg(
+        struct_sorted.alias("_p"),
+        F.min(
+            F.when(F.col("status") != "ok", F.struct("page_no", "status"))
+        ).alias("_bad"),
+        F.min("warc_ts").alias("warc_ts"),
+        F.min("lang").alias("lang"),
+        F.min("byte_count").alias("byte_count"),
+        F.sum("wall_ms").alias("wall_ms"),
+    )
+    ok = F.col("_bad").isNull()
+    page_route = F.get(
+        F.filter("_p", lambda x: x["route_match"].isNotNull()), 0
+    )["route_match"]
+    route = F.when(ok, page_route).otherwise(F.lit(None).cast("string"))
+    if cfg.use_filename:
+        route = F.coalesce(route, _filename_route_expr(F.col("url"), cfg.targets))
+    route = F.coalesce(route, F.lit(cfg.default_route).cast("string"))
+    return g.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("lang"),
+        F.when(ok, F.array_join(F.transform("_p", lambda x: x["page_text"]), "\n", ""))
+        .otherwise("").alias("extracted_text"),
+        F.when(ok, F.array_join(F.transform("_p", lambda x: x["norm_text"]), " ", ""))
+        .otherwise("").alias("extracted_norm"),
+        route.alias("route"),
+        F.when(ok, F.get("_p", 0)["n_pages"]).otherwise(F.lit(0)).cast("int").alias("n_pages"),
+        F.when(ok, F.lit("ok")).otherwise(F.col("_bad")["status"]).alias("status"),
+        F.col("byte_count"),
+        F.col("wall_ms"),
+    )
 
 
 # ------------------------------------------------------------------ pipeline
@@ -393,18 +478,31 @@ def extract(corpus_df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame
         lambda it: (_extract_rows(pdf, cfg) for pdf in it), EXTRACTED_SCHEMA
     )
 
-    k = cfg.page_partitions or spark.sparkContext.defaultParallelism * 4
+    # After the salt, page rows are uniform-cost (one page each), so the
+    # right partition count is the cluster's parallelism — not a multiple:
+    # every extra partition is one more Python-worker dispatch, and the
+    # r4 sweep measured 4× parallelism costing ~2× the whole stage in
+    # tiny-task overhead (32→128 partitions: 1.04s→2.7s on 7.9k pages).
+    # Page-count skew is already broken by the per-page salt itself;
+    # clusters with heterogeneous page cost can raise cfg.page_partitions.
+    k = cfg.page_partitions or spark.sparkContext.defaultParallelism
     heavy_out = (
-        # spread the few heavy docs before splitting them: input-file
-        # clustering would otherwise queue several multi-MB docs on one
-        # task (heavy rows are rare, so this shuffle is tiny)
-        heavy.repartition(spark.sparkContext.defaultParallelism, F.xxhash64("url"))
-        .mapInPandas(lambda it: (_explode_rows(pdf, cfg) for pdf in it), PAGE_SCHEMA)
+        # Explode IN PLACE at the scan — no pre-spread shuffle. The
+        # explode is a byte split (no parse, ~2 ms/doc), so input-file
+        # clustering of heavy docs costs microseconds per task, while the
+        # pre-repartition it replaced shuffled every heavy document's
+        # RAW payload a second time (the salt exchange right after this
+        # ships the same bytes page-split — once is enough).
+        heavy.mapInPandas(lambda it: (_explode_rows(pdf, cfg) for pdf in it), PAGE_SCHEMA)
         .repartition(k, F.xxhash64("url", "page_no"))
         .mapInPandas(lambda it: (_page_text_rows(pdf, cfg) for pdf in it), PAGE_TEXT_SCHEMA)
-        .groupBy("url")
-        .applyInPandas(_make_reassemble(cfg), EXTRACTED_SCHEMA)
     )
+    if cfg.python_reassembly:
+        heavy_out = heavy_out.groupBy("url").applyInPandas(
+            _make_reassemble(cfg), EXTRACTED_SCHEMA
+        )
+    else:
+        heavy_out = _jvm_reassemble(heavy_out, cfg)
     return light_out.unionByName(heavy_out)
 
 

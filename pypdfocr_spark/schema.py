@@ -108,6 +108,12 @@ PAGE_TEXT_SCHEMA = StructType(
         StructField("page_no", IntegerType(), False),
         StructField("n_pages", IntegerType(), False),
         StructField("page_text", StringType(), True),
+        # per-page S6 normalization + first-matching route folder, computed
+        # in the same Python pass as the page text so document reassembly
+        # can stay entirely JVM-side (collect_list + array_sort + array_join
+        # — no applyInPandas stage, no second Arrow round trip of the text)
+        StructField("norm_text", StringType(), True),
+        StructField("route_match", StringType(), True),
         StructField("status", StringType(), False),
         StructField("byte_count", LongType(), True),
         StructField("wall_ms", DoubleType(), True),

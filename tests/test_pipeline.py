@@ -92,6 +92,49 @@ def test_resume_noop_without_snapshot(spark, tmp_path):
     assert lineage.resume_filter(corpus_df, str(tmp_path / "nope")).count() == 400
 
 
+def test_jvm_reassembly_parity(spark):
+    """The JVM heavy-path reassembly (default) must be row-identical to
+    the original applyInPandas reassembly — over the real corpus (heavy
+    tail included) AND the failure fixtures (decode_error, unsupported,
+    mixed-page statuses), with wall_ms excluded (a timing column)."""
+    import dataclasses
+    import datetime
+
+    from pypdfocr_spark.kernels import codec
+    from pypdfocr_spark.schema import CORPUS_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    pad = 300_000
+    good_page = {"dpi": 300, "w_px": 2550, "h_px": 3300,
+                 "words": [{"t": "spark window", "b": [10, 10, 80, 40], "l": 0}]}
+    plain_page = {"dpi": 300, "w_px": 2550, "h_px": 3300,
+                  "words": [{"t": "nothing-here", "b": [10, 10, 80, 40], "l": 0}]}
+    fixtures = [
+        ("https://a.example/corrupt.pdf", ts,
+         codec.MAGIC + b'{"dpi":300,"words":[]}\n{garbage' + b"x" * pad, "", "en"),
+        ("https://a.example/blob.bin", ts, b"\x00\x01" + b"y" * pad, "", "en"),
+        # routed via a page match on a late page (page-order reduction)
+        ("https://a.example/late-route.pdf", ts,
+         codec.encode_doc([plain_page] * 200 + [good_page]), "", "en"),
+        # no page match → filename fallback ('table' ∈ targets['storage'])
+        ("https://a.example/table-report.pdf", ts,
+         codec.encode_doc([plain_page] * 200), "", "en"),
+    ]
+    fixture_df = spark.createDataFrame(
+        [(u, t, p, x, l, len(p)) for (u, t, p, x, l) in fixtures], CORPUS_SCHEMA
+    )
+    corpus_df = pipeline.build_corpus_df(spark, SF_SMOKE).unionByName(fixture_df)
+    cfg_jvm = ExtractConfig()
+    cfg_py = dataclasses.replace(cfg_jvm, python_reassembly=True)
+    cols = [c for c in pipeline.extract(corpus_df, cfg_jvm).columns if c != "wall_ms"]
+    got_jvm = sorted(map(tuple, pipeline.extract(corpus_df, cfg_jvm).select(cols).collect()))
+    got_py = sorted(map(tuple, pipeline.extract(corpus_df, cfg_py).select(cols).collect()))
+    assert got_jvm == got_py
+    by_url = {r[0]: r for r in got_jvm}
+    assert by_url["https://a.example/late-route.pdf"][cols.index("route")] == "spark_docs"
+    assert by_url["https://a.example/table-report.pdf"][cols.index("route")] == "storage"
+
+
 def test_heavy_path_failures_reach_status_and_lineage(spark):
     """A failing HEAVY document must surface a non-ok status (and thus a
     lineage failure), not be silently committed as ok — per-page statuses
