@@ -117,7 +117,7 @@ def main() -> None:
             t0 = time.monotonic()
             queries[name](spark, sf_dir).count()
             q.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(q), 2)
+        timings[name] = round(statistics.median(q), 3)
         spreads[name] = round(max(q) - min(q), 3)
 
     # The r3 driver record came back ``parsed: null`` because the printed
@@ -176,12 +176,12 @@ def main() -> None:
         pass  # detail file is best-effort; the printed line is the record
     line = json.dumps(out)
     if len(line) > 3500:  # stay inside the driver's tail buffer
+        # deterministic subset — alphabetical, NOT top-N-by-time: a
+        # timing-dependent subset would differ run to run, breaking any
+        # consumer (regression_bench) that joins queries across runs
         slim = dict(out)
-        slim["queries"] = {
-            k: timings[k]
-            for k in ["extract_pipeline"] + sorted(timings, key=timings.get, reverse=True)[:20]
-            if k in timings
-        }
+        keep = ["extract_pipeline"] + sorted(k for k in timings if k != "extract_pipeline")[:20]
+        slim["queries"] = {k: timings[k] for k in keep if k in timings}
         line = json.dumps(slim)
     print(line)
 

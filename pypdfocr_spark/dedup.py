@@ -214,19 +214,27 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    line_key = F.xxhash64(F.col("line")).alias("_k") if hash_keys else F.col("line").alias("_k")
+    # join key: the raw line by default (oracle-exact, no extra column —
+    # duplicating the string into a second column would double the mark-
+    # join's per-row shuffle payload); xxhash64(line) under hash_keys
+    key = F.xxhash64(F.col("line")).alias("_k") if hash_keys else F.col("line")
+    key_name = "_k" if hash_keys else "line"
     dup = (
         # blank lines are structure, not boilerplate: nearly every real
         # document contains one, so counting them would strip all
         # paragraph breaks corpus-wide — exempt them from the dup test
         lines.where(F.col("line") != "")
-        .select(F.col(id_col), line_key)
-        .groupBy("_k")
+        .select(F.col(id_col), key)
+        .groupBy(key_name)
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("_k", F.lit(True).alias("_dup"))
+        .select(key_name, F.lit(True).alias("_dup"))
     )
-    marked = lines.withColumn("_k", line_key).join(dup, "_k", "left")
+    marked = (
+        lines.withColumn("_k", key).join(dup, "_k", "left")
+        if hash_keys
+        else lines.join(dup, "line", "left")
+    )
     # when() without otherwise -> null for dup lines; collect_list drops nulls
     kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
     return (

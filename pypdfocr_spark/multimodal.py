@@ -60,7 +60,10 @@ FEATURE_SCHEMA = StructType(
 def _parse_pnm_header(payload: bytes, n_fields: int) -> tuple[list[int], int]:
     """Parse ``n_fields`` whitespace-separated integer header fields after
     the PNM magic, honoring ``#`` comments; returns (fields, offset of the
-    first data byte — one whitespace char past the last field)."""
+    first data byte). The spec separator is ONE whitespace char past the
+    last field; a CRLF pair (Windows-written files) is consumed as one
+    separator — without that, the raster would silently start at the LF
+    and every pixel would be shifted one byte (caught in r4 review)."""
     fields: list[int] = []
     i = 2  # past the 2-byte magic
     n = len(payload)
@@ -78,6 +81,8 @@ def _parse_pnm_header(payload: bytes, n_fields: int) -> tuple[list[int], int]:
             raise ValueError("truncated PNM header")
         fields.append(int(payload[i:j]))
         i = j
+    if payload[i : i + 2] == b"\r\n":
+        return fields, i + 2  # CRLF counts as one separator
     return fields, i + 1  # exactly ONE whitespace byte separates header and raster
 
 
@@ -108,9 +113,17 @@ def decode_image(payload: bytes) -> "np.ndarray":
     count = w * h * channels
     if magic in (b"P5", b"P6"):
         dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
-        raster = payload[data_off : data_off + count * dtype.itemsize]
-        if len(raster) != count * dtype.itemsize:
+        # strict framing: the raster must be EXACTLY the remaining bytes —
+        # a length mismatch in either direction means the separator or
+        # dimensions were mis-parsed, and silently slicing would return
+        # shifted pixels instead of an error
+        raster = payload[data_off:]
+        if len(raster) < count * dtype.itemsize:
             raise ValueError("truncated PNM raster")
+        if len(raster) > count * dtype.itemsize:
+            raise ValueError(
+                f"PNM raster has {len(raster)} bytes, expected {count * dtype.itemsize}"
+            )
         arr = np.frombuffer(raster, dtype=dtype).astype(
             "uint16" if maxval > 255 else "uint8"
         )

@@ -35,6 +35,8 @@ def _prev_medians() -> dict[str, float]:
 
 def main() -> int:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    prev = _prev_medians()  # parse BEFORE the multi-minute run loop: a
+    # missing/renamed r3 table should fail fast, not after 30 min of runs
     runs: list[dict] = []
     values: list[float] = []
     for i in range(n_runs):
@@ -53,8 +55,12 @@ def main() -> int:
         values.append(d["value"])
         print(f"run {i + 1}/{n_runs}: {d['value']} docs/sec", flush=True)
 
-    prev = _prev_medians()
-    names = list(runs[0].keys())
+    # intersection across runs: if any run printed the slimmed queries
+    # map (bench.py tail-buffer fallback), only the common keys compare
+    names = [k for k in runs[0] if all(k in r for r in runs)]
+    dropped = sorted(set(runs[0]) - set(names))
+    if dropped:
+        print(f"WARN: {len(dropped)} queries missing from some runs: {dropped}")
     lines = [
         "# BENCH regression table — round 4 vs round 3",
         "",

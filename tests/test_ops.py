@@ -225,8 +225,15 @@ def test_pnm_decode_roundtrip_and_variants():
     assert out16.dtype == np.uint16 and (out16 == vals16).all()
     import pytest as _pytest
 
+    # CRLF header-raster separator (Windows-written files): the pair is
+    # ONE separator — a naive single-byte skip would shift every pixel
+    # (r4 review finding, reproduced before fix)
+    crlf = multimodal.decode_image(b"P5\r\n3 2\r\n255\r\n" + bytes(range(6)))
+    assert crlf.reshape(-1).tolist() == list(range(6))
     with _pytest.raises(ValueError, match="truncated"):
         multimodal.decode_image(b"P5\n3 2\n255\n\x00\x01")
+    with _pytest.raises(ValueError, match="expected"):
+        multimodal.decode_image(b"P5\n3 2\n255\n" + bytes(range(7)))  # trailing junk
     with _pytest.raises(NotImplementedError, match="magic"):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg")
 
