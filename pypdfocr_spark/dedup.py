@@ -119,10 +119,13 @@ def normalized_exact_dedup(
 
 
 # ---------------------------------------------------------- shingles (shared)
-def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Explode distinct token k-gram shingles per document — entirely
-    JVM-side: split → sequence/transform sliding window → array_distinct
-    → explode."""
+def shingle_array_expr(text_col: str, k: int = 3):
+    """Distinct token k-gram shingles of a text column as an ARRAY
+    expression — split → sequence/transform sliding window →
+    array_distinct, no explode. Shared by the exploding form below and
+    by map-only consumers (the streaming decontamination gate computes
+    per-doc overlap as array_intersect against the eval-set array,
+    avoiding the explode+groupBy that streaming can't run stateless)."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     kgrams = F.when(
@@ -132,8 +135,31 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(kgrams)
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Explode distinct token k-gram shingles per document — entirely
+    JVM-side: split → sequence/transform sliding window → array_distinct
+    → explode."""
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(kgrams)).alias("shingle")
+        F.col(id_col), F.explode(shingle_array_expr(text_col, k)).alias("shingle")
+    )
+
+
+def contamination_overlap_expr(text_col: str, eval_shingles: list[str], k: int = 2):
+    """Map-only form of the decontamination count: per-row
+    ``size(array_intersect(doc_shingles, eval_set))`` against the eval
+    shingle set as ONE array literal. Exactly :func:`decontaminate`'s
+    n_overlap (both sides are distinct sets — pytest-pinned equal), but
+    with no explode/groupBy, so it runs stateless inside a streaming
+    micro-batch. Legitimate for the same reason decontaminate's broadcast
+    is: an eval suite is bounded by construction (MBs, not corpus-scale);
+    the literal IS that broadcast, resident in the plan."""
+    return F.size(
+        F.array_intersect(
+            shingle_array_expr(text_col, k), F.lit(sorted(eval_shingles))
+        )
     )
 
 

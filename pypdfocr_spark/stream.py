@@ -181,6 +181,73 @@ def sliding_stream(
     )
 
 
+def curate_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 30,
+    min_overlap: int = 3,
+    dedup_keys: bool = True,
+) -> DataFrame:
+    """Streaming corpus curation — the incremental form of
+    ``recipe.curate``: documents arriving on a stream pass the SAME four
+    gates and only survivors are emitted.
+
+    Streaming-first re-expression of each gate:
+
+    * language + Gopher quality: the identical pure expressions the batch
+      recipe inlines (``textops.lang_pred_expr`` / ``gopher_exprs``) —
+      stateless, map-only.
+    * decontamination: ``dedup.contamination_overlap_expr`` — the eval
+      shingle set (bounded by construction, from the STATIC ``benchmark``
+      frame) as one array literal, per-doc overlap via array_intersect.
+      Same n_overlap as the oracled batch operator (pytest-pinned), but
+      with no explode/groupBy, so the gate is stateless too.
+    * duplicate gate: ``dropDuplicates`` on the canonical hash — Spark's
+      stateful streaming dedup. Semantics differ from batch BY DESIGN and
+      are documented at the call site: batch keeps min(doc_id), a stream
+      keeps the FIRST ARRIVAL of each canon group (you cannot know a
+      smaller id is coming); exactly one survivor per group either way.
+      State is keyed by 32-hex norm_hash and grows with distinct
+      documents — at crawl scale bound it with
+      ``withWatermark`` + ``dropDuplicatesWithinWatermark`` upstream, or
+      periodic checkpoint compaction. ``dedup_keys=False`` disables the
+      stateful stage (gates stay stateless).
+
+    Emits (id, norm_hash, n_overlap) per surviving document — append-mode
+    compatible: every operator here is either stateless or streaming
+    dedup, no aggregation that would need a watermark to finalize.
+    """
+    from . import dedup as dd
+    from . import textops
+
+    eval_shingles = [
+        r[0]
+        for r in dd.with_shingles(benchmark, id_col, text_col, k=2)
+        .select("shingle")
+        .distinct()
+        .collect()
+    ]
+    pred, _ = textops.lang_pred_expr(text_col)
+    keep = textops.gopher_exprs(text_col, min_tokens=min_tokens)["keep"]
+    canon = dd.canonical_text(F.col(text_col))
+    norm = F.when(canon == "", F.col(text_col)).otherwise(canon)
+    n_overlap = dd.contamination_overlap_expr(text_col, eval_shingles, k=2)
+    gated = (
+        docs.withColumn("_pl", pred == lang)
+        .withColumn("_pq", keep)
+        .withColumn("n_overlap", n_overlap)
+        .withColumn("norm_hash", F.md5(norm))
+        .where(
+            F.col("_pl") & F.col("_pq") & (F.col("n_overlap") < min_overlap)
+        )
+        .select(F.col(id_col), "norm_hash", F.col("n_overlap").cast("long"))
+    )
+    return gated.dropDuplicates(["norm_hash"]) if dedup_keys else gated
+
+
 def debounced_ready(
     df: DataFrame,
     key_col: str = "url",

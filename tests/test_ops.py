@@ -782,6 +782,30 @@ def test_corpus_curate_gates_compose(spark):
     assert rows[5]["contaminated"] and not rows[5]["survived"]
 
 
+def test_contamination_overlap_expr_matches_decontaminate(spark, docs):
+    """The map-only array-intersect form (the streaming gate) must produce
+    the SAME per-doc n_overlap as the oracled explode+groupBy operator."""
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    eval_shingles = [
+        r[0]
+        for r in dedup.with_shingles(bench, "doc_id", "text", k=2)
+        .select("shingle").distinct().collect()
+    ]
+    expr_out = {
+        r["doc_id"]: r["n"]
+        for r in corpus.select(
+            "doc_id",
+            dedup.contamination_overlap_expr("text", eval_shingles, k=2).alias("n"),
+        ).collect()
+    }
+    op_out = {
+        r["doc_id"]: r["n_overlap"]
+        for r in dedup.decontaminate(corpus, bench, k=2).collect()
+    }
+    assert expr_out == op_out and any(v > 0 for v in op_out.values())
+
+
 def test_curate_fused_matches_composed(spark, docs):
     """The single-scan fused plan (default) must be row-identical to the
     operator-by-operator composition on real corpus data — the cross-check

@@ -200,3 +200,62 @@ def test_sliding_stream_matches_batch_finalized_windows(spark, tmp_path):
         assert abs(bs - s) < 1e-6
     # every event lands in W/S = 4 windows: totals line up on the emitted set
     assert len(got) >= 4
+
+
+def test_curate_stream_matches_batch_gates(spark, tmp_path_factory):
+    """Streaming curation parity vs recipe.curate on the same corpus:
+    the three stateless gates agree doc-for-doc, and the stateful dedup
+    stage emits exactly ONE survivor per canonical group (first-arrival
+    keeper — the documented streaming-vs-batch semantic difference)."""
+    import pyspark.sql.types as T
+
+    from pypdfocr_spark import recipe
+
+    base = tmp_path_factory.mktemp("curate_stream")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    inbox = str(base / "inbox")
+    # two arrival slices -> at least two micro-batches under availableNow
+    corpus.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(inbox)
+    corpus.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(inbox)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    sdf = spark.readStream.schema(schema).parquet(inbox)
+    q = (
+        stream.curate_stream(sdf, bench, min_tokens=30)
+        .writeStream.format("memory")
+        .queryName("curated")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in spark.sql("select * from curated").collect()}
+
+    verdicts = {r["doc_id"]: r for r in recipe.curate(corpus, bench, min_tokens=30).collect()}
+    gate_pass = {
+        d for d, r in verdicts.items()
+        if r["passed_lang"] and r["passed_quality"] and not r["contaminated"]
+    }
+    # every stream survivor passed the batch gates; nothing outside them
+    assert set(got) <= gate_pass
+    # exactly one survivor per canonical group of the gate-passing docs
+    from pypdfocr_spark import dedup as dd
+
+    canon = dd.canonical_text(F.col("text"))
+    norm = F.when(canon == "", F.col("text")).otherwise(canon)
+    groups: dict = {}
+    for r in corpus.select("doc_id", F.md5(norm).alias("h")).collect():
+        if r["doc_id"] in gate_pass:
+            groups.setdefault(r["h"], set()).add(r["doc_id"])
+    for hash_, members in groups.items():
+        assert len(members & set(got)) == 1, f"group {hash_}: {members}"
+    # stream survivors carry the same norm_hash the batch canon computes
+    for d, r in got.items():
+        assert d in groups[r["norm_hash"]]
+    # and the batch keeper count equals the stream survivor count
+    n_batch_survivors = sum(1 for d, r in verdicts.items() if r["survived"])
+    assert len(got) == n_batch_survivors
