@@ -140,6 +140,7 @@ def parse_hocr_all(hocr_xml: str, height: float, dpi: float) -> list[list[dict]]
 
 
 _SPAN_PATH = f".//{{{XHTML_NS}}}span"
+_SPAN_TAG = f"{{{XHTML_NS}}}span"
 _PT_PER_PX = 72.0
 
 
@@ -151,12 +152,14 @@ def _parse_page_element(page: Element, height: float, dpi: float) -> list[dict]:
     # single attrib lookup per element. Byte-identity is pinned by the
     # golden tests and the extract_text oracle.
     lines: list[dict] = []
-    for line in page.findall(_SPAN_PATH):
+    bbox_search = REGEX_BBOX.search  # hoisted: ~2.5 regex searches/word
+    fontspec_search = REGEX_FONTSPEC.search
+    for line in page.iter(_SPAN_TAG):  # C-level iterator ≡ findall('.//span')
         la = line.attrib
         if la.get("class") != "ocr_line":
             continue
         title = la.get("title", "")
-        bbox_m = REGEX_BBOX.search(title)
+        bbox_m = bbox_search(title)
         if bbox_m is None:
             # reference would raise AttributeError per line; we degrade
             # per-page like its outer try (no text rather than crash)
@@ -182,7 +185,7 @@ def _parse_page_element(page: Element, height: float, dpi: float) -> list[dict]:
                 # ' '.join of every descendant .text (ref :315-319)
                 word_text = " ".join(t for t in (c.text for c in word.iter()) if t)
             wtitle = wa.get("title", "")
-            box_m = REGEX_BBOX.search(wtitle)
+            box_m = bbox_search(wtitle)
             if box_m is None:
                 continue
             box = [float(i) for i in box_m.group(1).split()]
@@ -190,7 +193,7 @@ def _parse_page_element(page: Element, height: float, dpi: float) -> list[dict]:
                 x, y = box[0], box[1]
             else:
                 x, y = _CORNER.get(textangle, _CORNER[0])(box)
-            fs_m = REGEX_FONTSPEC.search(wtitle)
+            fs_m = fontspec_search(wtitle)
             # x_fsize matches \d+ → always an int when present (ref :357-364)
             font_size = int(fs_m.group(2)) if fs_m else 8
             words.append(
