@@ -139,7 +139,6 @@ def parse_hocr_all(hocr_xml: str, height: float, dpi: float) -> list[list[dict]]
     ]
 
 
-_SPAN_PATH = f".//{{{XHTML_NS}}}span"
 _SPAN_TAG = f"{{{XHTML_NS}}}span"
 _PT_PER_PX = 72.0
 
