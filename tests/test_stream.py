@@ -259,3 +259,47 @@ def test_curate_stream_matches_batch_gates(spark, tmp_path_factory):
     # and the batch keeper count equals the stream survivor count
     n_batch_survivors = sum(1 for d, r in verdicts.items() if r["survived"])
     assert len(got) == n_batch_survivors
+
+
+def test_curate_stream_restart_keeps_dedup_state(spark, tmp_path_factory):
+    """Checkpointed streaming curation across a RESTART: the canon-dedup
+    state must survive — a document arriving after the restart whose
+    canonical form was already emitted before it must NOT re-emit, and no
+    doc_id is ever emitted twice."""
+    import pyspark.sql.types as T
+
+    base = tmp_path_factory.mktemp("curate_restart")
+    inbox, outdir, ckpt = str(base / "inbox"), str(base / "out"), str(base / "ckpt")
+    # survivors must pass the gates: english stopword markers + >=30 tokens
+    body = "the and for with this that " + " ".join(f"word{i}" for i in range(40))
+    rows1 = [(1, body + " alpha"), (2, body + " beta")]
+    # doc 3 = case-variant of doc 1 (same canon); doc 4 fresh
+    rows2 = [(3, (body + " alpha").upper()), (4, body + " gamma")]
+    bench = spark.createDataFrame([(100, "leaked benchmark fragment xyz")], ["doc_id", "text"])
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(inbox)
+        q = (
+            stream.curate_stream(sdf, bench, min_tokens=30)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inbox)
+    run_once()
+    first = {r["doc_id"] for r in spark.read.parquet(outdir).collect()}
+    assert first == {1, 2}
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(inbox)
+    run_once()
+    out = spark.read.parquet(outdir).collect()
+    ids = [r["doc_id"] for r in out]
+    assert sorted(ids) == [1, 2, 4], f"got {sorted(ids)}"  # 3 deduped ACROSS the restart
+    assert len(ids) == len(set(ids))  # exactly-once per doc
