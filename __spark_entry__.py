@@ -32,6 +32,12 @@ from pypdfocr_spark import (
 from pypdfocr_spark.config import ExtractConfig
 from pypdfocr_spark.corpus import HEAVY_REPEAT
 
+# LSH bucket-size cap (VERDICT r4 #1) applied by BOTH the Spark queries
+# and their oracles (HAVING-count prune), so the driver hash-verifies
+# the capped semantics. 64 is a no-op on the driver corpus (largest
+# band-bucket there is far smaller) but binds on boilerplate floods.
+LSH_MAX_BUCKET = 64
+
 # ----------------------------------------------------------------- helpers
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -340,7 +346,13 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=4, k=3)
+    # max_bucket caps the band-bucket fan-out (VERDICT r4 #1); the value
+    # is mirrored in the oracle's HAVING prune, so the row stays
+    # hash-verified whether or not the cap binds at this scale.
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, k=3,
+        max_bucket=LSH_MAX_BUCKET,
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +393,8 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates, exact-cosine filtered. Oracle reproduces the identical
     # candidate rule via bit_count(xor(bucket_a, bucket_b)) <= 1.
     return dedup.embedding_near_dup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.3, n_planes=8, probe_bits=1
+        _emb(spark, sf_dir), threshold=0.3, n_planes=8, probe_bits=1,
+        max_bucket=LSH_MAX_BUCKET,
     ).select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
@@ -997,7 +1010,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, unnest({shingle3}) AS shingle FROM documents)
             ),
             sig AS (SELECT doc_id, {mh16} FROM x GROUP BY doc_id),
-            bands AS ({lsh_bands})
+            bands_all AS ({lsh_bands}),
+            -- max_bucket prune, mirroring dedup.minhash_lsh_pairs
+            hot AS (
+                SELECT band, bucket FROM bands_all
+                GROUP BY band, bucket HAVING count(*) > {LSH_MAX_BUCKET}
+            ),
+            bands AS (
+                SELECT b.* FROM bands_all b
+                ANTI JOIN hot h ON b.band = h.band AND b.bucket = h.bucket
+            )
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b USING (band, bucket)
             WHERE a.doc_id < b.doc_id
@@ -1086,7 +1108,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "embedding_neardup_lsh": f"""
-            WITH bk AS (SELECT vec_id, embedding, {emb_bucket} AS bucket FROM embeddings)
+            WITH bk_all AS (SELECT vec_id, embedding, {emb_bucket} AS bucket FROM embeddings),
+            -- max_bucket prune, mirroring dedup.embedding_near_dup_pairs_lsh
+            hotb AS (
+                SELECT bucket FROM bk_all
+                GROUP BY bucket HAVING count(*) > {LSH_MAX_BUCKET}
+            ),
+            bk AS (
+                SELECT b.* FROM bk_all b ANTI JOIN hotb h ON b.bucket = h.bucket
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cosine
             FROM bk a JOIN bk b

@@ -101,6 +101,65 @@ def test_lsh_pairs_superset_sanity(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_minhash_lsh_max_bucket_bounds_boilerplate_flood(spark):
+    """VERDICT r4 #1 adversarial fixture: 10k identical boilerplate docs
+    collapse into ONE band-bucket per band; uncapped, that bucket alone
+    would emit ~C(10k,2) ≈ 5×10⁷ candidate pairs (quadratic output — the
+    scale-killer). With max_bucket the flood bucket is dropped and ONLY
+    the genuine small-bucket near-dup pair survives, in bounded time."""
+    flood = [(i, "the same boilerplate footer text appears on every page") for i in range(10_000)]
+    real = [(100_001, "unique alpha beta gamma delta epsilon zeta"),
+            (100_002, "unique alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(flood + real, ["doc_id", "text"])
+    reg: list = []
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, max_bucket=64, cache_registry=reg).collect()
+    }
+    assert pairs == {(100_001, 100_002)}
+    # persisted band relation is handed back for deterministic release
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    reg[0].unpersist(blocking=True)
+
+
+def test_minhash_lsh_noop_cap_matches_uncapped(spark):
+    """A cap larger than every bucket must be a pure no-op (this is the
+    regime the driver battery runs in — LSH_MAX_BUCKET=64 vs tiny
+    sf0.01 buckets)."""
+    rows = [(i, f"w{i % 7} common token stream w{i % 5} w{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(df).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.minhash_lsh_pairs(df, max_bucket=1000).collect()}
+    assert base == capped and base  # non-trivial fixture
+
+
+def test_embedding_neardup_lsh_max_bucket_bounds_flood(spark):
+    """Same pathology on the embedding side: identical vectors share a
+    sign-LSH bucket; uncapped a 200-vector flood emits C(200,2)=19900
+    pairs; capped, the flood bucket is pruned from BOTH join sides and
+    only the genuine isolated near-dup pair remains."""
+    import random
+
+    rng = random.Random(7)
+    boiler = [0.9] * 16
+    distinct = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1001, distinct), (1002, [x * 1.01 for x in distinct])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = dedup.embedding_near_dup_pairs_lsh(
+        emb, threshold=0.99, n_planes=8, probe_bits=0
+    ).count()
+    assert uncapped == (200 * 199) // 2 + 1  # quadratic flood + the real pair
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_lsh(
+            emb, threshold=0.99, n_planes=8, probe_bits=0, max_bucket=50
+        ).collect()
+    }
+    assert capped == {(1001, 1002)}
+
+
 def test_topk_shape_and_self_exclusion(spark, emb):
     out = similarity.brute_force_topk(emb, query_ids=[0, 1], k=5).collect()
     assert len(out) == 10
