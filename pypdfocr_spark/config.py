@@ -54,6 +54,18 @@ class ExtractConfig:
     # — because an executor-local default would silently blank pages on
     # any multi-host cluster (staged path unreachable after the shuffle).
     scratch_dir: str | None = None
+    # Binary names/paths for the subprocess kernels. The reference lets
+    # every external tool be overridden from YAML config ('binary:'
+    # override design, ref: pypdfocr/pypdfocr.py:314-324); carrying them
+    # here gives real clusters the same knob (e.g. a non-PATH tesseract
+    # build) and lets the fake-binary e2e test inject hermetic stubs by
+    # absolute path — executors never probe PATH either way.
+    gs_binary: str = "gs"
+    tesseract_binary: str = "tesseract"
+    convert_binary: str = "convert"
+    pdfinfo_binary: str = "pdfinfo"
+    pdfimages_binary: str = "pdfimages"
+    identify_binary: str = "identify"
     # Heavy-path document reassembly engine. False (default): pure JVM
     # aggregation (pipeline._jvm_reassemble) — collect_list + array_sort +
     # array_join + ordered route reduction, no Python stage. True: the

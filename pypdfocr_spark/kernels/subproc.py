@@ -6,7 +6,11 @@ cluster ``envcheck`` selects this module instead (the reference's
 pluggable ``binary:`` override design, ref: pypdfocr/pypdfocr.py:314-324).
 Everything here is unit-tested with a mocked ``subprocess`` — exactly how
 the reference tests its binary wrappers (ref: test/test_tesseract.py,
-test/test_gs.py).
+test/test_gs.py) — AND driven end-to-end through real process boundaries
+by tests/test_subproc_e2e.py, which generates stub gs/tesseract/pdfinfo/
+pdfimages/identify executables and asserts byte-identical extraction vs
+the builtin path (the analog of the reference's real-binary e2e,
+ref: test/test_pypdfocr.py:51-83).
 
 Reference parity, cited per function:
 
@@ -374,6 +378,7 @@ def extract_page_subprocess(
     tesseract_binary: str = "tesseract",
     lang: str = "eng",
     preprocess: bool = False,
+    convert_binary: str = "convert",
 ) -> str:
     """ONE page of a staged real PDF → extracted text: the per-task body
     of the distributed page split (rasterize_page_range's
@@ -391,7 +396,7 @@ def extract_page_subprocess(
         with open(img_path, "wb") as f:
             f.write(img_bytes)
         if preprocess:
-            img_path = preprocess_img_subprocess(img_path)  # graceful
+            img_path = preprocess_img_subprocess(img_path, convert_binary)  # graceful
         hocr_path = make_hocr_from_img(img_path, tesseract_binary, lang)
         with open(hocr_path, encoding="utf-8") as f:
             spans = hocr.parse_hocr_page(f.read(), 1, height_pt, dpi)
@@ -468,6 +473,9 @@ def extract_doc_subprocess(
     tesseract_binary: str = "tesseract",
     lang: str = "eng",
     preprocess: bool = False,
+    convert_binary: str = "convert",
+    pdfimages_binary: str = "pdfimages",
+    identify_binary: str = "identify",
 ) -> tuple[list[str], str]:
     """Whole-document extraction over real binaries: payload → temp pdf →
     gs page images → per-page tesseract hOCR → parse with the engine's
@@ -479,7 +487,7 @@ def extract_doc_subprocess(
         pdf_path = os.path.join(td, "doc.pdf")
         with open(pdf_path, "wb") as f:
             f.write(payload)
-        geom = detect_dpi(pdf_path)
+        geom = detect_dpi(pdf_path, pdfimages=pdfimages_binary, identify=identify_binary)
         try:
             imgs = make_imgs_from_pdf(
                 pdf_path, geom["output_dpi"], geom["greyscale"], gs_binary
@@ -493,7 +501,7 @@ def extract_doc_subprocess(
                     # opt-in like the reference's --preprocess flag
                     # (ref: pypdfocr/pypdfocr.py:186-193); failure returns
                     # the original image, never fails the page
-                    img = preprocess_img_subprocess(img)
+                    img = preprocess_img_subprocess(img, convert_binary)
                 hocr_path = make_hocr_from_img(img, tesseract_binary, lang)
                 with open(hocr_path, encoding="utf-8") as f:
                     spans = hocr.parse_hocr_page(

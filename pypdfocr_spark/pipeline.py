@@ -106,7 +106,13 @@ def _doc_kernel(payload: bytes, cfg: ExtractConfig):
     if cfg.ocr_strategy == "subprocess" and payload.startswith(b"%PDF"):
         from .kernels import subproc
 
-        return subproc.extract_doc_subprocess(payload, preprocess=cfg.preprocess)
+        return subproc.extract_doc_subprocess(
+            payload, gs_binary=cfg.gs_binary,
+            tesseract_binary=cfg.tesseract_binary,
+            preprocess=cfg.preprocess, convert_binary=cfg.convert_binary,
+            pdfimages_binary=cfg.pdfimages_binary,
+            identify_binary=cfg.identify_binary,
+        )
     return ck.extract_doc(payload)
 
 
@@ -199,8 +205,11 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 if cfg.scratch_dir is None:
                     raise RuntimeError("no shared scratch configured")
                 path = subproc.stage_pdf(payload, cfg.scratch_dir)
-                n = subproc.pdf_page_count(path)
-                geom = subproc.detect_dpi(path)
+                n = subproc.pdf_page_count(path, pdfinfo=cfg.pdfinfo_binary)
+                geom = subproc.detect_dpi(
+                    path, pdfimages=cfg.pdfimages_binary,
+                    identify=cfg.identify_binary,
+                )
             except Exception:
                 n = None
             if n:
@@ -273,7 +282,10 @@ def _page_text_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                         text = subproc.extract_page_subprocess(
                             page["pdf_path"], int(page["page"]), int(dpi),
                             bool(page.get("greyscale", True)), float(height),
+                            gs_binary=cfg.gs_binary,
+                            tesseract_binary=cfg.tesseract_binary,
                             preprocess=cfg.preprocess,
+                            convert_binary=cfg.convert_binary,
                         )
                     except subproc.OcrError:
                         text, status = "", "ocr_error"
@@ -285,7 +297,13 @@ def _page_text_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     from .kernels import subproc
 
                     pages, status = subproc.extract_doc_subprocess(
-                        base64.b64decode(page["pdf_b64"]), preprocess=cfg.preprocess
+                        base64.b64decode(page["pdf_b64"]),
+                        gs_binary=cfg.gs_binary,
+                        tesseract_binary=cfg.tesseract_binary,
+                        preprocess=cfg.preprocess,
+                        convert_binary=cfg.convert_binary,
+                        pdfimages_binary=cfg.pdfimages_binary,
+                        identify_binary=cfg.identify_binary,
                     )
                     # one output row PER PAGE, so reassembly keeps page
                     # boundaries and routes with the same per-page
