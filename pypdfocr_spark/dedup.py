@@ -22,6 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -161,6 +162,50 @@ def contamination_overlap_expr(text_col: str, eval_shingles: list[str], k: int =
             shingle_array_expr(text_col, k), F.lit(sorted(eval_shingles))
         )
     )
+
+
+def contamination_overlap_udf(eval_shingles: list[str], k: int = 2):
+    """Arrow-batched scale form of :func:`contamination_overlap_expr` for
+    LARGE eval suites (VERDICT r4 #3): the shingle set rides in the UDF
+    closure instead of the expression tree. PySpark ships serialized
+    commands above 1 MB through a real Spark broadcast
+    (``_prepare_for_python_RDD``), so a multi-million-shingle suite costs
+    one torrent broadcast per executor — not a multi-MB array literal
+    re-serialized into every task's plan. The UDF is stateless, so it is
+    legal in any streaming output mode.
+
+    Why not the stream-static join the batch :func:`decontaminate` uses:
+    the per-document overlap COUNT after an (exploded-shingle ⋈ eval-set)
+    join is a streaming aggregation keyed on doc_id — a non-event-time
+    key, which append mode cannot finalize. A join would also force the
+    explode+shuffle back into the stream. The closure broadcast keeps the
+    gate map-only.
+
+    Tokenization mirrors ``shingle_array_expr`` exactly: single-space
+    split (empties kept), whole-text fallback when n < k, distinct
+    shingles; parity is pytest-pinned against the expression form.
+    """
+    shingle_set = frozenset(eval_shingles)
+
+    @F.pandas_udf("int")
+    def _overlap(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                # expression-form parity: split(NULL) nulls the n>=k
+                # condition, so when().otherwise() falls through to
+                # array(concat_ws(' ', NULL)) == [''] — null text
+                # shingles like empty text, it does not null the count
+                t = ""
+            toks = t.split(" ")
+            if len(toks) >= k:
+                grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            else:
+                grams = {" ".join(toks)}
+            out.append(len(grams & shingle_set))
+        return pd.Series(out, dtype="Int32")
+
+    return _overlap
 
 
 # ------------------------------------------------------- decontamination
@@ -456,7 +501,6 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     (kernels.textstats.simhash64_many); identical output to the scalar
     reference ``simhash64`` and to the DuckDB bit-vote oracle. Returned
     as the signed-64 reinterpretation for BIGINT storage."""
-    import pandas as pd
 
     def gen(batches):
         for pdf in batches:

@@ -190,6 +190,9 @@ def curate_stream(
     min_tokens: int = 30,
     min_overlap: int = 3,
     dedup_keys: bool = True,
+    shingle_literal_max: int = 100_000,
+    dedup_ttl: str | None = None,
+    ts_col: str = "warc_ts",
 ) -> DataFrame:
     """Streaming corpus curation — the incremental form of
     ``recipe.curate``: documents arriving on a stream pass the SAME four
@@ -200,25 +203,41 @@ def curate_stream(
     * language + Gopher quality: the identical pure expressions the batch
       recipe inlines (``textops.lang_pred_expr`` / ``gopher_exprs``) —
       stateless, map-only.
-    * decontamination: ``dedup.contamination_overlap_expr`` — the eval
-      shingle set (bounded by construction, from the STATIC ``benchmark``
-      frame) as one array literal, per-doc overlap via array_intersect.
-      Same n_overlap as the oracled batch operator (pytest-pinned), but
-      with no explode/groupBy, so the gate is stateless too.
+    * decontamination, sized to the eval suite (VERDICT r4 #3): up to
+      ``shingle_literal_max`` distinct eval shingles the set is inlined
+      as ONE array literal (``dedup.contamination_overlap_expr`` —
+      zero Python, array_intersect in codegen); above it, the set moves
+      into an Arrow pandas-UDF closure
+      (``dedup.contamination_overlap_udf``) that PySpark ships via a
+      real broadcast — one copy per executor instead of a multi-MB
+      literal in every serialized task plan. Both forms are stateless
+      and compute the identical n_overlap (pytest-pinned); a
+      stream-static join was rejected because the per-doc overlap count
+      is a non-event-time streaming aggregation append mode cannot
+      finalize (see contamination_overlap_udf's docstring).
     * duplicate gate: ``dropDuplicates`` on the canonical hash — Spark's
-      stateful streaming dedup. Semantics differ from batch BY DESIGN and
-      are documented at the call site: batch keeps min(doc_id), a stream
-      keeps the FIRST ARRIVAL of each canon group (you cannot know a
-      smaller id is coming); exactly one survivor per group either way.
-      State is keyed by 32-hex norm_hash and grows with distinct
-      documents — at crawl scale bound it with
-      ``withWatermark`` + ``dropDuplicatesWithinWatermark`` upstream, or
-      periodic checkpoint compaction. ``dedup_keys=False`` disables the
-      stateful stage (gates stay stateless).
+      stateful streaming dedup. Semantics differ from batch BY DESIGN:
+      (a) a stream keeps the FIRST ARRIVAL of each canon group, batch
+      keeps min(doc_id) — you cannot know a smaller id is coming; and
+      (b) the stream dedups only GATE-PASSERS, while batch picks the
+      keeper over ALL docs before gating — so a group whose min-id
+      member fails a gate yields ZERO batch survivors but one stream
+      survivor (the first gate-passing arrival). Batch survivor count is
+      therefore a LOWER bound on the stream's, equal only on corpora
+      where every batch keeper passes its gates.
+      Dedup state is keyed by 32-hex norm_hash and grows with distinct
+      documents. ``dedup_ttl`` bounds it: with a duration string (e.g.
+      ``'1 hour'``) the stream watermarks ``ts_col`` by the TTL and uses
+      ``dropDuplicatesWithinWatermark``, so duplicate arrivals inside
+      the TTL still dedupe while state older than the watermark is
+      evicted — at crawl scale state is then O(docs per TTL window),
+      not O(corpus). ``dedup_keys=False`` disables the stateful stage
+      entirely (gates stay stateless).
 
-    Emits (id, norm_hash, n_overlap) per surviving document — append-mode
-    compatible: every operator here is either stateless or streaming
-    dedup, no aggregation that would need a watermark to finalize.
+    Emits (id, norm_hash, n_overlap[, ts]) per surviving document —
+    append-mode compatible: every operator here is either stateless or
+    streaming dedup, no aggregation that would need a watermark to
+    finalize.
     """
     from . import dedup as dd
     from . import textops
@@ -234,7 +253,16 @@ def curate_stream(
     keep = textops.gopher_exprs(text_col, min_tokens=min_tokens)["keep"]
     canon = dd.canonical_text(F.col(text_col))
     norm = F.when(canon == "", F.col(text_col)).otherwise(canon)
-    n_overlap = dd.contamination_overlap_expr(text_col, eval_shingles, k=2)
+    if len(eval_shingles) <= shingle_literal_max:
+        n_overlap = dd.contamination_overlap_expr(text_col, eval_shingles, k=2)
+    else:
+        n_overlap = dd.contamination_overlap_udf(eval_shingles, k=2)(F.col(text_col))
+    out_cols = [F.col(id_col), "norm_hash", F.col("n_overlap").cast("long")]
+    if dedup_ttl is not None:
+        # the event-time column must survive the projection for
+        # dropDuplicatesWithinWatermark's state eviction to bind to it
+        docs = docs.withWatermark(ts_col, dedup_ttl)
+        out_cols.append(F.col(ts_col))
     gated = (
         docs.withColumn("_pl", pred == lang)
         .withColumn("_pq", keep)
@@ -243,9 +271,13 @@ def curate_stream(
         .where(
             F.col("_pl") & F.col("_pq") & (F.col("n_overlap") < min_overlap)
         )
-        .select(F.col(id_col), "norm_hash", F.col("n_overlap").cast("long"))
+        .select(*out_cols)
     )
-    return gated.dropDuplicates(["norm_hash"]) if dedup_keys else gated
+    if not dedup_keys:
+        return gated
+    if dedup_ttl is not None:
+        return gated.dropDuplicatesWithinWatermark(["norm_hash"])
+    return gated.dropDuplicates(["norm_hash"])
 
 
 def debounced_ready(

@@ -161,7 +161,9 @@ def repetition_stats_df(
     )
     return df.select(
         F.col(id_col),
-        n.alias("n_tokens"),
+        # long like every other count column in the battery — the
+        # width-exact oracle type probe (ADVICE r4) compares int64==int64
+        n.cast("long").alias("n_tokens"),
         (F.size(uniq).cast("double") / n).alias("distinct_ratio"),
         (top.cast("double") / n).alias("top_token_frac"),
     )

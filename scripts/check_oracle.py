@@ -86,12 +86,15 @@ def make_connection(sf_dir: str, tstz: bool = False, tz: str | None = None):
 
 def duck_kind(type_str: str) -> str:
     """Coarse type kind of a DuckDB type name (from ``DESCRIBE <query>``,
-    which only PLANS the query — no second execution). Wide enough that
-    legit width differences (INTEGER vs BIGINT) agree, narrow enough that
-    the driver-observed divergences fail: DuckDB widens an uncast integer
-    ``sum()`` to HUGEINT, which ships to the driver as Arrow
-    ``decimal128(38,0)`` while Spark returns int64 — "decimal" vs "int"
-    (VERDICT r3 #1/#2)."""
+    which only PLANS the query — no second execution). Narrow enough that
+    every driver-observable divergence fails the probe: DuckDB widens an
+    uncast integer ``sum()`` to HUGEINT, which ships to the driver as
+    Arrow ``decimal128(38,0)`` while Spark returns int64 — "decimal" vs
+    "int64" (VERDICT r3 #1/#2). Integer WIDTH is kept (ADVICE r4 #2):
+    a value-hashing driver treats int32 == int64, but a driver hashing
+    Arrow types would not — the same sensitivity class as the HUGEINT
+    trap — so the probe is width-exact and the battery aligns casts
+    instead of assuming."""
     t = type_str.strip().upper()
     if t.endswith("[]"):
         return f"list<{duck_kind(type_str.strip()[:-2])}>"
@@ -99,9 +102,11 @@ def duck_kind(type_str: str) -> str:
         return "struct"
     if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
         return "decimal"  # Arrow decimal128 — the HUGEINT trap
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
-        return "int"
+    _INTS = {"TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+             "BIGINT": "int64", "UTINYINT": "uint8", "USMALLINT": "uint16",
+             "UINTEGER": "uint32", "UBIGINT": "uint64"}
+    if t in _INTS:
+        return _INTS[t]
     if t in ("FLOAT", "REAL", "DOUBLE"):
         return "float"
     if t == "BOOLEAN":
@@ -123,8 +128,14 @@ def spark_kind(dt) -> str:
 
     if isinstance(dt, T.BooleanType):
         return "bool"
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return "int"
+    if isinstance(dt, T.ByteType):
+        return "int8"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.LongType):
+        return "int64"
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         return "float"
     if isinstance(dt, T.DecimalType):

@@ -101,6 +101,28 @@ def test_lsh_pairs_superset_sanity(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_contamination_overlap_udf_matches_expr_edge_cases(spark):
+    """The broadcast-closure UDF form must reproduce the array-literal
+    expression form exactly, including the n<k whole-text fallback,
+    empty strings, and nulls (curate_stream switches between them by
+    eval-suite size)."""
+    shingles = ["a b", "b c", "x y", ""]
+    rows = [
+        (1, "a b c d"),       # two overlapping 2-grams
+        (2, "zz"),            # n<k fallback: shingle = whole text
+        (3, ""),              # empty text → [''] → matches '' in set
+        (4, None),            # null text — expr shingles it like '' (see UDF)
+        (5, "q r s t u"),     # zero overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = dedup.contamination_overlap_expr("text", shingles, k=2)
+    udf = dedup.contamination_overlap_udf(shingles, k=2)(F.col("text"))
+    got = df.select("doc_id", expr.alias("e"), udf.alias("u")).collect()
+    for r in got:
+        assert r["e"] == r["u"], r
+    assert {r["doc_id"]: r["e"] for r in got} == {1: 2, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
 def test_minhash_lsh_max_bucket_bounds_boilerplate_flood(spark):
     """VERDICT r4 #1 adversarial fixture: 10k identical boilerplate docs
     collapse into ONE band-bucket per band; uncapped, that bucket alone

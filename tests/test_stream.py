@@ -225,7 +225,7 @@ def test_curate_stream_matches_batch_gates(spark, tmp_path_factory):
     )
     sdf = spark.readStream.schema(schema).parquet(inbox)
     q = (
-        stream.curate_stream(sdf, bench, min_tokens=30)
+        stream.curate_stream(sdf, bench, min_tokens=30, min_overlap=25)
         .writeStream.format("memory")
         .queryName("curated")
         .option("checkpointLocation", str(base / "ckpt"))
@@ -235,11 +235,15 @@ def test_curate_stream_matches_batch_gates(spark, tmp_path_factory):
     q.awaitTermination()
     got = {r["doc_id"]: r for r in spark.sql("select * from curated").collect()}
 
-    verdicts = {r["doc_id"]: r for r in recipe.curate(corpus, bench, min_tokens=30).collect()}
+    verdicts = {r["doc_id"]: r for r in recipe.curate(corpus, bench, min_tokens=30, min_overlap=25).collect()}
     gate_pass = {
         d for d, r in verdicts.items()
         if r["passed_lang"] and r["passed_quality"] and not r["contaminated"]
     }
+    # with the default min_overlap this corpus yields ZERO gate-passers
+    # (synthetic vocab overlaps the bench heavily) and every assertion
+    # below is vacuous — min_overlap=25 keeps the test discriminating
+    assert gate_pass
     # every stream survivor passed the batch gates; nothing outside them
     assert set(got) <= gate_pass
     # exactly one survivor per canonical group of the gate-passing docs
@@ -256,9 +260,21 @@ def test_curate_stream_matches_batch_gates(spark, tmp_path_factory):
     # stream survivors carry the same norm_hash the batch canon computes
     for d, r in got.items():
         assert d in groups[r["norm_hash"]]
-    # and the batch keeper count equals the stream survivor count
+    # Exact counts for BOTH semantics (ADVICE r4): the stream emits one
+    # survivor per canon group with >=1 gate-passer; batch picks the
+    # min-id keeper over ALL docs BEFORE gating, so a group whose keeper
+    # fails a gate yields zero batch survivors — batch count is a lower
+    # bound on the stream count, not an equality.
+    assert len(got) == len(groups)
+    groups_all: dict = {}
+    for r in corpus.select("doc_id", F.md5(norm).alias("h")).collect():
+        groups_all.setdefault(r["h"], set()).add(r["doc_id"])
+    n_batch_expected = sum(
+        1 for members in groups_all.values() if min(members) in gate_pass
+    )
     n_batch_survivors = sum(1 for d, r in verdicts.items() if r["survived"])
-    assert len(got) == n_batch_survivors
+    assert n_batch_survivors == n_batch_expected
+    assert n_batch_survivors <= len(got)
 
 
 def test_curate_stream_restart_keeps_dedup_state(spark, tmp_path_factory):
@@ -303,3 +319,77 @@ def test_curate_stream_restart_keeps_dedup_state(spark, tmp_path_factory):
     ids = [r["doc_id"] for r in out]
     assert sorted(ids) == [1, 2, 4], f"got {sorted(ids)}"  # 3 deduped ACROSS the restart
     assert len(ids) == len(set(ids))  # exactly-once per doc
+
+
+def test_curate_stream_udf_shingle_mode_matches_literal_mode(spark):
+    """VERDICT r4 #3: above ``shingle_literal_max`` the decontamination
+    gate switches from an inlined array literal to an Arrow pandas-UDF
+    whose closure carries the shingle set (shipped once per executor via
+    Spark's command broadcast). Both modes must emit identical rows, and
+    the large mode's plan must contain the Python eval stage instead of
+    the array_intersect literal."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+
+    lit_df = stream.curate_stream(corpus, bench, min_tokens=30, min_overlap=25)
+    udf_df = stream.curate_stream(
+        corpus, bench, min_tokens=30, min_overlap=25, shingle_literal_max=0
+    )
+    lit_rows = {tuple(r) for r in lit_df.collect()}
+    udf_rows = {tuple(r) for r in udf_df.collect()}
+    assert lit_rows == udf_rows and lit_rows
+
+    lit_plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    udf_plan = udf_df._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in lit_plan
+    assert "array_intersect" not in udf_plan  # no giant literal in the plan
+    assert "ArrowEvalPython" in udf_plan  # the broadcast-closure UDF stage
+
+
+def test_curate_stream_dedup_ttl_dedupes_within_watermark(spark, tmp_path_factory):
+    """VERDICT r4 #5: ``dedup_ttl`` bounds the streaming dedup state with
+    dropDuplicatesWithinWatermark. A canonical duplicate arriving in a
+    LATER micro-batch but inside the TTL must still dedupe; fresh docs
+    still emit; the event-time column rides along in the output."""
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.types as T
+
+    base = tmp_path_factory.mktemp("curate_ttl")
+    inbox, ckpt = str(base / "inbox"), str(base / "ckpt")
+    body = "the and for with this that " + " ".join(f"word{i}" for i in range(40))
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows1 = [(1, body + " alpha", t0), (2, body + " beta", t0 + timedelta(seconds=60))]
+    # doc 3 = case-variant of doc 1, arriving 5 min later (inside the 1h TTL)
+    rows2 = [
+        (3, (body + " alpha").upper(), t0 + timedelta(seconds=300)),
+        (4, body + " gamma", t0 + timedelta(seconds=360)),
+    ]
+    bench = spark.createDataFrame([(100, "leaked benchmark fragment xyz")], ["doc_id", "text"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+        ]
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inbox)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(inbox)
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inbox)
+    q = (
+        stream.curate_stream(sdf, bench, min_tokens=30, dedup_ttl="1 hour")
+        .writeStream.format("memory")
+        .queryName("curated_ttl")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from curated_ttl").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 4]
+    assert "warc_ts" in out[0].asDict()
+    # the duplicate's keeper is the first arrival, stamped with ITS time
+    keeper = next(r for r in out if r["doc_id"] == 1)
+    assert keeper["warc_ts"] == t0
