@@ -1,9 +1,13 @@
 #!/usr/bin/env python
-"""Per-query regression evidence with variance (VERDICT r2 #8): run the
-full bench N times in fresh subprocesses (cold JVM each run — the same
-condition the driver measures under) and write BENCH/REGRESSION_r4.md
-with median / min / spread columns plus deltas vs the round-3 medians
-(parsed from BENCH/REGRESSION_r3.md, the committed 3-run table).
+"""Per-query regression evidence with variance (VERDICT r2 #8) and
+outlier rejection (VERDICT r4 #7): run the full bench N times in fresh
+subprocesses (cold JVM each run — the same condition the driver measures
+under), drop runs whose HEADLINE deviates more than 3× MAD from the
+run median (co-tenant interference polluted half the r4 medians), and
+write BENCH/REGRESSION_r5.md with median / min / spread columns plus
+deltas vs the round-4 medians (parsed from BENCH/REGRESSION_r4.md).
+ALL raw runs — including rejected ones — are kept in
+BENCH/regression_runs_r5.json so the rejection is auditable.
 
 Usage: python scripts/regression_bench.py [n_runs=5]
 """
@@ -17,10 +21,13 @@ import sys
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PREV_ROUND, THIS_ROUND = "r4", "r5"
+MAD_K = 3.0  # reject runs with |headline - median| > MAD_K * MAD
+
 
 def _prev_medians() -> dict[str, float]:
-    """Round-3 per-query medians from the committed regression table."""
-    path = os.path.join(REPO, "BENCH", "REGRESSION_r3.md")
+    """Previous round's per-query medians from the committed table."""
+    path = os.path.join(REPO, "BENCH", f"REGRESSION_{PREV_ROUND}.md")
     prev: dict[str, float] = {}
     with open(path) as f:
         for ln in f:
@@ -33,10 +40,22 @@ def _prev_medians() -> dict[str, float]:
     return prev
 
 
+def reject_outliers(values: list[float], k: float = MAD_K) -> list[int]:
+    """Indexes of KEPT runs under the 3×MAD headline rule. MAD of zero
+    (identical headlines) or fewer than 3 runs keeps everything."""
+    if len(values) < 3:
+        return list(range(len(values)))
+    med = statistics.median(values)
+    mad = statistics.median([abs(v - med) for v in values])
+    if mad == 0:
+        return list(range(len(values)))
+    return [i for i, v in enumerate(values) if abs(v - med) <= k * mad]
+
+
 def main() -> int:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     prev = _prev_medians()  # parse BEFORE the multi-minute run loop: a
-    # missing/renamed r3 table should fail fast, not after 30 min of runs
+    # missing/renamed prev table should fail fast, not after 30 min
     runs: list[dict] = []
     values: list[float] = []
     for i in range(n_runs):
@@ -55,28 +74,51 @@ def main() -> int:
         values.append(d["value"])
         print(f"run {i + 1}/{n_runs}: {d['value']} docs/sec", flush=True)
 
-    # intersection across runs: if any run printed the slimmed queries
-    # map (bench.py tail-buffer fallback), only the common keys compare
-    names = [k for k in runs[0] if all(k in r for r in runs)]
-    dropped = sorted(set(runs[0]) - set(names))
+    kept = reject_outliers(values)
+    rejected = sorted(set(range(n_runs)) - set(kept))
+    with open(os.path.join(REPO, "BENCH", f"regression_runs_{THIS_ROUND}.json"), "w") as f:
+        json.dump(
+            {
+                "headlines": values,
+                "kept_run_indexes": kept,
+                "rejected_run_indexes": rejected,
+                "mad_k": MAD_K,
+                "runs": runs,
+            },
+            f, indent=1,
+        )
+    if rejected:
+        print(
+            f"outlier rejection: dropped runs {rejected} "
+            f"(headlines {[values[i] for i in rejected]}) by the 3xMAD rule"
+        )
+    k_runs = [runs[i] for i in kept]
+    k_values = [values[i] for i in kept]
+
+    # intersection across kept runs: if any run printed the slimmed
+    # queries map (bench.py tail-buffer fallback), only common keys compare
+    names = [k for k in k_runs[0] if all(k in r for r in k_runs)]
+    dropped = sorted(set(k_runs[0]) - set(names))
     if dropped:
         print(f"WARN: {len(dropped)} queries missing from some runs: {dropped}")
     lines = [
-        "# BENCH regression table — round 4 vs round 3",
+        f"# BENCH regression table — round 5 vs round 4",
         "",
         f"Protocol: {n_runs} full bench runs, each a FRESH JVM (cold start,",
         "like the driver); within each run every query is already a",
-        "median-of-3 (bench.py). Columns: per-run medians aggregated as",
-        "median / min / spread(=max−min). The r3 column is the committed",
-        "3-run median from BENCH/REGRESSION_r3.md — same protocol, so",
-        "deltas inside the spread columns are estimator noise, with data",
-        "to say so.",
+        "median-of-3 (bench.py). Runs whose headline deviates more than",
+        f"3×MAD from the run median are rejected before aggregation",
+        f"(kept {len(kept)}/{n_runs}; raw runs incl. rejected in",
+        f"BENCH/regression_runs_{THIS_ROUND}.json — VERDICT r4 #7).",
+        "Columns: per-kept-run medians aggregated as median / min /",
+        "spread(=max−min). The r4 column is the committed 5-run median",
+        f"from BENCH/REGRESSION_{PREV_ROUND}.md.",
         "",
-        "| query | r3 median | r4 median | r4 min | r4 spread | delta (median vs r3) |",
+        "| query | r4 median | r5 median | r5 min | r5 spread | delta (median vs r4) |",
         "|---|---|---|---|---|---|",
     ]
     for name in names:
-        xs = [r[name] for r in runs]
+        xs = [r[name] for r in k_runs]
         med, mn, spread = statistics.median(xs), min(xs), max(xs) - min(xs)
         pv = prev.get(name)
         delta = f"{(med - pv) / pv * 100:+.0f}%" if pv else "new"
@@ -86,17 +128,17 @@ def main() -> int:
         )
     lines += [
         "",
-        f"Headline extract throughput over the {n_runs} runs: "
-        f"median {statistics.median(values):.1f} docs/sec, "
-        f"best {max(values):.1f}, spread {max(values) - min(values):.1f} "
-        "(r3 builder median: 1361; r2 driver: 1389.79).",
+        f"Headline extract throughput over the {len(kept)} kept runs: "
+        f"median {statistics.median(k_values):.1f} docs/sec, "
+        f"best {max(k_values):.1f}, spread {max(k_values) - min(k_values):.1f} "
+        "(r4 builder median: 1632; r3: 1361).",
         "",
-        "Round-4 headline movers: JVM-side heavy-doc reassembly (one",
-        "Python stage removed), no pre-explode payload shuffle, salt",
-        "partitions at 1× parallelism (PLANS.md §1); fused single-scan",
-        "curate cuts corpus_curate -25%.",
+        "Round-5 changes in the measured set: LSH bucket caps (max_bucket",
+        "anti-join in minhash_lsh_pairs + embedding_neardup_lsh, no-op at",
+        "this scale), kmeans vector-cache (not in the default 'first'",
+        "centroid path), n_tokens cast in repetition_stats.",
     ]
-    out_path = os.path.join(REPO, "BENCH", "REGRESSION_r4.md")
+    out_path = os.path.join(REPO, "BENCH", f"REGRESSION_{THIS_ROUND}.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}")
