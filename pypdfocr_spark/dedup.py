@@ -216,6 +216,8 @@ def decontaminate(
     text_col: str = "text",
     k: int = 2,
     min_overlap: int = 3,
+    mode: str = "map",
+    literal_max: int = 100_000,
 ) -> DataFrame:
     """Benchmark decontamination: per training document, how many of its
     distinct token k-gram shingles appear in ``benchmark`` (a table with
@@ -223,18 +225,47 @@ def decontaminate(
     ``min_overlap``. The standard pre-training hygiene step: documents
     leaking eval n-grams are dropped or flagged before training.
 
-    Plan shape: the benchmark shingle set is distinct-ed and broadcast —
-    legitimately, unlike the hot-shingle set in ngram_jaccard_pairs: an
-    eval suite is bounded by construction (MBs, not corpus-scale), so
-    the broadcast is the co-location that turns this into one map-side
-    pass + a combinable count per doc. Docs with zero overlap are kept
-    (left join) so the output covers the full corpus.
+    ``mode="map"`` (default since round 5): the eval shingle set is
+    bounded by construction (an eval suite is MBs, not corpus-scale), so
+    it is collected once and the per-doc overlap becomes a MAP-ONLY
+    column over one corpus scan — zero exchanges, no shingle explode.
+    Up to ``literal_max`` shingles that column is
+    :func:`contamination_overlap_expr` (array_intersect in codegen);
+    above it, :func:`contamination_overlap_udf` (the set rides a
+    broadcast UDF closure — per-batch frozenset lookup instead of a
+    per-row scan of a giant literal). Replaces the round-3 shape that
+    exploded EVERY corpus document's shingles through a broadcast join
+    and re-aggregated them (one shuffle + tokens× join input); that
+    shape remains as ``mode="join"`` — the semantic cross-check pytest
+    pins row-identical — and as the fallback if the eval set ever grows
+    past what a driver round-trip should carry.
     """
+    if mode not in ("map", "join"):
+        raise ValueError(f"mode must be 'map' or 'join', got {mode!r}")
     bench_sh = (
         with_shingles(benchmark, id_col, text_col, k)
         .select("shingle")
         .distinct()
     )
+    if mode == "map":
+        eval_shingles = [r[0] for r in bench_sh.collect()]
+        if not eval_shingles:
+            n_overlap = F.lit(0)
+        elif len(eval_shingles) <= literal_max:
+            n_overlap = contamination_overlap_expr(text_col, eval_shingles, k)
+        else:
+            n_overlap = contamination_overlap_udf(eval_shingles, k)(F.col(text_col))
+        # project the overlap ONCE, derive the flag from the column —
+        # repeating the expression in both output columns would evaluate
+        # it twice (expression-form CSE is best-effort; a duplicated
+        # Python UDF call is never deduplicated)
+        return df.select(
+            F.col(id_col), n_overlap.cast("long").alias("n_overlap")
+        ).select(
+            F.col(id_col),
+            F.col("n_overlap"),
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+        )
     doc_sh = with_shingles(df, id_col, text_col, k)
     hits = (
         doc_sh.join(F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "shingle", "left")
@@ -671,6 +702,7 @@ def embedding_near_dup_pairs_lsh(
     threshold: float = 0.95, n_planes: int = 8, probe_bits: int = 1,
     n_tables: int = 1, dim: int | None = None,
     max_bucket: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed — the 100-TB path.
 
@@ -709,9 +741,15 @@ def embedding_near_dup_pairs_lsh(
         dim = infer_dim(emb, vec_col)
     idx = bucket_index(emb, id_col, vec_col, n_planes, n_tables, dim)
     if max_bucket is not None:
-        # slim (id, table, bucket) relation: cheap to recompute for the
-        # count + two join sides, so no persist needed here — unlike the
-        # band relation in minhash_lsh_pairs which sits on a shuffle.
+        # the index is slim (id, table, bucket) but COMPUTING it is not —
+        # each bucket is n_planes array dot products per vector, and with
+        # the cap it feeds three consumers (the count + both join sides).
+        # Persist it once, same contract as minhash_lsh_pairs' band
+        # relation (measured: the unpersisted form cost +25% on the whole
+        # query at sf0.1, REGRESSION_r5).
+        idx = idx.persist()
+        if cache_registry is not None:
+            cache_registry.append(idx)
         hot = (
             idx.groupBy("table", "bucket")
             .count()

@@ -133,10 +133,11 @@ def main() -> int:
         f"best {max(k_values):.1f}, spread {max(k_values) - min(k_values):.1f} "
         "(r4 builder median: 1632; r3: 1361).",
         "",
-        "Round-5 changes in the measured set: LSH bucket caps (max_bucket",
-        "anti-join in minhash_lsh_pairs + embedding_neardup_lsh, no-op at",
-        "this scale), kmeans vector-cache (not in the default 'first'",
-        "centroid path), n_tokens cast in repetition_stats.",
+        "Round-5 changes in the measured set: map-only decontaminate",
+        "(collected eval set -> array_intersect column, zero exchanges —",
+        "also the corpus_curate / curation_report mover), LSH bucket caps",
+        "(max_bucket anti-join in minhash_lsh_pairs + embedding_neardup_lsh,",
+        "no-op at this scale), n_tokens cast in repetition_stats.",
     ]
     out_path = os.path.join(REPO, "BENCH", f"REGRESSION_{THIS_ROUND}.md")
     with open(out_path, "w") as f:

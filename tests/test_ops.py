@@ -698,6 +698,29 @@ def test_iceberg_catalog_roundtrip(spark, tmp_path):
             spark.conf.unset(k)
 
 
+def test_decontaminate_map_mode_matches_join_mode(spark, docs):
+    """The round-5 map-only decontamination (collected eval set →
+    array_intersect column, zero exchanges) must be row-identical to the
+    original explode+broadcast-join+groupBy shape it replaced — and its
+    plan must actually be exchange-free."""
+    import contextlib
+    import io
+
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    m = dedup.decontaminate(corpus, bench)  # mode="map" default
+    j = dedup.decontaminate(corpus, bench, mode="join")
+    rows_m = {tuple(r) for r in m.collect()}
+    rows_j = {tuple(r) for r in j.collect()}
+    assert rows_m == rows_j and rows_m
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        m.explain("formatted")
+    assert "Exchange" not in buf.getvalue(), "map mode must not shuffle"
+    with pytest.raises(ValueError, match="mode"):
+        dedup.decontaminate(corpus, bench, mode="bogus")
+
+
 def test_decontaminate_flags_leaked_docs(spark):
     bench = spark.createDataFrame(
         [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
