@@ -136,8 +136,14 @@ def main() -> int:
         "Round-5 changes in the measured set: map-only decontaminate",
         "(collected eval set -> array_intersect column, zero exchanges —",
         "also the corpus_curate / curation_report mover), LSH bucket caps",
-        "(max_bucket anti-join in minhash_lsh_pairs + embedding_neardup_lsh,",
-        "no-op at this scale), n_tokens cast in repetition_stats.",
+        "(max_bucket anti-join + persisted band/bucket index in",
+        "minhash_lsh_pairs + embedding_neardup_lsh, value-no-op at this",
+        "scale), n_tokens cast in repetition_stats.",
+        "",
+        "embedding_ivf_topk closure (VERDICT r4 #4): the r4 +52% was",
+        "estimator noise — an isolated clean bench this round read 1.487 s,",
+        "matching the r3 median (1.485 s) to 0.1%; batch medians move with",
+        "the box's co-tenant load (every map-only query shifts together).",
     ]
     out_path = os.path.join(REPO, "BENCH", f"REGRESSION_{THIS_ROUND}.md")
     with open(out_path, "w") as f:

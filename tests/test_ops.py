@@ -389,6 +389,68 @@ def test_bmp_decode_roundtrip_and_variants():
         multimodal.decode_image(b"\x89PNG still gated")
 
 
+def test_png_decode_all_filters_roundtrip():
+    """Stdlib-zlib PNG decode: every scanline filter (None/Sub/Up/
+    Average/Paeth) round-trips on gradient data that makes each
+    predictor non-trivial; gray and RGB; paletted gray collapses to
+    (h,w) and color palettes expand; alpha is dropped; interlace/16-bit
+    stay gated."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(11)
+    gray = (np.add.outer(np.arange(7) * 9, np.arange(6) * 5) % 256).astype("uint8")
+    rgb = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for arr in (gray, rgb):
+        for ft in range(5):
+            out = multimodal.decode_image(multimodal.encode_png(arr, filter_type=ft))
+            assert out.shape == arr.shape and (out == arr).all(), (arr.shape, ft)
+
+    # paletted: gray palette → (h, w) of palette VALUES; color palette → RGB
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype="uint8")
+    gray_pal = np.stack([np.arange(256)] * 3, axis=1).astype("uint8")
+    out = multimodal.decode_image(multimodal.encode_png(idx, palette=gray_pal))
+    assert out.shape == (2, 3) and (out == idx).all()
+    color_pal = gray_pal.copy()
+    color_pal[:, 1] = (color_pal[:, 1] * 2) % 256
+    out = multimodal.decode_image(multimodal.encode_png(idx, palette=color_pal))
+    assert out.shape == (2, 3, 3) and out[0, 1].tolist() == [1, 2, 1]
+
+    # RGBA / gray+alpha: hand-build via the decoder's own scanline layout
+    def png(w, h, ctype, raw_rows, extra=b""):
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw_rows)) + chunk(b"IEND", b""))
+
+    rgba = bytes([0, 10, 20, 30, 255, 40, 50, 60, 128])  # 1 row, 2 px
+    out = multimodal.decode_image(png(2, 1, 6, rgba))
+    assert out.shape == (1, 2, 3) and out[0, 1].tolist() == [40, 50, 60]
+    ga = bytes([0, 77, 255, 99, 0])
+    out = multimodal.decode_image(png(2, 1, 4, ga))
+    assert out.shape == (1, 2) and out[0].tolist() == [77, 99]
+
+    # gates + strict framing
+    interlaced = bytearray(multimodal.encode_png(gray))
+    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_image(bytes(interlaced))
+    deep = bytearray(multimodal.encode_png(gray))
+    deep[8 + 8 + 8] = 16  # IHDR bit depth
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        multimodal.decode_image(bytes(deep))
+    short = png(3, 2, 0, bytes([0, 1, 2, 3]))  # 4 bytes, need (3+1)*2
+    with _pytest.raises(ValueError, match="scanline"):
+        multimodal.decode_image(short)
+
+
 def test_image_features_from_synthetic_ppm(spark, emb):
     """VERDICT r3 #8: real decoded-pixel features over the Spark plumbing —
     the synthetic PPM table derived from embeddings, decoded per batch,
