@@ -316,7 +316,7 @@ def test_pnm_decode_roundtrip_and_variants():
     with _pytest.raises(ValueError, match="expected"):
         multimodal.decode_image(b"P5\n3 2\n255\n" + bytes(range(7)))  # trailing junk
     with _pytest.raises(NotImplementedError, match="magic"):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+        multimodal.decode_image(b"GIF89a still gated")  # JPEG decodes now
 
 
 def test_bmp_decode_roundtrip_and_variants():
@@ -451,6 +451,83 @@ def test_png_decode_all_filters_roundtrip():
         multimodal.decode_image(short)
 
 
+def test_jpeg_decode_roundtrip_and_variants():
+    """Baseline JPEG: piecewise-flat blocks round-trip EXACTLY at quant=1
+    (flat 8x8 tiles are DC-only — no quantization loss); random content
+    round-trips within the DCT-rounding bound; odd dimensions exercise the
+    pad/crop path; 4:2:0 subsampling is lossless on 16x16-flat color;
+    DRI/RSTn restart markers decode; progressive / 12-bit / truncated
+    streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(7)
+
+    # exact: every 8x8 tile flat → only DC coefficients, quant=1 keeps them
+    tiles = rng.randint(0, 256, size=(3, 2), dtype=np.uint8)
+    flat_gray = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    out = multimodal.decode_image(multimodal.encode_jpeg(flat_gray))
+    assert out.shape == (24, 16) and (out == flat_gray).all()
+    flat_rgb = np.kron(
+        rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8),
+        np.ones((8, 8, 1), dtype=np.uint8),
+    )
+    out = multimodal.decode_image(multimodal.encode_jpeg(flat_rgb))
+    assert out.shape == (16, 16, 3) and (out == flat_rgb).all()
+
+    # near-lossless on arbitrary content: quantize-round error only
+    gray = rng.randint(0, 256, size=(13, 11), dtype=np.uint8)  # odd dims → pad
+    out = multimodal.decode_image(multimodal.encode_jpeg(gray))
+    assert out.shape == gray.shape
+    assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 2
+    rgb = rng.randint(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    out = multimodal.decode_image(multimodal.encode_jpeg(rgb))
+    assert out.shape == rgb.shape
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 3
+
+    # coarser uniform quantization: still decodes, bounded by ~quant/2 per coef
+    out = multimodal.decode_image(multimodal.encode_jpeg(gray, quant=8))
+    assert out.shape == gray.shape
+    assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 32
+
+    # 4:2:0: chroma of a 16x16-flat image is 8x8-flat after box-average →
+    # subsampling itself is lossless; decoder's repeat-upsample restores it
+    big = np.kron(
+        rng.randint(0, 256, size=(2, 1, 3), dtype=np.uint8),
+        np.ones((16, 16, 1), dtype=np.uint8),
+    )
+    data = multimodal.encode_jpeg(big, subsample=(2, 2))
+    out = multimodal.decode_image(data)
+    assert out.shape == (32, 16, 3) and (out == big).all()
+
+    # restart markers: byte-aligned RSTn every 2 MCUs, DC predictors reset
+    data = multimodal.encode_jpeg(gray, restart_interval=2)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data
+    out = multimodal.decode_image(data)
+    assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 2
+    rgb_rst = multimodal.encode_jpeg(big, subsample=(2, 2), restart_interval=1)
+    assert b"\xff\xd0" in rgb_rst  # 2 MCUs → one restart actually fires
+    out = multimodal.decode_image(rgb_rst)
+    assert (out == big).all()
+
+    # gates: progressive (SOF2) and 12-bit refuse; truncation raises
+    base = multimodal.encode_jpeg(gray)
+    sof = base.index(b"\xff\xc0")
+    prog = bytearray(base)
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        multimodal.decode_image(bytes(prog))
+    deep = bytearray(base)
+    deep[sof + 4] = 12  # precision byte after marker+length
+    with _pytest.raises(NotImplementedError, match="precision"):
+        multimodal.decode_image(bytes(deep))
+    cut = base.index(b"\xff\xda") + 30  # inside the entropy-coded data
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(base[:cut])
+
+
 def test_image_features_from_synthetic_ppm(spark, emb):
     """VERDICT r3 #8: real decoded-pixel features over the Spark plumbing —
     the synthetic PPM table derived from embeddings, decoded per batch,
@@ -481,6 +558,37 @@ def test_image_features_from_synthetic_ppm(spark, emb):
         assert abs(got["mean_val"] - img.astype("float64").mean()) < 1e-12
         assert got["checksum"] == hashlib.md5(payload).hexdigest()
         assert got["n_bytes"] == len(payload)
+
+
+def test_image_features_cross_format_parity(spark, emb):
+    """The same pixels through every lossless container (PPM/PNG/BMP) must
+    decode to IDENTICAL features over the real mapInPandas path — only the
+    payload bytes (checksum, n_bytes) may differ. JPEG at quant=1 is
+    near-lossless: dims exact, pixel stats within the DCT-rounding bound."""
+    from pypdfocr_spark import multimodal
+
+    sample = emb.limit(4)
+    by_fmt = {
+        fmt: {
+            r["vec_id"]: r
+            for r in multimodal.extract_image_features(
+                multimodal.image_media_table(sample, width=8, fmt=fmt)
+            ).collect()
+        }
+        for fmt in ("ppm", "png", "bmp", "jpeg")
+    }
+    pixel_cols = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
+    for vid, ref in by_fmt["ppm"].items():
+        for fmt in ("png", "bmp"):
+            got = by_fmt[fmt][vid]
+            assert [got[c] for c in pixel_cols] == [ref[c] for c in pixel_cols], fmt
+            assert got["checksum"] != ref["checksum"]  # different container bytes
+        j = by_fmt["jpeg"][vid]
+        assert [j[c] for c in ("width", "height", "channels")] == [
+            ref[c] for c in ("width", "height", "channels")
+        ]
+        assert j["min_val"] >= ref["min_val"] - 3 and j["max_val"] <= ref["max_val"] + 3
+        assert abs(j["mean_val"] - ref["mean_val"]) < 1.0
 
 
 def test_entry_contract(spark):
