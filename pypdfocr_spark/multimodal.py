@@ -8,7 +8,7 @@ uncompressed BMP, non-interlaced 8-bit PNG (stdlib zlib), and baseline
 JPEG (SOF0/SOF1 Huffman) with stdlib+numpy, and
 :func:`extract_image_features` runs real decoded-pixel features through
 the same mapInPandas plumbing. What's left behind ``NotImplementedError``
-(progressive/12-bit/arithmetic JPEG, interlaced or 16-bit PNG, video) is
+(progressive/12-bit/arithmetic JPEG, interlaced PNG, video) is
 the pluggable gate — a real cluster swaps in a PIL/ffmpeg-backed kernel
 behind the same signature. The float32-tensor payload path
 (:func:`media_table`/:func:`extract_features`) is the byte-round-trip
@@ -105,7 +105,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
     RGB.
 
     Formats genuinely needing an external codec (progressive JPEG,
-    interlaced/16-bit PNG, …) still raise ``NotImplementedError`` — the
+    interlaced PNG, …) still raise ``NotImplementedError`` — the
     pluggable-strategy gate, mirroring the reference's binary override
     design (ref: pypdfocr/pypdfocr.py:314-324).
     """
@@ -119,7 +119,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise NotImplementedError(
             f"unsupported image magic {magic!r}: only PNM (P2/P3/P5/P6), "
-            "uncompressed BMP, non-interlaced 8-bit PNG, and baseline JPEG "
+            "uncompressed BMP, non-interlaced PNG, and baseline JPEG "
             "decode without PIL/cv2 on the cluster"
         )
     channels = 3 if magic in (b"P3", b"P6") else 1
@@ -152,17 +152,20 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
 
 def _decode_png(payload: bytes) -> "np.ndarray":
-    """Non-interlaced 8-bit-depth PNG decode with stdlib zlib + numpy —
+    """Non-interlaced 8/16-bit PNG decode with stdlib zlib + numpy —
     no PIL (VERDICT r4 #8 'PNG(stored)' extended to all five scanline
     filters). Color types: 0 gray → (h, w); 2 RGB → (h, w, 3); 3 palette
-    → RGB via PLTE lookup; 4 gray+alpha / 6 RGBA → alpha dropped.
-    Un-filtering: None/Up are whole-row numpy; Sub is a per-channel
-    cumulative sum (mod 256 distributes over addition); Average/Paeth
-    need the in-row recurrence, so they run a per-pixel loop vectorized
-    across channels — fine for feature extraction and thumbnails, and an
-    explicit note that codec-speed raster decode at crawl scale belongs
-    in a real codec stage. Interlaced (Adam7) and 16-bit stay behind the
-    NotImplementedError gate."""
+    → RGB via PLTE lookup; 4 gray+alpha / 6 RGBA → alpha dropped. 16-bit
+    samples are big-endian per the spec and filtering stays byte-wise,
+    so the un-filter path is shared; output dtype matches the depth
+    (uint8/uint16, like the PNM path). Un-filtering: None/Up are
+    whole-row numpy; Sub is a per-channel cumulative sum (mod 256
+    distributes over addition); Average/Paeth need the in-row
+    recurrence, so they run a per-pixel loop vectorized across channels
+    — fine for feature extraction and thumbnails, and an explicit note
+    that codec-speed raster decode at crawl scale belongs in a real
+    codec stage. Interlaced (Adam7) stays behind the NotImplementedError
+    gate."""
     import struct
     import zlib
 
@@ -191,13 +194,14 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if interlace:
         raise NotImplementedError("interlaced (Adam7) PNG needs a codec pass")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth}: only 8 decodes")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise NotImplementedError(f"PNG bit depth {depth}: only 8/16 decode")
     if ctype not in (0, 2, 3, 4, 6) or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG color/compression type {ctype}/{comp}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    bpp = channels * (depth // 8)  # filtering is byte-wise at every depth
+    stride = w * bpp
     if len(raw) != (stride + 1) * h:
         raise ValueError(
             f"PNG scanline data is {len(raw)} bytes, expected {(stride + 1) * h}"
@@ -206,7 +210,6 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     filters = lines[:, 0]
     rows = lines[:, 1:].astype("int32")
     out = np.zeros((h, stride), dtype="int32")
-    bpp = channels
     prev = np.zeros(stride, dtype="int32")
     for y in range(h):
         f, row = int(filters[y]), rows[y]
@@ -236,7 +239,11 @@ def _decode_png(payload: bytes) -> "np.ndarray":
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur
         prev = cur
-    arr = out.astype("uint8").reshape(h, w, channels)
+    if depth == 16:
+        b = out.astype("uint16").reshape(h, w, channels, 2)
+        arr = (b[..., 0] << 8) | b[..., 1]  # network byte order
+    else:
+        arr = out.astype("uint8").reshape(h, w, channels)
     if ctype == 3:
         if plte is None:
             raise ValueError("paletted PNG without PLTE")
@@ -257,19 +264,22 @@ def _decode_png(payload: bytes) -> "np.ndarray":
 def encode_png(
     arr: "np.ndarray", filter_type: int = 0, palette: "np.ndarray | None" = None
 ) -> bytes:
-    """Minimal PNG encoder for round-trip tests: 8-bit gray/RGB (or
-    paletted when ``palette`` is given with an index array), every row
-    filtered with ``filter_type`` (0–4) so each un-filter branch of
-    :func:`_decode_png` is exercisable. Filtering here is the straight
-    per-pixel spec definition — the deterministic replica the decoder is
-    tested against."""
+    """Minimal PNG encoder for round-trip tests: 8-bit (uint8 input) or
+    16-bit (uint16 input) gray/RGB, or paletted when ``palette`` is given
+    with a uint8 index array; every row filtered with ``filter_type``
+    (0–4) so each un-filter branch of :func:`_decode_png` is exercisable.
+    Filtering here is the straight per-pixel spec definition, byte-wise
+    at both depths — the deterministic replica the decoder is tested
+    against."""
     import struct
     import zlib
 
-    arr = np.asarray(arr, dtype="uint8")
+    arr = np.asarray(arr)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype("uint16" if depth == 16 else "uint8")
     if palette is not None:
         ctype, channels = 3, 1
-        assert arr.ndim == 2
+        assert arr.ndim == 2 and depth == 8
     elif arr.ndim == 2:
         ctype, channels = 0, 1
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -277,10 +287,14 @@ def encode_png(
     else:
         raise ValueError(f"expected (h,w)[,3], got {arr.shape}")
     h, w = arr.shape[:2]
-    px = arr.reshape(h, w * channels).astype("int32")
-    bpp = channels
+    if depth == 16:
+        px = np.frombuffer(arr.astype(">u2").tobytes(), dtype="u1")
+        px = px.reshape(h, w * channels * 2).astype("int32")
+    else:
+        px = arr.reshape(h, w * channels).astype("int32")
+    bpp = channels * (depth // 8)
     raws = []
-    prev = np.zeros(w * channels, dtype="int32")
+    prev = np.zeros(px.shape[1], dtype="int32")
     for y in range(h):
         cur = px[y]
         if filter_type == 0:
@@ -312,7 +326,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", np.asarray(palette, dtype="uint8").tobytes())

@@ -437,13 +437,23 @@ def test_png_decode_all_filters_roundtrip():
     out = multimodal.decode_image(png(2, 1, 4, ga))
     assert out.shape == (1, 2) and out[0].tolist() == [77, 99]
 
+    # 16-bit (big-endian samples, byte-wise filtering) round-trips too
+    gray16 = (np.add.outer(np.arange(5) * 7001, np.arange(6) * 251) % 65536).astype(
+        "uint16"
+    )
+    rgb16 = rng.randint(0, 65536, size=(4, 3, 3)).astype("uint16")
+    for arr in (gray16, rgb16):
+        for ft in range(5):
+            out = multimodal.decode_image(multimodal.encode_png(arr, filter_type=ft))
+            assert out.dtype == np.uint16 and (out == arr).all(), (arr.shape, ft)
+
     # gates + strict framing
     interlaced = bytearray(multimodal.encode_png(gray))
     interlaced[8 + 8 + 12] = 1  # IHDR interlace byte
     with _pytest.raises(NotImplementedError, match="interlaced"):
         multimodal.decode_image(bytes(interlaced))
     deep = bytearray(multimodal.encode_png(gray))
-    deep[8 + 8 + 8] = 16  # IHDR bit depth
+    deep[8 + 8 + 8] = 4  # IHDR bit depth (sub-byte packing unsupported)
     with _pytest.raises(NotImplementedError, match="bit depth"):
         multimodal.decode_image(bytes(deep))
     short = png(3, 2, 0, bytes([0, 1, 2, 3]))  # 4 bytes, need (3+1)*2
