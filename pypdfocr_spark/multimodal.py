@@ -8,7 +8,7 @@ uncompressed BMP, non-interlaced 8-bit PNG (stdlib zlib), and baseline
 JPEG (SOF0/SOF1 Huffman) with stdlib+numpy, and
 :func:`extract_image_features` runs real decoded-pixel features through
 the same mapInPandas plumbing. What's left behind ``NotImplementedError``
-(progressive/12-bit/arithmetic JPEG, interlaced PNG, video) is
+(progressive/12-bit/arithmetic JPEG, compressed video) is
 the pluggable gate — a real cluster swaps in a PIL/ffmpeg-backed kernel
 behind the same signature. The float32-tensor payload path
 (:func:`media_table`/:func:`extract_features`) is the byte-round-trip
@@ -104,10 +104,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
     Returns uint8 or uint16, shape (h, w) for grayscale, (h, w, 3) for
     RGB.
 
-    Formats genuinely needing an external codec (progressive JPEG,
-    interlaced PNG, …) still raise ``NotImplementedError`` — the
-    pluggable-strategy gate, mirroring the reference's binary override
-    design (ref: pypdfocr/pypdfocr.py:314-324).
+    Formats genuinely needing an external codec (progressive JPEG, …)
+    still raise ``NotImplementedError`` — the pluggable-strategy gate,
+    mirroring the reference's binary override design (ref:
+    pypdfocr/pypdfocr.py:314-324).
     """
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
@@ -151,21 +151,80 @@ def decode_image(payload: bytes) -> "np.ndarray":
     return arr.reshape((h, w, 3) if channels == 3 else (h, w))
 
 
+# Adam7 pass layout (PNG spec §8.2): (x_start, y_start, x_step, y_step).
+# Each pass is an independently-filtered sub-image; empty passes (a
+# dimension rounds to zero) contribute no scanlines at all.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, n_rows: int, width_px: int, bpp: int):
+    """Un-filter ``n_rows`` scanlines of ``width_px`` pixels starting at
+    byte ``off`` of the decompressed IDAT stream; returns the (n_rows,
+    width_px*bpp) int32 sample bytes and the offset past the block.
+    Un-filtering: None/Up are whole-row numpy; Sub is a per-channel
+    cumulative sum (mod 256 distributes over addition); Average/Paeth
+    need the in-row recurrence, so they run a per-pixel loop vectorized
+    across channels — fine for feature extraction and thumbnails, and an
+    explicit note that codec-speed raster decode at crawl scale belongs
+    in a real codec stage."""
+    stride = width_px * bpp
+    nbytes = (stride + 1) * n_rows
+    block = raw[off : off + nbytes]
+    if len(block) != nbytes:
+        raise ValueError(
+            f"PNG scanline data is {len(raw) - off} bytes from offset {off}, "
+            f"expected {nbytes}"
+        )
+    lines = np.frombuffer(block, dtype="u1").reshape(n_rows, stride + 1)
+    filters = lines[:, 0]
+    rows = lines[:, 1:].astype("int32")
+    out = np.zeros((n_rows, stride), dtype="int32")
+    prev = np.zeros(stride, dtype="int32")
+    for y in range(n_rows):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 1:  # Sub: per-channel prefix sum, mod distributes
+            cur = (np.cumsum(row.reshape(width_px, bpp), axis=0) & 0xFF).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: in-row recurrence, loop pixels
+            cur = row.copy()
+            for x in range(width_px):
+                i = x * bpp
+                a = cur[i - bpp : i] if x else np.zeros(bpp, dtype="int32")
+                b = prev[i : i + bpp]
+                if f == 3:
+                    cur[i : i + bpp] = (cur[i : i + bpp] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - bpp : i] if x else np.zeros(bpp, dtype="int32")
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    cur[i : i + bpp] = (cur[i : i + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out, off + nbytes
+
+
 def _decode_png(payload: bytes) -> "np.ndarray":
-    """Non-interlaced 8/16-bit PNG decode with stdlib zlib + numpy —
-    no PIL (VERDICT r4 #8 'PNG(stored)' extended to all five scanline
-    filters). Color types: 0 gray → (h, w); 2 RGB → (h, w, 3); 3 palette
-    → RGB via PLTE lookup; 4 gray+alpha / 6 RGBA → alpha dropped. 16-bit
-    samples are big-endian per the spec and filtering stays byte-wise,
-    so the un-filter path is shared; output dtype matches the depth
-    (uint8/uint16, like the PNM path). Un-filtering: None/Up are
-    whole-row numpy; Sub is a per-channel cumulative sum (mod 256
-    distributes over addition); Average/Paeth need the in-row
-    recurrence, so they run a per-pixel loop vectorized across channels
-    — fine for feature extraction and thumbnails, and an explicit note
-    that codec-speed raster decode at crawl scale belongs in a real
-    codec stage. Interlaced (Adam7) stays behind the NotImplementedError
-    gate."""
+    """8/16-bit PNG decode with stdlib zlib + numpy — no PIL (VERDICT r4
+    #8 'PNG(stored)' extended to all five scanline filters, then to
+    Adam7 interlace in r5). Color types: 0 gray → (h, w); 2 RGB →
+    (h, w, 3); 3 palette → RGB via PLTE lookup; 4 gray+alpha / 6 RGBA →
+    alpha dropped. 16-bit samples are big-endian per the spec and
+    filtering stays byte-wise, so the un-filter path
+    (:func:`_png_unfilter`) is shared; output dtype matches the depth
+    (uint8/uint16, like the PNM path). Interlaced images are seven
+    independently-filtered Adam7 sub-images scattered back with strided
+    numpy assignment — same un-filter, no extra cases."""
     import struct
     import zlib
 
@@ -192,8 +251,8 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNG needs a codec pass")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if depth not in (8, 16) or (depth == 16 and ctype == 3):
         raise NotImplementedError(f"PNG bit depth {depth}: only 8/16 decode")
     if ctype not in (0, 2, 3, 4, 6) or comp != 0 or filt != 0:
@@ -202,43 +261,27 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     raw = zlib.decompress(b"".join(idat))
     bpp = channels * (depth // 8)  # filtering is byte-wise at every depth
     stride = w * bpp
-    if len(raw) != (stride + 1) * h:
-        raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, expected {(stride + 1) * h}"
-        )
-    lines = np.frombuffer(raw, dtype="u1").reshape(h, stride + 1)
-    filters = lines[:, 0]
-    rows = lines[:, 1:].astype("int32")
-    out = np.zeros((h, stride), dtype="int32")
-    prev = np.zeros(stride, dtype="int32")
-    for y in range(h):
-        f, row = int(filters[y]), rows[y]
-        if f == 0:
-            cur = row
-        elif f == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif f == 1:  # Sub: per-channel prefix sum, mod distributes
-            cur = (np.cumsum(row.reshape(w, bpp), axis=0) & 0xFF).reshape(stride)
-        elif f in (3, 4):  # Average / Paeth: in-row recurrence, loop pixels
-            cur = row.copy()
-            for x in range(w):
-                i = x * bpp
-                a = cur[i - bpp : i] if x else np.zeros(bpp, dtype="int32")
-                b = prev[i : i + bpp]
-                if f == 3:
-                    cur[i : i + bpp] = (cur[i : i + bpp] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = prev[i - bpp : i] if x else np.zeros(bpp, dtype="int32")
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                    cur[i : i + bpp] = (cur[i : i + bpp] + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
-        out[y] = cur
-        prev = cur
+    if interlace:
+        scatter = np.zeros((h, w, bpp), dtype="int32")
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw, bpp)
+            scatter[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError(
+                f"PNG Adam7 data is {len(raw)} bytes, expected {off}"
+            )
+        out = scatter.reshape(h, stride)
+    else:
+        out, end = _png_unfilter(raw, 0, h, w, bpp)
+        if end != len(raw):
+            raise ValueError(
+                f"PNG scanline data is {len(raw)} bytes, expected {end}"
+            )
     if depth == 16:
         b = out.astype("uint16").reshape(h, w, channels, 2)
         arr = (b[..., 0] << 8) | b[..., 1]  # network byte order
@@ -261,41 +304,15 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     return np.ascontiguousarray(arr[:, :, :3])  # RGB / RGBA→RGB
 
 
-def encode_png(
-    arr: "np.ndarray", filter_type: int = 0, palette: "np.ndarray | None" = None
-) -> bytes:
-    """Minimal PNG encoder for round-trip tests: 8-bit (uint8 input) or
-    16-bit (uint16 input) gray/RGB, or paletted when ``palette`` is given
-    with a uint8 index array; every row filtered with ``filter_type``
-    (0–4) so each un-filter branch of :func:`_decode_png` is exercisable.
-    Filtering here is the straight per-pixel spec definition, byte-wise
-    at both depths — the deterministic replica the decoder is tested
-    against."""
-    import struct
-    import zlib
-
-    arr = np.asarray(arr)
-    depth = 16 if arr.dtype == np.uint16 else 8
-    arr = arr.astype("uint16" if depth == 16 else "uint8")
-    if palette is not None:
-        ctype, channels = 3, 1
-        assert arr.ndim == 2 and depth == 8
-    elif arr.ndim == 2:
-        ctype, channels = 0, 1
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        ctype, channels = 2, 3
-    else:
-        raise ValueError(f"expected (h,w)[,3], got {arr.shape}")
-    h, w = arr.shape[:2]
-    if depth == 16:
-        px = np.frombuffer(arr.astype(">u2").tobytes(), dtype="u1")
-        px = px.reshape(h, w * channels * 2).astype("int32")
-    else:
-        px = arr.reshape(h, w * channels).astype("int32")
-    bpp = channels * (depth // 8)
+def _png_filter_rows(px: "np.ndarray", bpp: int, filter_type: int) -> bytes:
+    """Filter the (n_rows, stride) int32 sample-byte array with
+    ``filter_type`` (0–4), straight per-pixel spec definition — the
+    deterministic replica :func:`_png_unfilter` is tested against. The
+    previous-row state starts at zero, so one call covers exactly one
+    image (or one Adam7 pass)."""
     raws = []
     prev = np.zeros(px.shape[1], dtype="int32")
-    for y in range(h):
+    for y in range(px.shape[0]):
         cur = px[y]
         if filter_type == 0:
             enc = cur
@@ -319,6 +336,58 @@ def encode_png(
             raise ValueError(f"filter_type {filter_type}")
         raws.append(bytes([filter_type]) + enc.astype("uint8").tobytes())
         prev = cur
+    return b"".join(raws)
+
+
+def encode_png(
+    arr: "np.ndarray",
+    filter_type: int = 0,
+    palette: "np.ndarray | None" = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG encoder for round-trip tests: 8-bit (uint8 input) or
+    16-bit (uint16 input) gray/RGB, or paletted when ``palette`` is given
+    with a uint8 index array; every row filtered with ``filter_type``
+    (0–4) so each un-filter branch of :func:`_decode_png` is exercisable,
+    and ``interlace=True`` writes the seven Adam7 passes (each filtered
+    independently, per spec) so the de-interlace scatter is too."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype("uint16" if depth == 16 else "uint8")
+    if palette is not None:
+        ctype, channels = 3, 1
+        assert arr.ndim == 2 and depth == 8
+    elif arr.ndim == 2:
+        ctype, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ctype, channels = 2, 3
+    else:
+        raise ValueError(f"expected (h,w)[,3], got {arr.shape}")
+    h, w = arr.shape[:2]
+    if depth == 16:
+        px = np.frombuffer(arr.astype(">u2").tobytes(), dtype="u1")
+        px = px.reshape(h, w * channels * 2).astype("int32")
+    else:
+        px = arr.reshape(h, w * channels).astype("int32")
+    bpp = channels * (depth // 8)
+    if interlace:
+        grid = px.reshape(h, w, bpp)
+        raws = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = grid[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raws.append(
+                _png_filter_rows(
+                    sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp, filter_type
+                )
+            )
+        raw = b"".join(raws)
+    else:
+        raw = _png_filter_rows(px, bpp, filter_type)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -326,11 +395,11 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlace))
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", np.asarray(palette, dtype="uint8").tobytes())
-    out += chunk(b"IDAT", zlib.compress(b"".join(raws)))
+    out += chunk(b"IDAT", zlib.compress(raw))
     return out + chunk(b"IEND", b"")
 
 
@@ -939,6 +1008,308 @@ def encode_pnm(arr: "np.ndarray", binary: bool = True) -> bytes:
     if binary:
         return header + arr.tobytes()
     return header + (" ".join(str(int(v)) for v in arr.reshape(-1)) + "\n").encode()
+
+
+# --- video: Y4M (YUV4MPEG2) container ------------------------------------
+#
+# Y4M is the one video container that needs no entropy codec at all — a
+# plain-text stream header, then per frame a "FRAME\n" marker and raw
+# planar YCbCr samples. It is exactly what `ffmpeg -f yuv4mpegpipe`
+# emits/consumes, so it is the natural raw-interchange format for a
+# frame-sampling stage the way netpbm is for gs/pdfimages stills.
+# Compressed containers (H.264/VP9/AV1 in MP4/WebM) stay behind the
+# pluggable NotImplementedError gate — those genuinely need ffmpeg.
+
+_Y4M_SUBSAMPLE = {
+    # colorspace tag prefix -> (chroma x-step, chroma y-step); None = no chroma.
+    # 420jpeg/420mpeg2/420paldv differ only in chroma *siting*, which
+    # nearest-neighbor upsampling cannot represent — all decode alike here.
+    "mono": None,
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+}
+
+
+# Explicit tag registry — 420p10 (10-bit), 411, 444alpha etc. must hit the
+# gate, so suffix heuristics are out.
+_Y4M_ALIASES = {"420jpeg": "420", "420mpeg2": "420", "420paldv": "420"}
+
+
+def _y4m_subsample(cs: str):
+    base = _Y4M_ALIASES.get(cs, cs)
+    if base not in _Y4M_SUBSAMPLE:
+        raise NotImplementedError(
+            f"Y4M colorspace C{cs}: only mono/444/422/420* 8-bit decode "
+            "without a codec library"
+        )
+    return _Y4M_SUBSAMPLE[base]
+
+
+def _y4m_layout(w: int, h: int, cs: str):
+    """Resolve a colorspace tag to (subsample, frame_bytes); raises the
+    NotImplementedError gate for tagged bit depths (e.g. 420p10) and
+    unknown samplings (411, alpha)."""
+    sub = _y4m_subsample(cs)
+    if sub is None:
+        return None, w * h
+    sx, sy = sub
+    if w % sx or h % sy:
+        raise ValueError(f"Y4M {w}x{h} is not a multiple of the C{cs} sampling")
+    return sub, w * h + 2 * (w // sx) * (h // sy)
+
+
+def _parse_y4m_header(payload: bytes):
+    """Parse the YUV4MPEG2 stream header line; returns (w, h, colorspace,
+    offset of the first FRAME marker). F/I/A/X parameters are validated
+    as present-and-ignored (frame rate and aspect don't affect pixels)."""
+    nl = bytes(payload).find(b"\n", 0, 512)
+    if nl < 0 or bytes(payload[:9]) != b"YUV4MPEG2":
+        raise NotImplementedError(
+            "unsupported video payload: only the Y4M (YUV4MPEG2) raw "
+            "container decodes without ffmpeg on the cluster"
+        )
+    w = h = None
+    cs = "420jpeg"  # the documented Y4M default
+    for tok in bytes(payload[9:nl]).split(b" "):
+        if not tok:
+            continue
+        key, val = chr(tok[0]), tok[1:]
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "C":
+            cs = val.decode("ascii")
+        elif key == "I":
+            if val not in (b"p", b"?"):
+                raise NotImplementedError(
+                    f"interlaced Y4M (I{val.decode('ascii', 'replace')}) "
+                    "needs a deinterlace pass"
+                )
+        elif key in ("F", "A", "X"):
+            pass  # frame rate / aspect / comment: no effect on samples
+        else:
+            raise ValueError(f"unknown Y4M stream parameter {key!r}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    return w, h, cs, nl + 1
+
+
+def _y4m_frames(payload: bytes):
+    """Yield (frame_no, start, end) byte ranges of each frame's raw plane
+    data — header walk only, no sample is touched, so callers can skip
+    unsampled frames for free."""
+    w, h, cs, pos = _parse_y4m_header(payload)
+    _, frame_bytes = _y4m_layout(w, h, cs)
+    n = len(payload)
+    buf = bytes(payload)
+    i = 0
+    while pos < n:
+        nl = buf.find(b"\n", pos, pos + 256)
+        if nl < 0 or buf[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        start = nl + 1
+        end = start + frame_bytes
+        if end > n:
+            raise ValueError(
+                f"truncated Y4M frame {i}: {n - start} bytes, expected {frame_bytes}"
+            )
+        yield i, start, end
+        pos = end
+        i += 1
+
+
+def probe_video(payload: bytes) -> dict:
+    """Container metadata + frame count from a header walk (no pixel is
+    decoded): the cheap path a sampling planner uses before deciding
+    which frames to pay for."""
+    w, h, cs, _ = _parse_y4m_header(payload)
+    n_frames = sum(1 for _ in _y4m_frames(payload))
+    return {"width": w, "height": h, "colorspace": cs, "n_frames": n_frames}
+
+
+def _y4m_frame_to_array(buf: bytes, w: int, h: int, sub) -> "np.ndarray":
+    """Raw planar frame bytes → (h, w) gray or (h, w, 3) RGB uint8.
+    Chroma is nearest-neighbor upsampled and converted with the
+    full-range (JFIF) BT.601 matrix — the same constants as the JPEG
+    path, so a given YCbCr triple decodes identically from either
+    container. Limited-range flagging (XCOLORRANGE=LIMITED) is metadata
+    this feature path deliberately ignores."""
+    y = np.frombuffer(buf[: w * h], dtype="u1").reshape(h, w).astype("float64")
+    if sub is None:
+        return y.astype("uint8")
+    sx, sy = sub
+    cw, chh = w // sx, h // sy
+    cb = np.frombuffer(
+        buf[w * h : w * h + cw * chh], dtype="u1"
+    ).reshape(chh, cw).astype("float64")
+    cr = np.frombuffer(buf[w * h + cw * chh :], dtype="u1").reshape(chh, cw).astype(
+        "float64"
+    )
+    cb = np.repeat(np.repeat(cb, sy, axis=0), sx, axis=1)
+    cr = np.repeat(np.repeat(cr, sy, axis=0), sx, axis=1)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype("uint8")
+
+
+def decode_video_frames(
+    payload: bytes, indices: "list[int] | None" = None
+) -> "list[tuple[int, np.ndarray]]":
+    """Decode selected frames of a Y4M payload to uint8 arrays — pure
+    stdlib+numpy. ``indices=None`` decodes every frame; otherwise only
+    the requested frame numbers are converted (the walk skips the
+    others' bytes entirely — sampling 1-in-100 frames costs ~1/100th)."""
+    w, h, cs, _ = _parse_y4m_header(payload)
+    sub, _ = _y4m_layout(w, h, cs)
+    want = None if indices is None else set(indices)
+    out = []
+    buf = bytes(payload)
+    for i, start, end in _y4m_frames(payload):
+        if want is not None and i not in want:
+            continue
+        out.append((i, _y4m_frame_to_array(buf[start:end], w, h, sub)))
+    return out
+
+
+def encode_y4m(frames: "list[np.ndarray]", colorspace: str = "mono") -> bytes:
+    """Minimal Y4M encoder for round-trip tests: gray (h, w) frames for
+    ``mono``, RGB (h, w, 3) frames for ``444``/``420jpeg`` (full-range
+    BT.601 forward matrix; 420 chroma is 2x2 box-averaged). The
+    deterministic spec-literal replica :func:`decode_video_frames` is
+    tested against — not a production encoder."""
+    if not frames:
+        raise ValueError("Y4M needs at least one frame")
+    first = np.asarray(frames[0], dtype="uint8")
+    h, w = first.shape[:2]
+    sub, _ = _y4m_layout(w, h, colorspace)
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, colorspace.encode())
+    out = bytearray(head)
+    for fr in frames:
+        fr = np.asarray(fr, dtype="uint8")
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all Y4M frames must share the stream dimensions")
+        out += b"FRAME\n"
+        if sub is None:
+            if fr.ndim != 2:
+                raise ValueError("mono Y4M needs (h, w) gray frames")
+            out += fr.tobytes()
+            continue
+        if fr.ndim != 3 or fr.shape[2] != 3:
+            raise ValueError("color Y4M needs (h, w, 3) RGB frames")
+        f = fr.astype("float64")
+        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+        sx, sy = sub
+        if (sx, sy) != (1, 1):
+            cb = cb.reshape(h // sy, sy, w // sx, sx).mean(axis=(1, 3))
+            cr = cr.reshape(h // sy, sy, w // sx, sx).mean(axis=(1, 3))
+        for plane in (y, cb, cr):
+            out += np.clip(np.round(plane), 0, 255).astype("uint8").tobytes()
+    return bytes(out)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("min_val", IntegerType(), False),
+        StructField("max_val", IntegerType(), False),
+        StructField("mean_val", DoubleType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+
+def video_media_table(
+    emb: DataFrame, width: int = 8, n_frames: int = 4, colorspace: str = "mono"
+) -> DataFrame:
+    """Deterministic synthetic Y4M media table derived from the
+    embeddings table: each vector's float32 values map to the same uint8
+    raster :func:`image_media_table` builds, and frame ``k`` is that
+    raster cyclically shifted ``k`` columns — a real multi-frame payload
+    with known per-frame content, no external data. Height is padded to
+    the chroma-sampling multiple when ``colorspace`` subsamples."""
+    sub = _y4m_subsample(colorspace)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf["embedding"]:
+                f = np.asarray(v, dtype="<f4")
+                u8 = np.clip((f * 64.0 + 128.0), 0, 255).astype("uint8")
+                if colorspace == "mono":
+                    rows = -(-u8.size // width)
+                    base = np.zeros((rows, width), dtype="uint8")
+                else:
+                    rows = -(-u8.size // (width * 3))
+                    if sub is not None:
+                        rows += (-rows) % sub[1]  # pad height to sampling multiple
+                    base = np.zeros((rows, width, 3), dtype="uint8")
+                base.reshape(-1)[: u8.size] = u8
+                frames = [np.roll(base, k, axis=1) for k in range(n_frames)]
+                payloads.append(encode_y4m(frames, colorspace=colorspace))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "media": payloads,
+                    "media_type": "video/x-yuv4mpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return emb.mapInPandas(pack, MEDIA_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_k: int = 1, max_frames: "int | None" = None
+) -> DataFrame:
+    """Frame-sampled per-frame features over Arrow batches: each payload
+    is probed, frames ``0, every_k, 2*every_k, …`` (at most
+    ``max_frames``) are decoded, and each sampled frame yields one row —
+    dims, min/max, float64-accumulated mean, md5 of the frame's raw
+    plane bytes (content, not container). Unsampled frames are never
+    converted. Same mapInPandas plumbing as the stills — an ffmpeg-backed
+    decoder for compressed containers plugs in behind the same schema."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    import hashlib
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["media"]):
+                buf = bytes(payload)
+                w, h, cs, _ = _parse_y4m_header(buf)
+                sub, _ = _y4m_layout(w, h, cs)
+                spans = list(_y4m_frames(buf))
+                picked = spans[::every_k]
+                if max_frames is not None:
+                    picked = picked[:max_frames]
+                for i, start, end in picked:
+                    img = _y4m_frame_to_array(buf[start:end], w, h, sub)
+                    ch = 1 if img.ndim == 2 else img.shape[2]
+                    flat = img.reshape(-1)
+                    rows.append(
+                        (int(vid), i, len(spans), int(img.shape[1]), int(img.shape[0]),
+                         int(ch), int(flat.min()), int(flat.max()),
+                         float(flat.astype("float64").sum() / flat.size),
+                         hashlib.md5(buf[start:end]).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "frame_no", "n_frames", "width", "height",
+                         "channels", "min_val", "max_val", "mean_val", "checksum"],
+            )
+
+    return media.mapInPandas(feats, VIDEO_FRAME_SCHEMA)
 
 
 def media_table(emb: DataFrame) -> DataFrame:

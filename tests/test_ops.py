@@ -393,8 +393,8 @@ def test_png_decode_all_filters_roundtrip():
     """Stdlib-zlib PNG decode: every scanline filter (None/Sub/Up/
     Average/Paeth) round-trips on gradient data that makes each
     predictor non-trivial; gray and RGB; paletted gray collapses to
-    (h,w) and color palettes expand; alpha is dropped; interlace/16-bit
-    stay gated."""
+    (h,w) and color palettes expand; alpha is dropped; Adam7 interlace
+    round-trips at both depths; sub-byte depths stay gated."""
     import struct
     import zlib
 
@@ -447,11 +447,23 @@ def test_png_decode_all_filters_roundtrip():
             out = multimodal.decode_image(multimodal.encode_png(arr, filter_type=ft))
             assert out.dtype == np.uint16 and (out == arr).all(), (arr.shape, ft)
 
+    # Adam7 interlace: dims straddling the 8x8 pass grid (incl. <8 sizes
+    # that leave some passes empty), every filter, both depths, color+gray
+    big = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    small16 = rng.randint(0, 65536, size=(3, 5)).astype("uint16")
+    for arr in (gray, rgb, big, small16):
+        for ft in range(5):
+            out = multimodal.decode_image(
+                multimodal.encode_png(arr, filter_type=ft, interlace=True)
+            )
+            assert out.shape == arr.shape and (out == arr).all(), (arr.shape, ft)
+    # interlaced payload with non-interlaced-length data → framing error
+    mislabeled = bytearray(multimodal.encode_png(gray))
+    mislabeled[8 + 8 + 12] = 1  # flip IHDR interlace byte only
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(bytes(mislabeled))
+
     # gates + strict framing
-    interlaced = bytearray(multimodal.encode_png(gray))
-    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        multimodal.decode_image(bytes(interlaced))
     deep = bytearray(multimodal.encode_png(gray))
     deep[8 + 8 + 8] = 4  # IHDR bit depth (sub-byte packing unsupported)
     with _pytest.raises(NotImplementedError, match="bit depth"):
@@ -599,6 +611,110 @@ def test_image_features_cross_format_parity(spark, emb):
         ]
         assert j["min_val"] >= ref["min_val"] - 3 and j["max_val"] <= ref["max_val"] + 3
         assert abs(j["mean_val"] - ref["mean_val"]) < 1.0
+
+
+def test_y4m_video_decode_roundtrip_and_sampling():
+    """Y4M (YUV4MPEG2) — the codec-free video container: mono frames
+    round-trip exactly; gray-valued RGB through C444 round-trips exactly
+    (full-range BT.601 is identity on gray); random color stays within
+    the uint8 chroma-quantization bound; 420 subsampling decodes;
+    frame-index sampling decodes only the requested frames; compressed
+    containers and tagged bit depths hit the NotImplementedError gate;
+    truncated frames raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(6, 8), dtype=np.uint8) for _ in range(5)]
+    pay = multimodal.encode_y4m(frames, "mono")
+    meta = multimodal.probe_video(pay)
+    assert meta == {"width": 8, "height": 6, "colorspace": "mono", "n_frames": 5}
+    dec = multimodal.decode_video_frames(pay)
+    assert [i for i, _ in dec] == list(range(5))
+    for (_, d), f in zip(dec, frames):
+        assert d.dtype == np.uint8 and (d == f).all()
+    # selective decode: only the requested frame numbers come back
+    dec = multimodal.decode_video_frames(pay, indices=[0, 3])
+    assert [i for i, _ in dec] == [0, 3] and (dec[1][1] == frames[3]).all()
+
+    # C444 on gray-valued RGB: BT.601 full-range is identity on gray
+    g = rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+    rgbf = [np.stack([g] * 3, axis=-1), np.stack([np.roll(g, 1, 1)] * 3, axis=-1)]
+    dec = multimodal.decode_video_frames(multimodal.encode_y4m(rgbf, "444"))
+    for (_, d), f in zip(dec, rgbf):
+        assert (d == f).all()
+
+    # random color: 444 and 420 (flat 2x2 blocks) within the uint8
+    # chroma-quantization bound; 420 halves the chroma plane size
+    fr = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    (_, d), = multimodal.decode_video_frames(multimodal.encode_y4m([fr], "444"))
+    assert np.abs(d.astype(int) - fr.astype(int)).max() <= 1
+    flat = np.repeat(np.repeat(rng.randint(0, 256, size=(2, 3, 3), dtype=np.uint8), 2, 0), 2, 1)
+    pay420 = multimodal.encode_y4m([flat], "420jpeg")
+    (_, d), = multimodal.decode_video_frames(pay420)
+    assert d.shape == flat.shape and np.abs(d.astype(int) - flat.astype(int)).max() <= 1
+    assert len(pay420) < len(multimodal.encode_y4m([flat], "444"))
+    # the 420mpeg2 alias (different chroma siting, same layout) decodes too
+    (_, d2), = multimodal.decode_video_frames(
+        pay420.replace(b"C420jpeg", b"C420mpeg2")
+    )
+    assert (d2 == d).all()
+
+    # gates + framing
+    with _pytest.raises(NotImplementedError, match="only the Y4M"):
+        multimodal.decode_video_frames(b"RIFF\x00\x00\x00\x00AVI LIST")
+    with _pytest.raises(NotImplementedError, match="C420p10"):
+        multimodal.decode_video_frames(pay.replace(b"Cmono", b"C420p10"))
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_video_frames(pay.replace(b"Ip", b"It"))
+    with _pytest.raises(ValueError, match="truncated Y4M frame 4"):
+        multimodal.decode_video_frames(pay[:-3])
+    with _pytest.raises(ValueError, match="not a multiple"):
+        multimodal.encode_y4m([np.zeros((3, 4, 3), dtype=np.uint8)], "420jpeg")
+
+
+def test_video_frame_sampling_over_spark(spark, emb):
+    """Per-frame features over the real mapInPandas path: the synthetic
+    Y4M table derived from embeddings, every-other-frame sampling, each
+    sampled frame checked value-for-value against the known construction
+    (frame k = base raster rolled k columns)."""
+    import hashlib
+
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    sample = emb.limit(4)
+    media = multimodal.video_media_table(sample, width=8, n_frames=5)
+    rows = multimodal.sample_video_frames(media, every_k=2).collect()
+    by_key = {(r["vec_id"], r["frame_no"]): r for r in rows}
+    assert sorted({r["frame_no"] for r in rows}) == [0, 2, 4]
+    assert len(rows) == 4 * 3
+    for row in sample.collect():
+        f = np.asarray(row["embedding"], dtype="<f4")
+        u8 = np.clip(f * 64.0 + 128.0, 0, 255).astype("uint8")
+        nrows = -(-u8.size // 8)
+        base = np.zeros((nrows, 8), dtype="uint8")
+        base.reshape(-1)[: u8.size] = u8
+        for k in (0, 2, 4):
+            frame = np.roll(base, k, axis=1)
+            got = by_key[(row["vec_id"], k)]
+            assert (got["width"], got["height"], got["channels"]) == (8, nrows, 1)
+            assert got["n_frames"] == 5
+            assert got["min_val"] == int(frame.min())
+            assert got["max_val"] == int(frame.max())
+            assert abs(got["mean_val"] - frame.astype("float64").mean()) < 1e-12
+            assert got["checksum"] == hashlib.md5(frame.tobytes()).hexdigest()
+    # color variant exercises the chroma path end-to-end (dims only —
+    # pixel values are pinned by the kernel tests above)
+    crows = multimodal.sample_video_frames(
+        multimodal.video_media_table(sample, width=8, n_frames=2, colorspace="420jpeg"),
+        every_k=1,
+    ).collect()
+    assert len(crows) == 4 * 2 and all(r["channels"] == 3 for r in crows)
+    assert all(r["height"] % 2 == 0 for r in crows)  # padded to the sampling
 
 
 def test_entry_contract(spark):
