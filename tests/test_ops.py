@@ -534,13 +534,26 @@ def test_jpeg_decode_roundtrip_and_variants():
     out = multimodal.decode_image(rgb_rst)
     assert (out == big).all()
 
-    # gates: progressive (SOF2) and 12-bit refuse; truncation raises
+    # non-interleaved multi-scan sequential: one SOS per component,
+    # decodes identically to the interleaved form
+    ni = multimodal.encode_jpeg(rgb, interleave=False)
+    assert ni.count(b"\xff\xda") == 3
+    assert (
+        multimodal.decode_image(ni) == multimodal.decode_image(multimodal.encode_jpeg(rgb))
+    ).all()
+
+    # gates: arithmetic coding and 12-bit refuse; truncation and a
+    # baseline payload mislabeled SOF2 (malformed scan script) raise
     base = multimodal.encode_jpeg(gray)
     sof = base.index(b"\xff\xc0")
-    prog = bytearray(base)
-    prog[sof + 1] = 0xC2
+    arith = bytearray(base)
+    arith[sof + 1] = 0xCA  # progressive arithmetic
     with _pytest.raises(NotImplementedError, match="SOF"):
-        multimodal.decode_image(bytes(prog))
+        multimodal.decode_image(bytes(arith))
+    mislabeled = bytearray(base)
+    mislabeled[sof + 1] = 0xC2  # SOF2 but a Ss=0..Se=63 scan is not a DC scan
+    with _pytest.raises(ValueError, match="Se=0"):
+        multimodal.decode_image(bytes(mislabeled))
     deep = bytearray(base)
     deep[sof + 4] = 12  # precision byte after marker+length
     with _pytest.raises(NotImplementedError, match="precision"):
@@ -548,6 +561,64 @@ def test_jpeg_decode_roundtrip_and_variants():
     cut = base.index(b"\xff\xda") + 30  # inside the entropy-coded data
     with _pytest.raises(ValueError, match="truncated"):
         multimodal.decode_image(base[:cut])
+
+
+def test_jpeg_progressive_decode_matches_baseline():
+    """Progressive (SOF2) decode: the spec-literal progressive encoder
+    (spectral selection + one successive-approximation round) quantizes
+    exactly like the baseline encoder, so the two encodings of one image
+    must decode BIT-IDENTICALLY — this pins DC first/refine, AC
+    first/refine, EOBn run lengths, buffered correction bits, restart
+    markers, and the non-interleaved band scans against the sequential
+    path, which is itself pinned against the source image."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(11)
+
+    def parity(arr, **kw):
+        b = multimodal.decode_image(multimodal.encode_jpeg(arr, **kw))
+        p = multimodal.decode_image(multimodal.encode_jpeg_progressive(arr, **kw))
+        assert b.shape == p.shape and (b == p).all(), (arr.shape, kw)
+        return p
+
+    gray = rng.randint(0, 256, size=(13, 11), dtype=np.uint8)
+    parity(gray)
+    parity(gray, quant=8)
+    parity(gray, restart_interval=2)
+    rgb = rng.randint(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    parity(rgb)
+    # 4:2:0 with a luma grid wider than the true block grid (w=24 →
+    # true 3 blocks vs padded 4): non-interleaved AC scans cover only
+    # the true grid
+    rgb420 = rng.randint(0, 256, size=(20, 24, 3), dtype=np.uint8)
+    parity(rgb420, subsample=(2, 2))
+    parity(rgb420, subsample=(2, 2), restart_interval=1)
+    # long multi-block EOB runs: near-flat content at coarse quant
+    flatish = np.full((40, 40), 100, dtype=np.uint8)
+    flatish[3, 5] = 130
+    prog = multimodal.encode_jpeg_progressive(flatish, quant=32)
+    parity(flatish, quant=32)
+    # and the progressive file is genuinely multi-scan SOF2 (gray: DC
+    # first + 2 AC-first bands + 2 AC-refine bands + DC refine)
+    assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 6
+    # flat 8x8 tiles at quant=1 round-trip exactly through the
+    # progressive path too (DC-only blocks, no quantization loss)
+    tiles = rng.randint(0, 256, size=(3, 2), dtype=np.uint8)
+    flat = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    out = multimodal.decode_image(multimodal.encode_jpeg_progressive(flat))
+    assert (out == flat).all()
+    # malformed: interleaved AC scan rejected
+    data = bytearray(multimodal.encode_jpeg_progressive(rgb))
+    # second SOS is the first AC scan (ns=1); force ns=3 framing error
+    first = data.index(b"\xff\xda")
+    second = data.index(b"\xff\xda", first + 2)
+    assert data[second + 4] == 1  # single-component AC scan header
+    with _pytest.raises(ValueError):
+        # truncating inside a later scan's entropy data must raise
+        multimodal.decode_image(bytes(data[: second + 12]))
 
 
 def test_image_features_from_synthetic_ppm(spark, emb):
@@ -597,7 +668,7 @@ def test_image_features_cross_format_parity(spark, emb):
                 multimodal.image_media_table(sample, width=8, fmt=fmt)
             ).collect()
         }
-        for fmt in ("ppm", "png", "bmp", "jpeg")
+        for fmt in ("ppm", "png", "bmp", "jpeg", "jpeg_progressive")
     }
     pixel_cols = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
     for vid, ref in by_fmt["ppm"].items():
@@ -611,6 +682,11 @@ def test_image_features_cross_format_parity(spark, emb):
         ]
         assert j["min_val"] >= ref["min_val"] - 3 and j["max_val"] <= ref["max_val"] + 3
         assert abs(j["mean_val"] - ref["mean_val"]) < 1.0
+        # progressive shares the baseline's quantized coefficients →
+        # identical decoded pixels, different container bytes
+        p = by_fmt["jpeg_progressive"][vid]
+        assert [p[c] for c in pixel_cols] == [j[c] for c in pixel_cols]
+        assert p["checksum"] != j["checksum"]
 
 
 def test_y4m_video_decode_roundtrip_and_sampling():
