@@ -7,10 +7,13 @@ the reference's gs/pdfimages toolchain) actually emits mostly need none:
 uncompressed BMP, 8/16-bit PNG (stdlib zlib, incl. Adam7 interlace),
 and Huffman JPEG — baseline/extended sequential (SOF0/SOF1,
 interleaved or multi-scan) and progressive (SOF2, spectral selection +
-successive approximation) — with stdlib+numpy, and
-:func:`extract_image_features` runs real decoded-pixel features through
+successive approximation) — with stdlib+numpy;
+:func:`decode_audio` decodes WAV (RIFF PCM u8/i16/i24/i32 + IEEE float,
+incl. EXTENSIBLE headers); :func:`decode_video_frames` decodes Y4M; and
+:func:`extract_image_features` / :func:`sample_audio_windows` /
+:func:`sample_video_frames` run real decoded-sample features through
 the same mapInPandas plumbing. What's left behind ``NotImplementedError``
-(arithmetic-coded/12-bit/hierarchical JPEG, compressed video) is
+(arithmetic-coded/12-bit/hierarchical JPEG, compressed audio/video) is
 the pluggable gate — a real cluster swaps in a PIL/ffmpeg-backed kernel
 behind the same signature. The float32-tensor payload path
 (:func:`media_table`/:func:`extract_features`) is the byte-round-trip
@@ -1642,6 +1645,270 @@ def encode_y4m(frames: "list[np.ndarray]", colorspace: str = "mono") -> bytes:
         for plane in (y, cb, cr):
             out += np.clip(np.round(plane), 0, 255).astype("uint8").tobytes()
     return bytes(out)
+
+
+# --- audio: WAV (RIFF/WAVE) container -------------------------------------
+#
+# Uncompressed WAV is the audio analog of netpbm/Y4M: a chunked header,
+# then raw PCM (or IEEE-float) sample frames at a fixed block size — no
+# entropy codec, so a window of samples is a byte slice. Compressed
+# codecs (MP3, ADPCM, μ-law/A-law) stay behind the pluggable
+# NotImplementedError gate — those genuinely need an audio library.
+
+# WAVE format tags (public RIFF/MMREG registry): 1 = integer PCM,
+# 3 = IEEE float, 0xFFFE = EXTENSIBLE (real tag in the SubFormat GUID,
+# whose first two bytes are the wrapped tag, little-endian).
+_WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 0x0001, 0x0003, 0xFFFE
+
+
+def _parse_wav_header(payload: bytes):
+    """Walk the RIFF chunk list; returns (fmt dict, data_offset,
+    data_len). Unknown chunks (LIST, fact, cue, …) are skipped via their
+    declared size, with the RIFF odd-size pad byte honored. Raises the
+    NotImplementedError gate for non-WAV payloads and compressed format
+    tags, ValueError for structurally broken files."""
+    import struct
+
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio payload: only the WAV (RIFF/WAVE) PCM "
+            "container decodes without an audio library"
+        )
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk is {size} bytes, expected >= 16")
+            tag, channels, rate, _brate, block, bits = struct.unpack_from(
+                "<HHIIHH", buf, body
+            )
+            if tag == _WAV_EXTENSIBLE:
+                if size < 40:
+                    raise ValueError("WAV EXTENSIBLE fmt chunk needs 40 bytes")
+                # SubFormat GUID starts at byte 24 of the chunk; its
+                # first two bytes are the wrapped format tag
+                (tag,) = struct.unpack_from("<H", buf, body + 24)
+            if tag not in (_WAV_PCM, _WAV_FLOAT):
+                raise NotImplementedError(
+                    f"WAV format tag 0x{tag:04X}: only integer PCM and "
+                    "IEEE float decode without an audio library"
+                )
+            if channels == 0 or rate == 0:
+                raise ValueError("WAV fmt chunk has zero channels or sample rate")
+            allowed = (8, 16, 24, 32) if tag == _WAV_PCM else (32, 64)
+            if bits not in allowed:
+                raise NotImplementedError(
+                    f"WAV {bits}-bit {'PCM' if tag == _WAV_PCM else 'float'} "
+                    "is not a decodable layout"
+                )
+            if block != channels * (bits // 8):
+                raise ValueError(
+                    f"WAV block align {block} != channels*bytes {channels * (bits // 8)}"
+                )
+            fmt = {"tag": tag, "channels": channels, "rate": rate, "bits": bits,
+                   "block": block}
+        elif cid == b"data":
+            if body + size > len(buf):
+                raise ValueError(
+                    f"truncated WAV data chunk: {len(buf) - body} bytes, "
+                    f"declared {size}"
+                )
+            data = (body, size)
+        pos = body + size + (size & 1)  # RIFF pads odd chunks to even
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if data[1] % fmt["block"]:
+        raise ValueError("WAV data length is not a whole number of sample frames")
+    return fmt, data[0], data[1]
+
+
+def probe_audio(payload: bytes) -> dict:
+    """Container metadata from the header walk alone — no sample is
+    converted; the cheap planner path, like :func:`probe_video`."""
+    fmt, _, dlen = _parse_wav_header(payload)
+    n = dlen // fmt["block"]
+    return {
+        "sample_rate": fmt["rate"],
+        "channels": fmt["channels"],
+        "bits": fmt["bits"],
+        "encoding": "pcm" if fmt["tag"] == _WAV_PCM else "float",
+        "n_samples": n,
+        "duration_sec": n / fmt["rate"],
+    }
+
+
+def _wav_frames_to_array(raw: bytes, fmt: dict) -> "np.ndarray":
+    """Raw sample frames → (n, channels) float64 in [-1, 1): unsigned
+    8-bit is re-centered then /128, signed 16/24/32-bit divide by 2^15 /
+    2^23 / 2^31, IEEE float passes through. Every conversion is exact in
+    float64 (≤53 mantissa bits), so replicas can assert equality."""
+    bits, ch = fmt["bits"], fmt["channels"]
+    if fmt["tag"] == _WAV_FLOAT:
+        arr = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype("float64")
+    elif bits == 8:
+        arr = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    elif bits == 16:
+        arr = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype("int64")
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr = ((v ^ 0x800000) - 0x800000).astype("float64") / 8388608.0
+    else:  # 32-bit integer PCM
+        arr = np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
+    return arr.reshape(-1, ch)
+
+
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode a WAV payload to ((n, channels) float64 samples in
+    [-1, 1), sample_rate) — pure stdlib+numpy, exact normalization per
+    :func:`_wav_frames_to_array`."""
+    fmt, off, dlen = _parse_wav_header(payload)
+    return _wav_frames_to_array(bytes(payload)[off : off + dlen], fmt), fmt["rate"]
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int, bits: int = 16) -> bytes:
+    """Minimal WAV encoder for round-trip tests: ``samples`` is (n,) or
+    (n, channels) with dtype matching ``bits`` — uint8 (8), int16 (16),
+    int32 (24: low three bytes kept, or 32), float32/float64 (IEEE float
+    tags). The deterministic spec-literal replica :func:`decode_audio`
+    is tested against — not a production encoder."""
+    import struct
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, ch = arr.shape
+    if arr.dtype == np.float32 or arr.dtype == np.float64:
+        tag = _WAV_FLOAT
+        bits = 32 if arr.dtype == np.float32 else 64
+        raw = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 8:
+        tag = _WAV_PCM
+        raw = arr.astype("u1").tobytes()
+    elif bits == 16:
+        tag = _WAV_PCM
+        raw = arr.astype("<i2").tobytes()
+    elif bits == 24:
+        tag = _WAV_PCM
+        v = arr.astype("<i4").reshape(-1)
+        b = np.empty((v.size, 3), dtype="u1")
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        raw = b.tobytes()
+    elif bits == 32:
+        tag = _WAV_PCM
+        raw = arr.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"bits must be 8/16/24/32, got {bits}")
+    block = ch * (bits // 8)
+    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, sample_rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("window_no", IntegerType(), False),
+        StructField("n_windows", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("peak", DoubleType(), False),
+        StructField("zero_crossings", IntegerType(), False),
+        StructField("mean_val", DoubleType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+
+def audio_media_table(
+    emb: DataFrame, sample_rate: int = 8000, repeat: int = 16
+) -> DataFrame:
+    """Deterministic synthetic WAV media table derived from the
+    embeddings table: each vector's float32 values scale to int16 PCM
+    (clip(v * 16384)) and tile ``repeat`` times — a real mono waveform
+    per row with known content, no external data."""
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf["embedding"]:
+                f = np.asarray(v, dtype="<f4").astype("float64")
+                pcm = np.clip(np.round(f * 16384.0), -32768, 32767).astype("<i2")
+                payloads.append(encode_wav(np.tile(pcm, repeat), sample_rate))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "media": payloads,
+                    "media_type": "audio/wav",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return emb.mapInPandas(pack, MEDIA_SCHEMA)
+
+
+def sample_audio_windows(
+    media: DataFrame,
+    window: int = 256,
+    every_k: int = 1,
+    max_windows: "int | None" = None,
+) -> DataFrame:
+    """Windowed per-segment audio features over Arrow batches: the
+    header walk sizes the fixed-stride sample frames, windows ``0,
+    every_k, 2*every_k, …`` (at most ``max_windows``) are byte-sliced
+    and converted, and each yields one row — RMS, peak, zero-crossing
+    count, float64 mean, md5 of the window's raw frame bytes (content,
+    not container). Unsampled windows are never converted — the audio
+    analog of :func:`sample_video_frames`'s skip-unsampled discipline;
+    a codec-backed decoder for compressed audio plugs in behind the
+    same schema."""
+    if window < 1 or every_k < 1:
+        raise ValueError(f"window/every_k must be >= 1, got {window}/{every_k}")
+    import hashlib
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["media"]):
+                buf = bytes(payload)
+                fmt, off, dlen = _parse_wav_header(buf)
+                n = dlen // fmt["block"]
+                n_windows = -(-n // window)
+                picked = range(0, n_windows, every_k)
+                if max_windows is not None:
+                    picked = list(picked)[:max_windows]
+                for i in picked:
+                    a = off + i * window * fmt["block"]
+                    b = min(off + dlen, a + window * fmt["block"])
+                    seg = buf[a:b]
+                    x = _wav_frames_to_array(seg, fmt)
+                    mono = x.mean(axis=1)  # features over the channel mean
+                    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    rows.append(
+                        (int(vid), int(i), int(n_windows), fmt["rate"],
+                         fmt["channels"], int(x.shape[0]),
+                         float(np.sqrt(np.mean(mono * mono))),
+                         float(np.abs(x).max()), zc, float(mono.mean()),
+                         hashlib.md5(seg).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "window_no", "n_windows", "sample_rate",
+                         "channels", "n_samples", "rms", "peak",
+                         "zero_crossings", "mean_val", "checksum"],
+            )
+
+    return media.mapInPandas(feats, AUDIO_WINDOW_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = StructType(

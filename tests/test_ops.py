@@ -793,6 +793,118 @@ def test_video_frame_sampling_over_spark(spark, emb):
     assert all(r["height"] % 2 == 0 for r in crows)  # padded to the sampling
 
 
+def test_wav_audio_decode_roundtrip_and_gates():
+    """WAV (RIFF PCM/IEEE-float) — the codec-free audio container: every
+    sample layout (u8/i16/i24/i32/f32/f64, mono+stereo) round-trips with
+    EXACT float64 normalization; the chunk walk skips unknown chunks
+    with RIFF odd-size padding; EXTENSIBLE headers unwrap to the real
+    tag; compressed format tags and non-WAV payloads hit the
+    NotImplementedError gate; truncated data raises."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(5)
+    s16 = rng.randint(-32768, 32768, size=(100, 2)).astype("<i2")
+    pay = multimodal.encode_wav(s16, 44100)
+    x, rate = multimodal.decode_audio(pay)
+    assert rate == 44100 and np.array_equal(x, s16.astype("float64") / 32768.0)
+    meta = multimodal.probe_audio(pay)
+    assert (meta["channels"], meta["bits"], meta["n_samples"]) == (2, 16, 100)
+    assert meta["encoding"] == "pcm" and meta["duration_sec"] == 100 / 44100
+
+    u8 = rng.randint(0, 256, size=50).astype("u1")
+    x, _ = multimodal.decode_audio(multimodal.encode_wav(u8, 8000, bits=8))
+    assert np.array_equal(x[:, 0], (u8.astype("float64") - 128) / 128)
+    v24 = rng.randint(-(1 << 23), 1 << 23, size=33)
+    x, _ = multimodal.decode_audio(multimodal.encode_wav(v24.astype("<i4"), 16000, bits=24))
+    assert np.array_equal(x[:, 0], v24.astype("float64") / 8388608.0)
+    v32 = rng.randint(-(1 << 31), 1 << 31, size=20, dtype=np.int64).astype("<i4")
+    x, _ = multimodal.decode_audio(multimodal.encode_wav(v32, 16000, bits=32))
+    assert np.array_equal(x[:, 0], v32.astype("float64") / 2147483648.0)
+    for f in (rng.randn(40).astype("<f4"), rng.randn(11)):
+        x, _ = multimodal.decode_audio(multimodal.encode_wav(f, 48000))
+        assert np.array_equal(x[:, 0], f.astype("float64"))
+
+    # unknown chunk with an ODD size before data: the pad byte is honored
+    inj = pay[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + pay[12:]
+    inj = inj[:4] + struct.pack("<I", len(inj) - 8) + inj[8:]
+    x, _ = multimodal.decode_audio(inj)
+    assert np.array_equal(x, s16.astype("float64") / 32768.0)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping plain PCM (tag in the SubFormat GUID)
+    fmt_ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 2, 44100, 44100 * 4, 4, 16)
+        + struct.pack("<HHI", 16, 0x3, 0x1)
+        + struct.pack("<H", 1)
+        + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    raw = s16.tobytes()
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    ext = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    x, _ = multimodal.decode_audio(ext)
+    assert np.array_equal(x, s16.astype("float64") / 32768.0)
+
+    # gates + framing
+    for tag in (0x0002, 0x0006, 0x0007, 0x0055):  # ADPCM, A-law, μ-law, MP3
+        bad = bytearray(pay)
+        struct.pack_into("<H", bad, 20, tag)
+        with _pytest.raises(NotImplementedError, match="format tag"):
+            multimodal.decode_audio(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="only the WAV"):
+        multimodal.decode_audio(b"ID3\x04" + b"\x00" * 40)
+    with _pytest.raises(ValueError, match="truncated WAV data"):
+        multimodal.decode_audio(pay[:-7])
+
+
+def test_audio_window_sampling_over_spark(spark, emb):
+    """Windowed audio features over the real mapInPandas path: the
+    synthetic WAV table derived from embeddings, every-other-window
+    sampling, each sampled window checked value-for-value against the
+    known construction (int16 = clip(round(v*16384)) tiled)."""
+    import hashlib
+
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    sample = emb.limit(4)
+    media = multimodal.audio_media_table(sample, sample_rate=8000, repeat=4)
+    rows = multimodal.sample_audio_windows(media, window=100, every_k=2).collect()
+    by_key = {(r["vec_id"], r["window_no"]) : r for r in rows}
+    for row in sample.collect():
+        f = np.asarray(row["embedding"], dtype="<f4").astype("float64")
+        pcm = np.clip(np.round(f * 16384.0), -32768, 32767).astype("<i2")
+        full = np.tile(pcm, 4)
+        n_windows = -(-full.size // 100)
+        got_windows = sorted(
+            wn for vid, wn in by_key if vid == row["vec_id"]
+        )
+        assert got_windows == list(range(0, n_windows, 2))
+        for wn in got_windows:
+            seg = full[wn * 100 : (wn + 1) * 100]
+            mono = seg.astype("float64") / 32768.0
+            got = by_key[(row["vec_id"], wn)]
+            assert got["n_windows"] == n_windows
+            assert (got["sample_rate"], got["channels"]) == (8000, 1)
+            assert got["n_samples"] == seg.size
+            assert got["rms"] == float(np.sqrt(np.mean(mono * mono)))
+            assert got["peak"] == float(np.abs(mono).max())
+            assert got["mean_val"] == float(mono.mean())
+            zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            assert got["zero_crossings"] == zc
+            assert got["checksum"] == hashlib.md5(seg.tobytes()).hexdigest()
+    # max_windows cap
+    capped = multimodal.sample_audio_windows(media, window=100, max_windows=1).collect()
+    assert len(capped) == 4 and all(r["window_no"] == 0 for r in capped)
+
+
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
