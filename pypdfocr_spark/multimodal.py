@@ -105,9 +105,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
     BMP (BI_RGB, 8-bit paletted / 24-bit / 32-bit), a format real crawls
     actually contain and whose layout is header + padded rows, no
     entropy coding (VERDICT r4 #8) — plus 8/16-bit PNG incl. Adam7
-    interlace (:func:`_decode_png`) and sequential + progressive Huffman
-    JPEG (:func:`_decode_jpeg`). Returns uint8 or uint16, shape (h, w)
-    for grayscale, (h, w, 3) for RGB.
+    interlace (:func:`_decode_png`), sequential + progressive Huffman
+    JPEG (:func:`_decode_jpeg`), and GIF87a/89a incl. interlace
+    (:func:`_decode_gif` — LZW is pure table bookkeeping, no codec
+    library needed). Returns uint8 or uint16, shape (h, w) for
+    grayscale, (h, w, 3) for RGB.
 
     Formats genuinely needing an external codec (arithmetic-coded /
     12-bit / hierarchical JPEG, …) still raise ``NotImplementedError`` —
@@ -121,11 +123,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return _decode_jpeg(payload)
     if magic == b"BM":
         return _decode_bmp(payload)
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise NotImplementedError(
             f"unsupported image magic {magic!r}: only PNM (P2/P3/P5/P6), "
-            "uncompressed BMP, non-interlaced PNG, and baseline JPEG "
-            "decode without PIL/cv2 on the cluster"
+            "uncompressed BMP, GIF, PNG, and Huffman JPEG decode without "
+            "PIL/cv2 on the cluster"
         )
     channels = 3 if magic in (b"P3", b"P6") else 1
     (w, h, maxval), data_off = _parse_pnm_header(payload, 3)
@@ -1445,6 +1449,264 @@ def encode_pnm(arr: "np.ndarray", binary: bool = True) -> bytes:
     return header + (" ".join(str(int(v)) for v in arr.reshape(-1)) + "\n").encode()
 
 
+# --- GIF (LZW) -------------------------------------------------------------
+#
+# GIF is the remaining still-image format real crawls contain in volume
+# that needs no external codec: its only compression is LZW over palette
+# indices, which is a few dozen lines of table bookkeeping — unlike
+# arithmetic-coded JPEG or AV1, there is no entropy-coder dependency to
+# gate. Decode covers GIF87a/GIF89a, global and local color tables,
+# interlaced rasters, extension blocks (skipped), and the deferred-clear
+# encoder variant; animated GIFs decode their FIRST frame (decode_image
+# returns one still — frame iteration is the video path's job).
+
+
+def _gif_subblocks(data: bytes, pos: int) -> "tuple[bytes, int]":
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns the
+    joined payload and the position just past the 0x00 terminator."""
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF sub-block chain ran past end of payload")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > len(data):
+            raise ValueError("truncated GIF sub-block")
+        parts.append(data[pos : pos + n])
+        pos += n
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray:
+    """GIF-variant LZW decode: codes are packed least-significant-bit
+    first, start at ``mcs``+1 bits, widen when the table reaches the
+    current width's capacity ("early change"), cap at 12 bits, and the
+    table freezes at 4096 entries until a Clear code (deferred clear).
+    Strict: a stream that ends without an End-of-Information code or
+    references an out-of-range code raises instead of returning a
+    shifted raster."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"GIF LZW minimum code size {mcs} outside [2, 11]")
+    clear = 1 << mcs
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]  # clear/eoi stubs
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:  # first code after (implicit) clear: a literal
+            if code >= clear:
+                raise ValueError(f"GIF LZW first code {code} is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) < 4096:  # the cScSc case: code being defined
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table size {len(table)}")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """True LZW compression (not the unit-code shortcut), mirroring
+    :func:`_gif_lzw_decode`'s width schedule: the encoder widens when it
+    assigns the first code that no longer fits the current width — at
+    that moment the decoder's table (one entry behind) has just reached
+    2**width, so both sides switch for the same next code. At 4096
+    entries it emits a Clear and restarts."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# Interlaced GIF row schedule (GIF89a spec appendix E): four passes over
+# (start, step) row groups, finest last.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> "np.ndarray":
+    """GIF87a/GIF89a decode to uint8 — first image descriptor only (an
+    animated GIF's later frames are deltas against screen state; a still
+    decode returns frame 0, the same choice PIL's ``Image.open`` makes
+    before ``seek``). Grayscale palettes collapse to (h, w) and color
+    palettes expand to RGB via lookup, matching the PNG/BMP palette
+    convention. Extensions (GCE, comments, application blocks) are
+    skipped structurally; transparency is ignored — the transparent
+    index still has palette RGB, and feature extraction wants pixels,
+    not compositing."""
+    import struct
+
+    data = bytes(payload)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: {data[:6]!r}")
+    if len(data) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype="u1").reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF ended without an image descriptor")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            raise ValueError("GIF trailer reached before any image data")
+        if block == 0x21:  # extension: label byte, then sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            _, pos = _gif_subblocks(data, pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        break
+    _, _, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+    pos += 9
+    pal = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated GIF local color table")
+        pal = np.frombuffer(data[pos : pos + 3 * n], dtype="u1").reshape(n, 3)
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("GIF image has neither global nor local color table")
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid GIF image dimensions {w}x{h}")
+    if pos >= len(data):
+        raise ValueError("truncated GIF image data")
+    mcs = data[pos]
+    lzw, _ = _gif_subblocks(data, pos + 1)
+    raster = _gif_lzw_decode(lzw, mcs)
+    if len(raster) != w * h:
+        raise ValueError(f"GIF raster has {len(raster)} pixels, expected {w * h}")
+    idx = np.frombuffer(bytes(raster), dtype="u1").reshape(h, w)
+    if int(idx.max()) >= len(pal):
+        raise ValueError("GIF pixel index beyond palette size")
+    if ipacked & 0x40:  # interlaced: rows were stored in 4-pass order
+        order = np.concatenate(
+            [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+        )
+        deinterlaced = np.empty_like(idx)
+        deinterlaced[order] = idx
+        idx = deinterlaced
+    rgb = pal[idx]  # (h, w, 3)
+    if bool((rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all()):
+        return np.ascontiguousarray(rgb[:, :, 0])  # grayscale palette
+    return np.ascontiguousarray(rgb)
+
+
+def encode_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
+    """Inverse of :func:`_decode_gif` — the deterministic fixture builder.
+    Builds the palette from the image's unique colors (≤256 or raises:
+    GIF cannot hold more — quantization is a lossy modeling choice this
+    lossless fixture path refuses to make silently), always writes a
+    GIF89a with a Graphic Control Extension and a comment block so every
+    round-trip exercises the decoder's extension-skipping path."""
+    import struct
+
+    arr = np.asarray(arr, dtype="uint8")
+    rgb = np.stack([arr] * 3, axis=-1) if arr.ndim == 2 else arr
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (h,w) or (h,w,3), got {arr.shape}")
+    h, w = rgb.shape[:2]
+    pal, inv = np.unique(rgb.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF palette overflow: {len(pal)} unique colors > 256")
+    pal_bits = max(1, (len(pal) - 1).bit_length())  # table sizes are 2^(1..8)
+    table = np.zeros((1 << pal_bits, 3), dtype="uint8")
+    table[: len(pal)] = pal
+    idx = inv.reshape(h, w).astype("uint8")
+    if interlace:
+        order = np.concatenate(
+            [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+        )
+        idx = idx[order]
+    mcs = max(2, pal_bits)
+    lzw = _gif_lzw_encode(idx.tobytes(), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency, delay 0
+    out += b"\x21\xfe\x09synthetic\x00"  # comment extension
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += bytes([mcs])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # --- video: Y4M (YUV4MPEG2) container ------------------------------------
 #
 # Y4M is the one video container that needs no entropy codec at all — a
@@ -2053,6 +2315,7 @@ _IMAGE_ENCODERS = {
     "ppm": (encode_pnm, "image/x-portable-pixmap"),
     "png": (encode_png, "image/png"),
     "bmp": (encode_bmp, "image/bmp"),
+    "gif": (encode_gif, "image/gif"),  # lossless for ≤256-color rasters
     "jpeg": (encode_jpeg, "image/jpeg"),  # near-lossless at quant=1
     # same quantized coefficients as "jpeg" → decodes bit-identically
     "jpeg_progressive": (encode_jpeg_progressive, "image/jpeg"),

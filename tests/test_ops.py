@@ -316,7 +316,7 @@ def test_pnm_decode_roundtrip_and_variants():
     with _pytest.raises(ValueError, match="expected"):
         multimodal.decode_image(b"P5\n3 2\n255\n" + bytes(range(7)))  # trailing junk
     with _pytest.raises(NotImplementedError, match="magic"):
-        multimodal.decode_image(b"GIF89a still gated")  # JPEG decodes now
+        multimodal.decode_image(b"II*\x00 TIFF still gated")  # GIF decodes now
 
 
 def test_bmp_decode_roundtrip_and_variants():
@@ -387,6 +387,115 @@ def test_bmp_decode_roundtrip_and_variants():
         multimodal.decode_image(bytes(rle))
     with _pytest.raises(NotImplementedError, match="magic"):
         multimodal.decode_image(b"\x89PNG still gated")
+
+
+def test_gif_decode_roundtrip():
+    """GIF LZW decode: gray and RGB round-trips across interlace modes
+    and heights that exercise every interlace pass combination; the
+    cScSc (code-being-defined) case via constant runs; code-width growth
+    through 12 bits and the table-full Clear/reset path on a noisy
+    16k-pixel raster; a full 256-color palette; the deferred-clear
+    encoder variant real crawls contain; extension skipping (every
+    fixture carries a GCE + comment block); strict framing gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(7)
+    for h in (1, 2, 3, 5, 8, 9, 16):  # covers 1-4 interlace passes present
+        gray = rng.randint(0, 256, size=(h, 6), dtype=np.uint8)
+        rgb = rng.randint(0, 256, size=(h, 5, 3), dtype=np.uint8)
+        for arr in (gray, rgb):
+            for il in (False, True):
+                out = multimodal.decode_image(multimodal.encode_gif(arr, interlace=il))
+                assert out.shape == arr.shape and (out == arr).all(), (h, il)
+
+    # constant run: emits the code-equals-table-size (cScSc) branch
+    flat = np.full((64, 64), 9, dtype=np.uint8)
+    out = multimodal.decode_image(multimodal.encode_gif(flat))
+    assert out.shape == flat.shape and (out == 9).all()
+
+    # noise at 128x128 grows the table past 4096 → Clear/reset mid-stream
+    big = rng.randint(0, 256, size=(128, 128), dtype=np.uint8)
+    assert (multimodal.decode_image(multimodal.encode_gif(big)) == big).all()
+
+    # full 256-color palette (max code size), color palette → RGB
+    pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 256, size=(32, 32))].astype(np.uint8)
+    assert (multimodal.decode_image(multimodal.encode_gif(img)) == img).all()
+
+    # deferred clear: re-pack `big`'s raster with an encoder that FREEZES
+    # the table at 4096 instead of emitting Clear — the variant many real
+    # encoders ship; the decoder must keep decoding without adding entries
+    idx = big.tobytes()  # palette is identity for 256 gray values 0..255
+    frozen = _lzw_encode_deferred(idx, 8)
+    payload = bytearray(multimodal.encode_gif(big))
+    normal = multimodal._gif_lzw_encode(idx, 8)
+    start = bytes(payload).index(bytes([8]) + bytes([255]) + normal[:255])
+    repacked = bytearray(payload[:start]) + bytes([8])
+    for off in range(0, len(frozen), 255):
+        chunk = frozen[off : off + 255]
+        repacked += bytes([len(chunk)]) + chunk
+    repacked += b"\x00\x3b"
+    assert (multimodal.decode_image(bytes(repacked)) == big).all()
+
+    # >256 unique colors refuses rather than silently quantizing
+    wide = np.zeros((20, 20, 3), np.uint8)
+    wide[..., 0] = (np.arange(400) % 256).reshape(20, 20)
+    wide[..., 1] = (np.arange(400) // 256).reshape(20, 20)
+    with _pytest.raises(ValueError, match="palette overflow"):
+        multimodal.encode_gif(wide)
+
+    # strict framing: truncated payload and a missing-EOI stream raise
+    full = multimodal.encode_gif(np.arange(16, dtype="uint8").reshape(4, 4))
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(full[: len(full) // 2])
+    with _pytest.raises(ValueError, match="trailer"):
+        multimodal.decode_image(full[:13] + full[13 : 13 + 3 * 16] + b"\x3b")
+
+
+def _lzw_encode_deferred(indices: bytes, mcs: int) -> bytes:
+    """Test-only GIF LZW variant: identical to the shipped encoder until
+    the table fills, then keeps emitting 12-bit codes from the frozen
+    table with NO Clear — the "deferred clear" stream shape (GIF89a spec
+    appendix F note) the decoder must accept."""
+    clear = 1 << mcs
+    out = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(clear + 1)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
 
 
 def test_png_decode_all_filters_roundtrip():
@@ -654,7 +763,8 @@ def test_image_features_from_synthetic_ppm(spark, emb):
 
 
 def test_image_features_cross_format_parity(spark, emb):
-    """The same pixels through every lossless container (PPM/PNG/BMP) must
+    """The same pixels through every lossless container (PPM/PNG/BMP/GIF
+    — GIF is lossless here: 24 distinct colors fit its palette) must
     decode to IDENTICAL features over the real mapInPandas path — only the
     payload bytes (checksum, n_bytes) may differ. JPEG at quant=1 is
     near-lossless: dims exact, pixel stats within the DCT-rounding bound."""
@@ -668,11 +778,11 @@ def test_image_features_cross_format_parity(spark, emb):
                 multimodal.image_media_table(sample, width=8, fmt=fmt)
             ).collect()
         }
-        for fmt in ("ppm", "png", "bmp", "jpeg", "jpeg_progressive")
+        for fmt in ("ppm", "png", "bmp", "gif", "jpeg", "jpeg_progressive")
     }
     pixel_cols = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
     for vid, ref in by_fmt["ppm"].items():
-        for fmt in ("png", "bmp"):
+        for fmt in ("png", "bmp", "gif"):
             got = by_fmt[fmt][vid]
             assert [got[c] for c in pixel_cols] == [ref[c] for c in pixel_cols], fmt
             assert got["checksum"] != ref["checksum"]  # different container bytes
