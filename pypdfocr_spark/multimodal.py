@@ -1913,14 +1913,57 @@ def encode_y4m(frames: "list[np.ndarray]", colorspace: str = "mono") -> bytes:
 #
 # Uncompressed WAV is the audio analog of netpbm/Y4M: a chunked header,
 # then raw PCM (or IEEE-float) sample frames at a fixed block size — no
-# entropy codec, so a window of samples is a byte slice. Compressed
-# codecs (MP3, ADPCM, μ-law/A-law) stay behind the pluggable
-# NotImplementedError gate — those genuinely need an audio library.
+# entropy codec, so a window of samples is a byte slice. G.711 μ-law /
+# A-law companding (the telephony WAVs real crawls contain) is a pure
+# per-byte expansion formula, so it decodes here too — still one byte
+# per sample frame, so window slicing is unchanged. Compressed codecs
+# (MP3, ADPCM) stay behind the pluggable NotImplementedError gate —
+# those genuinely need an audio library.
 
 # WAVE format tags (public RIFF/MMREG registry): 1 = integer PCM,
-# 3 = IEEE float, 0xFFFE = EXTENSIBLE (real tag in the SubFormat GUID,
-# whose first two bytes are the wrapped tag, little-endian).
+# 3 = IEEE float, 6/7 = G.711 A-law/μ-law, 0xFFFE = EXTENSIBLE (real
+# tag in the SubFormat GUID, whose first two bytes are the wrapped tag,
+# little-endian).
 _WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 0x0001, 0x0003, 0xFFFE
+_WAV_ALAW, _WAV_ULAW = 0x0006, 0x0007
+
+
+def _g711_expand(codes: "np.ndarray", law: str) -> "np.ndarray":
+    """G.711 companded byte → linear 16-bit value (ITU-T G.711 tables
+    via their closed forms, not hardcoded tables — anchors pinned by
+    tests: μ-law 0x00→−32124, 0xFF→0; A-law 0x55→−8, 0xD5→+8).
+    μ-law spans ±32124, A-law ±32256; both normalize by /32768 like
+    plain 16-bit PCM."""
+    c = np.asarray(codes, dtype=np.int64)
+    if law == "ulaw":
+        u = ~c & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return np.where(u & 0x80, -mag, mag)
+    a = c ^ 0x55
+    exp = (a >> 4) & 7
+    mag = np.where(
+        exp == 0,
+        ((a & 0x0F) << 4) + 8,
+        (((a & 0x0F) << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where(a & 0x80, mag, -mag)  # A-law sign bit 1 = positive
+
+
+def _g711_compress(samples: "np.ndarray", law: str) -> "np.ndarray":
+    """Linear 16-bit → G.711 byte, the fixture-builder inverse: every
+    expanded value re-compresses to its own code (segment midpoints are
+    fixed points), which is the invariant the round-trip tests pin."""
+    x = np.asarray(samples, dtype=np.int64)
+    if law == "ulaw":
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), 32635) + 0x84
+        exp = np.floor(np.log2(mag)).astype(np.int64) - 7  # highest bit above bit 7
+        return (~(sign | (exp << 4) | ((mag >> (exp + 3)) & 0x0F)) & 0xFF).astype("u1")
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype("u1")
 
 
 def _parse_wav_header(payload: bytes):
@@ -1956,17 +1999,23 @@ def _parse_wav_header(payload: bytes):
                 # SubFormat GUID starts at byte 24 of the chunk; its
                 # first two bytes are the wrapped format tag
                 (tag,) = struct.unpack_from("<H", buf, body + 24)
-            if tag not in (_WAV_PCM, _WAV_FLOAT):
+            if tag not in (_WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_ULAW):
                 raise NotImplementedError(
-                    f"WAV format tag 0x{tag:04X}: only integer PCM and "
-                    "IEEE float decode without an audio library"
+                    f"WAV format tag 0x{tag:04X}: only integer PCM, IEEE "
+                    "float, and G.711 A-law/μ-law decode without an audio "
+                    "library"
                 )
             if channels == 0 or rate == 0:
                 raise ValueError("WAV fmt chunk has zero channels or sample rate")
-            allowed = (8, 16, 24, 32) if tag == _WAV_PCM else (32, 64)
+            allowed = {
+                _WAV_PCM: (8, 16, 24, 32),
+                _WAV_FLOAT: (32, 64),
+                _WAV_ALAW: (8,),  # G.711 is one companded byte per sample
+                _WAV_ULAW: (8,),
+            }[tag]
             if bits not in allowed:
                 raise NotImplementedError(
-                    f"WAV {bits}-bit {'PCM' if tag == _WAV_PCM else 'float'} "
+                    f"WAV {bits}-bit for format tag 0x{tag:04X} "
                     "is not a decodable layout"
                 )
             if block != channels * (bits // 8):
@@ -1999,7 +2048,8 @@ def probe_audio(payload: bytes) -> dict:
         "sample_rate": fmt["rate"],
         "channels": fmt["channels"],
         "bits": fmt["bits"],
-        "encoding": "pcm" if fmt["tag"] == _WAV_PCM else "float",
+        "encoding": {_WAV_PCM: "pcm", _WAV_FLOAT: "float",
+                     _WAV_ALAW: "alaw", _WAV_ULAW: "ulaw"}[fmt["tag"]],
         "n_samples": n,
         "duration_sec": n / fmt["rate"],
     }
@@ -2008,10 +2058,14 @@ def probe_audio(payload: bytes) -> dict:
 def _wav_frames_to_array(raw: bytes, fmt: dict) -> "np.ndarray":
     """Raw sample frames → (n, channels) float64 in [-1, 1): unsigned
     8-bit is re-centered then /128, signed 16/24/32-bit divide by 2^15 /
-    2^23 / 2^31, IEEE float passes through. Every conversion is exact in
+    2^23 / 2^31, IEEE float passes through, G.711 A-law/μ-law bytes
+    expand to linear 16-bit then /2^15. Every conversion is exact in
     float64 (≤53 mantissa bits), so replicas can assert equality."""
     bits, ch = fmt["bits"], fmt["channels"]
-    if fmt["tag"] == _WAV_FLOAT:
+    if fmt["tag"] in (_WAV_ALAW, _WAV_ULAW):
+        law = "alaw" if fmt["tag"] == _WAV_ALAW else "ulaw"
+        arr = _g711_expand(np.frombuffer(raw, dtype="u1"), law).astype("float64") / 32768.0
+    elif fmt["tag"] == _WAV_FLOAT:
         arr = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype("float64")
     elif bits == 8:
         arr = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
@@ -2034,19 +2088,26 @@ def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
     return _wav_frames_to_array(bytes(payload)[off : off + dlen], fmt), fmt["rate"]
 
 
-def encode_wav(samples: "np.ndarray", sample_rate: int, bits: int = 16) -> bytes:
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int, bits: int = 16, law: "str | None" = None
+) -> bytes:
     """Minimal WAV encoder for round-trip tests: ``samples`` is (n,) or
     (n, channels) with dtype matching ``bits`` — uint8 (8), int16 (16),
     int32 (24: low three bytes kept, or 32), float32/float64 (IEEE float
-    tags). The deterministic spec-literal replica :func:`decode_audio`
-    is tested against — not a production encoder."""
+    tags); ``law`` of ``"alaw"``/``"ulaw"`` G.711-compresses int16
+    linear input instead. The deterministic spec-literal replica
+    :func:`decode_audio` is tested against — not a production encoder."""
     import struct
 
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr.reshape(-1, 1)
     n, ch = arr.shape
-    if arr.dtype == np.float32 or arr.dtype == np.float64:
+    if law is not None:
+        tag = _WAV_ALAW if law == "alaw" else _WAV_ULAW
+        bits = 8
+        raw = _g711_compress(arr.astype("int64"), law).tobytes()
+    elif arr.dtype == np.float32 or arr.dtype == np.float64:
         tag = _WAV_FLOAT
         bits = 32 if arr.dtype == np.float32 else 64
         raw = arr.astype("<f4" if bits == 32 else "<f8").tobytes()

@@ -961,12 +961,38 @@ def test_wav_audio_decode_roundtrip_and_gates():
     x, _ = multimodal.decode_audio(ext)
     assert np.array_equal(x, s16.astype("float64") / 32768.0)
 
+    # G.711 μ-law/A-law: spec anchors, the expand↔compress fixed-point
+    # invariant over all 256 codes, and a container round-trip
+    assert multimodal._g711_expand(np.array([0x00]), "ulaw")[0] == -32124
+    assert multimodal._g711_expand(np.array([0xFF]), "ulaw")[0] == 0
+    assert multimodal._g711_expand(np.array([0x55]), "alaw")[0] == -8
+    assert multimodal._g711_expand(np.array([0xD5]), "alaw")[0] == 8
+    codes = np.arange(256)
+    for law in ("alaw", "ulaw"):
+        lin = multimodal._g711_expand(codes, law)
+        back = multimodal._g711_compress(lin, law)
+        # every expanded value re-compresses to its own code, except
+        # μ-law's negative zero 0x7F which canonicalizes to 0xFF
+        noncanon = codes[back != codes]
+        assert noncanon.tolist() == ([0x7F] if law == "ulaw" else [])
+        g711 = multimodal.encode_wav(lin.reshape(-1, 2), 8000, law=law)
+        meta = multimodal.probe_audio(g711)
+        assert (meta["encoding"], meta["bits"], meta["channels"]) == (law, 8, 2)
+        x, rate = multimodal.decode_audio(g711)
+        assert rate == 8000
+        assert np.array_equal(x, lin.reshape(-1, 2).astype("float64") / 32768.0)
+
     # gates + framing
-    for tag in (0x0002, 0x0006, 0x0007, 0x0055):  # ADPCM, A-law, μ-law, MP3
+    for tag in (0x0002, 0x0011, 0x0055):  # MS-ADPCM, IMA-ADPCM, MP3
         bad = bytearray(pay)
         struct.pack_into("<H", bad, 20, tag)
         with _pytest.raises(NotImplementedError, match="format tag"):
             multimodal.decode_audio(bytes(bad))
+    # G.711 declared at a non-8-bit layout is structurally wrong → gated
+    bad = bytearray(pay)
+    struct.pack_into("<H", bad, 20, 0x0007)  # μ-law tag, but 16-bit frames
+    with _pytest.raises(NotImplementedError, match="not a decodable layout"):
+        multimodal.decode_audio(bytes(bad))
     with _pytest.raises(NotImplementedError, match="only the WAV"):
         multimodal.decode_audio(b"ID3\x04" + b"\x00" * 40)
     with _pytest.raises(ValueError, match="truncated WAV data"):
