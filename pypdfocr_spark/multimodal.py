@@ -2155,19 +2155,23 @@ AUDIO_WINDOW_SCHEMA = StructType(
 
 
 def audio_media_table(
-    emb: DataFrame, sample_rate: int = 8000, repeat: int = 16
+    emb: DataFrame, sample_rate: int = 8000, repeat: int = 16,
+    law: "str | None" = None,
 ) -> DataFrame:
     """Deterministic synthetic WAV media table derived from the
     embeddings table: each vector's float32 values scale to int16 PCM
     (clip(v * 16384)) and tile ``repeat`` times — a real mono waveform
-    per row with known content, no external data."""
+    per row with known content, no external data. ``law`` of
+    ``"alaw"``/``"ulaw"`` writes the same waveform G.711-companded (the
+    telephony container shape), quantized to segment midpoints by
+    construction."""
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for v in pdf["embedding"]:
                 f = np.asarray(v, dtype="<f4").astype("float64")
                 pcm = np.clip(np.round(f * 16384.0), -32768, 32767).astype("<i2")
-                payloads.append(encode_wav(np.tile(pcm, repeat), sample_rate))
+                payloads.append(encode_wav(np.tile(pcm, repeat), sample_rate, law=law))
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].astype("int64"),

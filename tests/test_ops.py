@@ -1040,6 +1040,29 @@ def test_audio_window_sampling_over_spark(spark, emb):
     capped = multimodal.sample_audio_windows(media, window=100, max_windows=1).collect()
     assert len(capped) == 4 and all(r["window_no"] == 0 for r in capped)
 
+    # G.711 container through the SAME Spark path: one byte per frame,
+    # features match the expand∘compress midpoint replica exactly
+    for law in ("alaw", "ulaw"):
+        g711 = multimodal.audio_media_table(sample, sample_rate=8000, repeat=4, law=law)
+        got = {
+            (r["vec_id"], r["window_no"]): r
+            for r in multimodal.sample_audio_windows(g711, window=100, every_k=2).collect()
+        }
+        for row in sample.collect():
+            f = np.asarray(row["embedding"], dtype="<f4").astype("float64")
+            pcm = np.clip(np.round(f * 16384.0), -32768, 32767).astype("int64")
+            codes = multimodal._g711_compress(np.tile(pcm, 4), law)
+            for (vid, wn), r in got.items():
+                if vid != row["vec_id"]:
+                    continue
+                seg = codes[wn * 100 : (wn + 1) * 100]
+                mono = multimodal._g711_expand(seg, law).astype("float64") / 32768.0
+                assert r["n_samples"] == seg.size and r["channels"] == 1
+                assert r["rms"] == float(np.sqrt(np.mean(mono * mono)))
+                assert r["peak"] == float(np.abs(mono).max())
+                assert r["mean_val"] == float(mono.mean())
+                assert r["checksum"] == hashlib.md5(seg.tobytes()).hexdigest()
+
 
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
