@@ -316,7 +316,7 @@ def test_pnm_decode_roundtrip_and_variants():
     with _pytest.raises(ValueError, match="expected"):
         multimodal.decode_image(b"P5\n3 2\n255\n" + bytes(range(7)))  # trailing junk
     with _pytest.raises(NotImplementedError, match="magic"):
-        multimodal.decode_image(b"II*\x00 TIFF still gated")  # GIF decodes now
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP still gated")
 
 
 def test_bmp_decode_roundtrip_and_variants():
@@ -496,6 +496,118 @@ def _lzw_encode_deferred(indices: bytes, mcs: int) -> bytes:
     if nbits:
         out.append(acc & 0xFF)
     return bytes(out)
+
+
+def test_tiff_decode_roundtrip_and_variants():
+    """Baseline TIFF decode without PIL: gray/RGB × 8/16-bit × both byte
+    orders × none/PackBits × single/multi-strip × predictor 1/2
+    round-trip exactly; MinIsWhite inverts back; palette ColorMap scales
+    ≫8 (gray palettes collapse to (h,w)); PackBits kernel identities;
+    strict strip framing; LZW/planar/tiled/partial-bit gates."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    g16 = rng.randint(0, 65536, size=(4, 7), dtype=np.uint16)
+    for arr in (gray, rgb, g16):
+        for bo in ("<", ">"):
+            for comp in ("none", "packbits"):
+                for pred in (1, 2):
+                    for rps in (None, 3):
+                        pay = multimodal.encode_tiff(
+                            arr, compression=comp, byteorder=bo,
+                            rows_per_strip=rps, predictor=pred,
+                        )
+                        out = multimodal.decode_image(pay)
+                        key = (arr.shape, bo, comp, pred, rps)
+                        assert out.dtype == arr.dtype and out.shape == arr.shape, key
+                        assert (out == arr).all(), key
+
+    # MinIsWhite stores inverted samples; decode inverts back (8 and 16 bit)
+    for arr, bo in ((gray, "<"), (g16, ">")):
+        pay = multimodal.encode_tiff(arr, photometric="miniswhite", byteorder=bo)
+        assert (multimodal.decode_image(pay) == arr).all()
+
+    # PackBits kernel: run/literal mix, >128-byte runs split, spec examples
+    row = bytes(rng.randint(0, 4, size=257).astype("uint8"))
+    assert multimodal._packbits_decode(multimodal._packbits_encode(row), 257) == row
+    assert (
+        multimodal._packbits_decode(multimodal._packbits_encode(b"\x07" * 300), 300)
+        == b"\x07" * 300
+    )
+    with _pytest.raises(ValueError, match="truncated PackBits"):
+        multimodal._packbits_decode(b"\xfe", 3)  # replicate with no value byte
+    with _pytest.raises(ValueError, match="truncated PackBits"):
+        multimodal._packbits_decode(b"\x04ab", 5)  # literal shorter than count
+
+    # hand-built palette IFD: ColorMap is 3×256 SHORTs, high byte wins
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype="u1")
+    base = multimodal.encode_tiff(idx)  # photometric 1, single strip at off 8
+    cmap_entries = []
+    for plane_scale in (1, 2, 3):  # R,G,B planes: v*plane_scale<<8 (mod 16 bits)
+        cmap_entries += [(v * plane_scale % 256) << 8 for v in range(256)]
+    cmap = struct.pack("<768H", *cmap_entries)
+    # rewrite: photometric(262)→3, append ColorMap tag + data
+    pal = bytearray(base)
+    ifd_off = struct.unpack_from("<I", pal, 4)[0]
+    (n_entries,) = struct.unpack_from("<H", pal, ifd_off)
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        if struct.unpack_from("<H", pal, e)[0] == 262:
+            struct.pack_into("<I", pal, e + 8, 3)
+    # append a 320 entry: bump the count and splice before next-IFD ptr
+    entry320 = struct.pack("<HHII", 320, 3, 768, len(pal) + 12)
+    struct.pack_into("<H", pal, ifd_off, n_entries + 1)
+    insert_at = ifd_off + 2 + 12 * n_entries
+    pal = bytes(pal[:insert_at]) + entry320 + bytes(pal[insert_at:]) + cmap
+    # tag offsets past the insert point shifted by 12 — only next-IFD ptr
+    # and out-of-line values live there, and this fixture has none
+    out = multimodal.decode_image(pal)
+    assert out.shape == (2, 3, 3)
+    assert out[0, 2].tolist() == [2, 4, 6]  # entry 2 across the three planes
+    gray_cmap = struct.pack("<768H", *([v << 8 for v in range(256)] * 3))
+    out = multimodal.decode_image(pal[: len(pal) - 1536] + gray_cmap)
+    assert out.shape == (2, 3) and (out == idx).all()  # gray palette collapses
+
+    # strict framing + gates
+    full = multimodal.encode_tiff(gray)
+    ifd_off = struct.unpack_from("<I", full, 4)[0]
+    (n_entries,) = struct.unpack_from("<H", full, ifd_off)
+
+    def patch(tag: int, value: int) -> bytes:
+        buf = bytearray(full)
+        for k in range(n_entries):
+            e = ifd_off + 2 + 12 * k
+            if struct.unpack_from("<H", buf, e)[0] == tag:
+                struct.pack_into("<I", buf, e + 8, value)
+        return bytes(buf)
+
+    with _pytest.raises(ValueError, match="truncated TIFF strip"):
+        multimodal.decode_image(patch(279, len(full) * 2))
+    with _pytest.raises(ValueError, match="expected 117"):  # 9×13 gray
+        multimodal.decode_image(patch(279, gray.size - 1))
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        multimodal.decode_image(patch(259, 5))  # LZW stays gated
+    with _pytest.raises(NotImplementedError, match="planar"):
+        multimodal.decode_image(
+            full[:ifd_off]
+            + struct.pack("<H", n_entries + 1)
+            + full[ifd_off + 2 : ifd_off + 2 + 12 * n_entries]
+            + struct.pack("<HHII", 284, 4, 1, 2)
+            + full[ifd_off + 2 + 12 * n_entries :]
+        )
+    bad = bytearray(full)
+    struct.pack_into("<H", bad, 2, 43)  # BigTIFF magic
+    with _pytest.raises(NotImplementedError, match="magic"):
+        multimodal.decode_image(bytes(bad))  # not classic TIFF → format gate
+    with _pytest.raises(ValueError, match="magic 42"):
+        multimodal._decode_tiff(bytes(bad))
 
 
 def test_png_decode_all_filters_roundtrip():
@@ -763,8 +875,9 @@ def test_image_features_from_synthetic_ppm(spark, emb):
 
 
 def test_image_features_cross_format_parity(spark, emb):
-    """The same pixels through every lossless container (PPM/PNG/BMP/GIF
-    — GIF is lossless here: 24 distinct colors fit its palette) must
+    """The same pixels through every lossless container (PPM/PNG/BMP/GIF/
+    TIFF both compressions — GIF is lossless here: 24 distinct colors fit
+    its palette) must
     decode to IDENTICAL features over the real mapInPandas path — only the
     payload bytes (checksum, n_bytes) may differ. JPEG at quant=1 is
     near-lossless: dims exact, pixel stats within the DCT-rounding bound."""
@@ -778,11 +891,14 @@ def test_image_features_cross_format_parity(spark, emb):
                 multimodal.image_media_table(sample, width=8, fmt=fmt)
             ).collect()
         }
-        for fmt in ("ppm", "png", "bmp", "gif", "jpeg", "jpeg_progressive")
+        for fmt in (
+            "ppm", "png", "bmp", "gif", "tiff", "tiff_packbits",
+            "jpeg", "jpeg_progressive",
+        )
     }
     pixel_cols = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
     for vid, ref in by_fmt["ppm"].items():
-        for fmt in ("png", "bmp", "gif"):
+        for fmt in ("png", "bmp", "gif", "tiff", "tiff_packbits"):
             got = by_fmt[fmt][vid]
             assert [got[c] for c in pixel_cols] == [ref[c] for c in pixel_cols], fmt
             assert got["checksum"] != ref["checksum"]  # different container bytes
