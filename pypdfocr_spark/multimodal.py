@@ -1523,6 +1523,116 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+_TIFF_LZW_CLEAR, _TIFF_LZW_EOI = 256, 257
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13) to exactly ``expected``
+    bytes. Differs from the GIF variant in every framing detail while
+    sharing the table bookkeeping: codes pack MOST-significant-bit
+    first, the alphabet is fixed at 8-bit bytes (Clear=256, EOI=257,
+    first dynamic code 258), and the width bump is one code EARLY —
+    the decoder widens when the next assignment would be code
+    2**width − 1, so 511/1023/2047 are read at the wider width."""
+    width = 9
+    table: list[bytes] = []
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream ended mid-raster")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _TIFF_LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _TIFF_LZW_EOI:
+            break
+        if prev is None:
+            if not table:
+                raise ValueError("TIFF LZW stream did not start with Clear")
+            if code > 255:
+                raise ValueError(f"TIFF LZW first code {code} is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) < 4096:  # code being defined (cScSc)
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW code {code} beyond table size {len(table)}")
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # early change: one before the GIF schedule
+        out += entry
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """True LZW compression mirroring :func:`_tiff_lzw_decode`'s MSB
+    packing and early-change width schedule; emits Clear up front and at
+    the spec's 4094-entry table-full point, EOI at the end."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def reset() -> "dict[bytes, int]":
+        return {bytes([i]): i for i in range(256)}
+
+    table = reset()
+    next_code = 258
+    emit(_TIFF_LZW_CLEAR)
+    w = b""
+    for k in raw:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # the decoder's table trails by one entry, so its early change
+        # (at 2**w − 1 entries) lands when next_code here reaches 2**w
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # spec: Clear before the table fills
+            emit(_TIFF_LZW_CLEAR)
+            table = reset()
+            next_code = 258
+            width = 9
+        w = bytes([k])
+    if w:
+        emit(table[w])
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1  # EOI below must use the width the decoder expects
+    emit(_TIFF_LZW_EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we read
 
 
@@ -1559,14 +1669,17 @@ def _tiff_tags(payload: bytes) -> "tuple[str, dict[int, list[int]]]":
 
 
 def _decode_tiff(payload: bytes) -> "np.ndarray":
-    """Baseline TIFF decode — both byte orders, uncompressed (tag 259=1)
-    and PackBits (=32773) strips, horizontal-differencing predictor
+    """Baseline TIFF decode — both byte orders; uncompressed (tag
+    259=1), LZW (=5, :func:`_tiff_lzw_decode`), Deflate (=8 Adobe /
+    =32946 old-style, stdlib zlib), and PackBits (=32773) strips;
+    horizontal-differencing predictor
     (317=2, modular cumsum), photometric 0 (MinIsWhite → inverted),
     1 (MinIsBlack), 2 (RGB), 3 (8-bit palette, 16-bit ColorMap entries
     scaled ≫8 like every reader), 8/16-bit chunky samples. Multi-page
     files decode their FIRST IFD (the GIF first-frame rule). Strict strip
-    framing throughout; LZW/JPEG/deflate compression, planar storage, and
-    tiled layout raise ``NotImplementedError`` — entropy-coder territory."""
+    framing throughout; JPEG-in-TIFF and CCITT fax compression, planar
+    storage, and tiled layout raise ``NotImplementedError`` — the
+    genuine codec-library gate."""
     bo, tags = _tiff_tags(payload)
 
     def one(tag: int, default: "int | None" = None) -> int:
@@ -1582,10 +1695,11 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     spp = one(277, 1)
     bits = tags.get(258, [1])
     predictor = one(317, 1)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression}: only uncompressed (1) and "
-            "PackBits (32773) decode without a codec"
+            f"TIFF compression {compression}: only uncompressed (1), "
+            "LZW (5), Deflate (8/32946), and PackBits (32773) decode "
+            "without a codec"
         )
     if one(284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2: chunky only")
@@ -1621,6 +1735,17 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
             raise ValueError("truncated TIFF strip")
         if compression == 32773:
             raw = _packbits_decode(raw, n_rows * row_bytes)
+        elif compression == 5:
+            raw = _tiff_lzw_decode(raw, n_rows * row_bytes)
+        elif compression in (8, 32946):
+            import zlib
+
+            raw = zlib.decompress(raw)
+            if len(raw) != n_rows * row_bytes:
+                raise ValueError(
+                    f"TIFF Deflate strip {s} inflated to {len(raw)} bytes, "
+                    f"expected {n_rows * row_bytes}"
+                )
         elif len(raw) != n_rows * row_bytes:
             raise ValueError(
                 f"TIFF strip {s} has {len(raw)} bytes, expected {n_rows * row_bytes}"
@@ -1665,7 +1790,8 @@ def encode_tiff(
 ) -> bytes:
     """Inverse of :func:`_decode_tiff` for chunky 8/16-bit gray and RGB —
     the deterministic fixture builder (layout: header, strip data, IFD
-    last). ``compression`` "none"/"packbits", either ``byteorder``,
+    last). ``compression`` "none"/"lzw"/"deflate"/"packbits", either
+    ``byteorder``,
     optional multi-strip layout, predictor 2 (horizontal differencing),
     and ``photometric="miniswhite"`` (stores inverted samples under
     photometric 0 — decode inverts back)."""
@@ -1694,7 +1820,8 @@ def encode_tiff(
         arr = (d % (1 << bits)).astype(arr.dtype)
     elif predictor != 1:
         raise ValueError(f"unsupported predictor {predictor}")
-    if compression not in ("none", "packbits"):
+    comp_tags = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+    if compression not in comp_tags:
         raise ValueError(f"unsupported compression {compression!r}")
     rps = h if rows_per_strip is None else rows_per_strip
     sample = arr.astype(np.dtype(byteorder + "u2")) if bits == 16 else arr
@@ -1705,6 +1832,12 @@ def encode_tiff(
             # the spec restarts the RLE at every row; the decoder only
             # needs strip framing, but emit the canonical form
             strips.append(b"".join(_packbits_encode(r.tobytes()) for r in rows))
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(rows.tobytes()))
+        elif compression == "deflate":
+            import zlib
+
+            strips.append(zlib.compress(rows.tobytes(), 6))
         else:
             strips.append(rows.tobytes())
 
@@ -1744,7 +1877,7 @@ def encode_tiff(
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 4, bps_count, bps_val),
-        (259, 4, 1, 1 if compression == "none" else 32773),
+        (259, 4, 1, comp_tags[compression]),
         (262, 4, 1, photo),
         (273, 4, so_count, so_val),
         (277, 4, 1, spp),
@@ -2699,6 +2832,10 @@ _IMAGE_ENCODERS = {
     "tiff": (encode_tiff, "image/tiff"),
     "tiff_packbits": (
         lambda a: encode_tiff(a, compression="packbits", rows_per_strip=4),
+        "image/tiff",
+    ),
+    "tiff_lzw": (
+        lambda a: encode_tiff(a, compression="lzw", predictor=2),
         "image/tiff",
     ),
     "jpeg": (encode_jpeg, "image/jpeg"),  # near-lossless at quant=1

@@ -500,10 +500,11 @@ def _lzw_encode_deferred(indices: bytes, mcs: int) -> bytes:
 
 def test_tiff_decode_roundtrip_and_variants():
     """Baseline TIFF decode without PIL: gray/RGB × 8/16-bit × both byte
-    orders × none/PackBits × single/multi-strip × predictor 1/2
-    round-trip exactly; MinIsWhite inverts back; palette ColorMap scales
-    ≫8 (gray palettes collapse to (h,w)); PackBits kernel identities;
-    strict strip framing; LZW/planar/tiled/partial-bit gates."""
+    orders × none/PackBits/LZW/Deflate × single/multi-strip × predictor
+    1/2 round-trip exactly; MinIsWhite inverts back; palette ColorMap
+    scales ≫8 (gray palettes collapse to (h,w)); PackBits and MSB-first
+    early-change LZW kernel identities incl. the 4094-entry Clear;
+    strict strip framing; JPEG-in-TIFF/planar/tiled gates."""
     import struct
 
     import numpy as np
@@ -517,7 +518,7 @@ def test_tiff_decode_roundtrip_and_variants():
     g16 = rng.randint(0, 65536, size=(4, 7), dtype=np.uint16)
     for arr in (gray, rgb, g16):
         for bo in ("<", ">"):
-            for comp in ("none", "packbits"):
+            for comp in ("none", "packbits", "lzw", "deflate"):
                 for pred in (1, 2):
                     for rps in (None, 3):
                         pay = multimodal.encode_tiff(
@@ -545,6 +546,28 @@ def test_tiff_decode_roundtrip_and_variants():
         multimodal._packbits_decode(b"\xfe", 3)  # replicate with no value byte
     with _pytest.raises(ValueError, match="truncated PackBits"):
         multimodal._packbits_decode(b"\x04ab", 5)  # literal shorter than count
+
+    # TIFF LZW kernel: MSB-first early-change schedule across every width
+    # bump (258→511→1023→2047→4094-Clear) on random AND run-heavy streams
+    big_random = rng.randint(0, 256, size=120000, dtype=np.uint8).tobytes()
+    runs = np.repeat(rng.randint(0, 256, size=2400), 50).astype("uint8").tobytes()
+    for raw in (b"", b"a", b"ababab", big_random, runs):
+        enc = multimodal._tiff_lzw_encode(raw)
+        assert multimodal._tiff_lzw_decode(enc, len(raw)) == raw, len(raw)
+    # the table-full path genuinely ran: >4094 entries forces a mid-stream Clear
+    assert len(big_random) > 4094 * 2
+    with _pytest.raises(ValueError, match="mid-raster"):
+        multimodal._tiff_lzw_decode(
+            multimodal._tiff_lzw_encode(b"abcabc")[:2], 6
+        )
+    with _pytest.raises(ValueError, match="expected 4"):
+        multimodal._tiff_lzw_decode(multimodal._tiff_lzw_encode(b"abcabc"), 4)
+    # LZW round-trip through the full container at a size that crosses
+    # the 9→10→11→12-bit widths inside one strip
+    big_img = np.frombuffer(big_random[:60000], dtype="uint8").reshape(200, 300)
+    for comp in ("lzw", "deflate"):
+        pay = multimodal.encode_tiff(big_img, compression=comp)
+        assert (multimodal.decode_image(pay) == big_img).all(), comp
 
     # hand-built palette IFD: ColorMap is 3×256 SHORTs, high byte wins
     idx = np.array([[0, 1, 2], [2, 1, 0]], dtype="u1")
@@ -592,8 +615,8 @@ def test_tiff_decode_roundtrip_and_variants():
         multimodal.decode_image(patch(279, len(full) * 2))
     with _pytest.raises(ValueError, match="expected 117"):  # 9×13 gray
         multimodal.decode_image(patch(279, gray.size - 1))
-    with _pytest.raises(NotImplementedError, match="compression 5"):
-        multimodal.decode_image(patch(259, 5))  # LZW stays gated
+    with _pytest.raises(NotImplementedError, match="compression 7"):
+        multimodal.decode_image(patch(259, 7))  # JPEG-in-TIFF stays gated
     with _pytest.raises(NotImplementedError, match="planar"):
         multimodal.decode_image(
             full[:ifd_off]
@@ -892,13 +915,13 @@ def test_image_features_cross_format_parity(spark, emb):
             ).collect()
         }
         for fmt in (
-            "ppm", "png", "bmp", "gif", "tiff", "tiff_packbits",
+            "ppm", "png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw",
             "jpeg", "jpeg_progressive",
         )
     }
     pixel_cols = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
     for vid, ref in by_fmt["ppm"].items():
-        for fmt in ("png", "bmp", "gif", "tiff", "tiff_packbits"):
+        for fmt in ("png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw"):
             got = by_fmt[fmt][vid]
             assert [got[c] for c in pixel_cols] == [ref[c] for c in pixel_cols], fmt
             assert got["checksum"] != ref["checksum"]  # different container bytes
