@@ -6,7 +6,9 @@ the reference's gs/pdfimages toolchain) actually emits mostly need none:
 :func:`decode_image` decodes the netpbm family (P2/P3/P5/P6),
 uncompressed BMP, 8/16-bit PNG (stdlib zlib, incl. Adam7 interlace),
 GIF87a/89a (full LZW incl. interlace), baseline TIFF (both byte
-orders, uncompressed + PackBits, predictor, palette/MinIsWhite),
+orders; uncompressed/LZW/Deflate/PackBits strips; CCITT T.6 Group 4 and
+T.4 MH fax bilevel — what scanned documents actually carry; predictor,
+palette/MinIsWhite),
 and Huffman JPEG — baseline/extended sequential (SOF0/SOF1,
 interleaved or multi-scan) and progressive (SOF2, spectral selection +
 successive approximation) — with stdlib+numpy;
@@ -111,10 +113,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
     interlace (:func:`_decode_png`), sequential + progressive Huffman
     JPEG (:func:`_decode_jpeg`), GIF87a/89a incl. interlace
     (:func:`_decode_gif` — LZW is pure table bookkeeping, no codec
-    library needed), and baseline TIFF — both byte orders, uncompressed
-    + PackBits strips, predictor 2, palette/MinIsWhite
-    (:func:`_decode_tiff`). Returns uint8 or uint16, shape (h, w) for
-    grayscale, (h, w, 3) for RGB.
+    library needed), and baseline TIFF — both byte orders; uncompressed,
+    LZW, Deflate, and PackBits strips; CCITT fax bilevel (T.6 Group 4 +
+    T.4 MH-RLE — the scanned-document coding); predictor 2;
+    palette/MinIsWhite (:func:`_decode_tiff`). Returns uint8 or uint16,
+    shape (h, w) for grayscale, (h, w, 3) for RGB.
 
     Formats genuinely needing an external codec (arithmetic-coded /
     12-bit / hierarchical JPEG, …) still raise ``NotImplementedError`` —
@@ -1633,6 +1636,335 @@ def _tiff_lzw_encode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+# --- CCITT fax (T.4 Modified Huffman / T.6 Group 4) ------------------------
+#
+# The compression scanned bilevel TIFFs actually carry. Like GIF/TIFF
+# LZW, this is static-table bookkeeping, not entropy-coder territory:
+# the run-length codes below are transcribed from ITU-T T.4 Tables 2-4
+# (terminating + makeup + shared extended makeup) and the 2-D mode
+# codes from T.6 §2.2.4/T.4 Table 7. Group 3 2-D with EOL framing
+# (TIFF compression 3) stays gated — G4 (4) and byte-aligned MH RLE (2)
+# are what TIFF writers emit.
+
+_FAX_WHITE_TERM = (
+    "00110101 000111 0111 1000 1011 1100 1110 1111 10011 10100 00111 01000"
+    " 001000 000011 110100 110101 101010 101011 0100111 0001100 0001000"
+    " 0010111 0000011 0000100 0101000 0101011 0010011 0100100 0011000"
+    " 00000010 00000011 00011010 00011011 00010010 00010011 00010100"
+    " 00010101 00010110 00010111 00101000 00101001 00101010 00101011"
+    " 00101100 00101101 00000100 00000101 00001010 00001011 01010010"
+    " 01010011 01010100 01010101 00100100 00100101 01011000 01011001"
+    " 01011010 01011011 01001010 01001011 00110010 00110011 00110100"
+).split()
+_FAX_WHITE_MAKEUP = (
+    "11011 10010 010111 0110111 00110110 00110111 01100100 01100101"
+    " 01101000 01100111 011001100 011001101 011010010 011010011 011010100"
+    " 011010101 011010110 011010111 011011000 011011001 011011010"
+    " 011011011 010011000 010011001 010011010 011000 010011011"
+).split()
+_FAX_BLACK_TERM = (
+    "0000110111 010 11 10 011 0011 0010 00011 000101 000100 0000100"
+    " 0000101 0000111 00000100 00000111 000011000 0000010111 0000011000"
+    " 0000001000 00001100111 00001101000 00001101100 00000110111"
+    " 00000101000 00000010111 00000011000 000011001010 000011001011"
+    " 000011001100 000011001101 000001101000 000001101001 000001101010"
+    " 000001101011 000011010010 000011010011 000011010100 000011010101"
+    " 000011010110 000011010111 000001101100 000001101101 000011011010"
+    " 000011011011 000001010100 000001010101 000001010110 000001010111"
+    " 000001100100 000001100101 000001010010 000001010011 000000100100"
+    " 000000110111 000000111000 000000100111 000000101000 000001011000"
+    " 000001011001 000000101011 000000101100 000001011010 000001100110"
+    " 000001100111"
+).split()
+_FAX_BLACK_MAKEUP = (
+    "0000001111 000011001000 000011001001 000001011011 000000110011"
+    " 000000110100 000000110101 0000001101100 0000001101101 0000001001010"
+    " 0000001001011 0000001001100 0000001001101 0000001110010 0000001110011"
+    " 0000001110100 0000001110101 0000001110110 0000001110111 0000001010010"
+    " 0000001010011 0000001010100 0000001010101 0000001011010 0000001011011"
+    " 0000001100100 0000001100101"
+).split()
+_FAX_EXT_MAKEUP = (  # 1792..2560, shared by both colors
+    "00000001000 00000001100 00000001101 000000010010 000000010011"
+    " 000000010100 000000010101 000000010110 000000010111 000000011100"
+    " 000000011101 000000011110 000000011111"
+).split()
+# T.6 vertical/pass/horizontal mode codes, longest-first is not needed —
+# the set is prefix-free; values are the a1−b1 offset for V modes
+_FAX_MODES = {
+    "1": ("V", 0), "011": ("V", 1), "000011": ("V", 2), "0000011": ("V", 3),
+    "010": ("V", -1), "000010": ("V", -2), "0000010": ("V", -3),
+    "001": ("H", 0), "0001": ("P", 0),
+}
+
+
+def _fax_tables():
+    """Lazily-built (decode maps, encode maps): decode maps key on
+    (n_bits, code_value) → run; encode maps run → (n_bits, value)."""
+    global _FAX_CACHE
+    try:
+        return _FAX_CACHE
+    except NameError:
+        pass
+    dec = ({}, {})
+    enc = ({}, {})
+    for color, term, makeup in (
+        (0, _FAX_WHITE_TERM, _FAX_WHITE_MAKEUP),
+        (1, _FAX_BLACK_TERM, _FAX_BLACK_MAKEUP),
+    ):
+        runs = [(i, b) for i, b in enumerate(term)]
+        runs += [(64 * (i + 1), b) for i, b in enumerate(makeup)]
+        runs += [(1792 + 64 * i, b) for i, b in enumerate(_FAX_EXT_MAKEUP)]
+        for run, bits in runs:
+            dec[color][(len(bits), int(bits, 2))] = run
+            enc[color][run] = (len(bits), int(bits, 2))
+    modes = {(len(b), int(b, 2)): mv for b, mv in _FAX_MODES.items()}
+    _FAX_CACHE = (dec, enc, modes)
+    return _FAX_CACHE
+
+
+class _FaxReader:
+    """MSB-first bit reader over a strip's coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bit = 0
+
+    def read_code(self, table: dict, max_len: int, what: str):
+        n = val = 0
+        total_bits = len(self.data) * 8
+        while n < max_len:
+            if self.bit >= total_bits:
+                raise ValueError(f"fax stream ended inside a {what} code")
+            byte = self.data[self.bit >> 3]
+            val = (val << 1) | ((byte >> (7 - (self.bit & 7))) & 1)
+            self.bit += 1
+            n += 1
+            hit = table.get((n, val))
+            if hit is not None:
+                return hit
+        raise ValueError(f"invalid fax {what} code near bit {self.bit}")
+
+    def read_run(self, color: int) -> int:
+        """One run length: zero or more makeup codes then a terminating
+        code (<64); repeated 2560 makeups extend runs past 2560."""
+        dec = _fax_tables()[0][color]
+        total = 0
+        while True:
+            run = self.read_code(dec, 14, "run")
+            total += run
+            if run < 64:
+                return total
+
+    def align(self) -> None:
+        self.bit = (self.bit + 7) & ~7
+
+
+class _FaxWriter:
+    """MSB-first bit writer mirroring :class:`_FaxReader`."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, n: int, val: int) -> None:
+        self.acc = (self.acc << n) | val
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+
+    def write_run(self, run: int, color: int) -> None:
+        enc = _fax_tables()[1][color]
+        while run >= 64:
+            m = min((run // 64) * 64, 2560)
+            self.write(*enc[m])
+            run -= m
+        self.write(*enc[run])
+
+    def align(self) -> None:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.nbits = 0
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _fax_b1_b2(ref: "list[int]", a0: int, color: int, w: int):
+    """(b1, b2) per T.4 §4.2.1.3.1: b1 is the first changing element on
+    the reference line right of ``a0`` whose color is opposite the
+    current color (even transition indices change to black), b2 the next
+    one after it; both default to ``w`` past the line end."""
+    i = 0
+    while i < len(ref) and ref[i] <= a0:
+        i += 1
+    if (i & 1) != color:
+        i += 1
+    b1 = ref[i] if i < len(ref) else w
+    b2 = ref[i + 1] if i + 1 < len(ref) else w
+    return b1, b2
+
+
+def _fax_fill(cur: "list[int]", w: int) -> "np.ndarray":
+    row = np.zeros(w, dtype="uint8")
+    for i in range(0, len(cur), 2):
+        start = cur[i]
+        end = cur[i + 1] if i + 1 < len(cur) else w
+        row[start:end] = 1
+    return row
+
+
+def _g4_decode(data: bytes, w: int, h: int) -> "np.ndarray":
+    """T.6 Group 4 decode of one strip to (h, w) samples (1 = black in
+    the fax sense). The reference line starts imaginary all-white; rows
+    are coded as pass/horizontal/vertical moves against it. Per-row
+    state is the transition-position list, so cost scales with ink, not
+    pixels. Extension codes (uncompressed mode) are gated."""
+    rd = _FaxReader(data)
+    _, _, modes = _fax_tables()
+    ref: "list[int]" = []
+    out = np.zeros((h, w), dtype="uint8")
+    for y in range(h):
+        cur: "list[int]" = []
+        a0 = -1
+        color = 0
+        while a0 < w:
+            kind, d = rd.read_code(modes, 7, "mode")
+            b1, b2 = _fax_b1_b2(ref, a0, color, w)
+            if kind == "P":
+                a0 = b2
+            elif kind == "H":
+                s = max(a0, 0)
+                r1 = rd.read_run(color)
+                r2 = rd.read_run(color ^ 1)
+                t1, t2 = s + r1, s + r1 + r2
+                if t2 > w:
+                    raise ValueError(f"fax horizontal runs overrun row {y}")
+                if t2 <= a0 and a0 >= 0:
+                    raise ValueError(f"fax horizontal move stalls in row {y}")
+                cur += [t1, t2]
+                a0 = t2
+            else:  # vertical
+                a1 = b1 + d
+                if not (0 <= a1 <= w) or a1 <= a0 and a0 >= 0:
+                    raise ValueError(f"fax vertical move out of order in row {y}")
+                cur.append(a1)
+                a0 = a1
+                color ^= 1
+        out[y] = _fax_fill(cur, w)
+        ref = cur
+    if len(data) * 8 - rd.bit > 64:
+        raise ValueError(
+            f"{len(data) * 8 - rd.bit} unread bits after the last fax row"
+        )
+    return out
+
+
+def _g4_encode(img: "np.ndarray") -> bytes:
+    """T.6 encoder mirroring :func:`_g4_decode` — the deterministic
+    fixture builder. Emits the closing EOFB the spec requires."""
+    h, w = img.shape
+    wr = _FaxWriter()
+    mode_bits = {
+        ("V", 0): "1", ("V", 1): "011", ("V", 2): "000011", ("V", 3): "0000011",
+        ("V", -1): "010", ("V", -2): "000010", ("V", -3): "0000010",
+        ("H", 0): "001", ("P", 0): "0001",
+    }
+
+    def emit(kind: str, d: int = 0) -> None:
+        b = mode_bits[(kind, d)]
+        wr.write(len(b), int(b, 2))
+
+    ref: "list[int]" = []
+    for y in range(h):
+        row = img[y]
+        cur = (np.flatnonzero(np.diff(row.astype("int8"))) + 1).tolist()
+        if row[0]:
+            cur = [0] + cur
+        a0 = -1
+        color = 0
+        while a0 < w:
+            i = 0
+            while i < len(cur) and cur[i] <= a0:
+                i += 1
+            if (i & 1) != color:
+                i += 1
+            a1 = cur[i] if i < len(cur) else w
+            a2 = cur[i + 1] if i + 1 < len(cur) else w
+            b1, b2 = _fax_b1_b2(ref, a0, color, w)
+            if b2 < a1:
+                emit("P")
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                emit("V", a1 - b1)
+                a0 = a1
+                color ^= 1
+            else:
+                emit("H")
+                s = max(a0, 0)
+                wr.write_run(a1 - s, color)
+                wr.write_run(a2 - a1, color ^ 1)
+                a0 = a2
+        ref = cur
+    wr.write(24, 0b000000000001000000000001)  # EOFB
+    return wr.bytes()
+
+
+def _mh_decode(data: bytes, w: int, h: int) -> "np.ndarray":
+    """TIFF compression 2 ("CCITT RLE"): T.4 one-dimensional Modified
+    Huffman rows, each starting white and byte-aligned — no EOL codes."""
+    rd = _FaxReader(data)
+    out = np.zeros((h, w), dtype="uint8")
+    for y in range(h):
+        pos = 0
+        color = 0
+        cur: "list[int]" = []
+        while pos < w:
+            run = rd.read_run(color)
+            if run == 0 and cur:
+                raise ValueError(
+                    f"zero-length fax run mid-row {y}: only the leading "
+                    "white run may be empty"
+                )
+            if pos + run > w:
+                raise ValueError(f"fax MH run overruns row {y}")
+            pos += run
+            cur.append(pos)
+            color ^= 1
+        # run end-positions → color-change positions: every end but the
+        # final w starts the opposite color (rows begin white)
+        out[y] = _fax_fill(cur[:-1], w)
+        rd.align()
+    if len(data) - (rd.bit >> 3) > 0:
+        raise ValueError("trailing bytes after the last MH row")
+    return out
+
+
+def _mh_encode(img: "np.ndarray") -> bytes:
+    """Inverse of :func:`_mh_decode`: per row, alternating runs from
+    white (a leading 0-length white run when the row starts black),
+    byte-aligned after every row."""
+    h, w = img.shape
+    wr = _FaxWriter()
+    for y in range(h):
+        row = img[y]
+        bounds = (np.flatnonzero(np.diff(row.astype("int8"))) + 1).tolist() + [w]
+        pos = 0
+        color = 0
+        if row[0]:  # starts black: explicit zero-length white run
+            wr.write_run(0, 0)
+            color = 1
+        for b in bounds:
+            wr.write_run(b - pos, color)
+            pos = b
+            color ^= 1
+        wr.align()
+    return wr.bytes()
+
+
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we read
 
 
@@ -1675,11 +2007,15 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     horizontal-differencing predictor
     (317=2, modular cumsum), photometric 0 (MinIsWhite → inverted),
     1 (MinIsBlack), 2 (RGB), 3 (8-bit palette, 16-bit ColorMap entries
-    scaled ≫8 like every reader), 8/16-bit chunky samples. Multi-page
-    files decode their FIRST IFD (the GIF first-frame rule). Strict strip
-    framing throughout; JPEG-in-TIFF and CCITT fax compression, planar
-    storage, and tiled layout raise ``NotImplementedError`` — the
-    genuine codec-library gate."""
+    scaled ≫8 like every reader), 8/16-bit chunky samples, and bilevel
+    1-bit rasters — packed MSB-first under the byte compressions, or
+    CCITT fax coded: T.6 Group 4 (=4, :func:`_g4_decode`) and
+    byte-aligned T.4 Modified Huffman rows (=2, :func:`_mh_decode`);
+    bilevel output is uint8 {0, 255} after the photometric mapping.
+    Multi-page files decode their FIRST IFD (the GIF first-frame rule).
+    Strict strip framing throughout; JPEG-in-TIFF and G3-with-EOL (=3)
+    compression, planar storage, and tiled layout raise
+    ``NotImplementedError`` — the genuine codec-library gate."""
     bo, tags = _tiff_tags(payload)
 
     def one(tag: int, default: "int | None" = None) -> int:
@@ -1695,20 +2031,28 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     spp = one(277, 1)
     bits = tags.get(258, [1])
     predictor = one(317, 1)
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 2, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression}: only uncompressed (1), "
-            "LZW (5), Deflate (8/32946), and PackBits (32773) decode "
-            "without a codec"
+            "CCITT MH-RLE (2) / Group 4 (4), LZW (5), Deflate (8/32946), "
+            "and PackBits (32773) decode without a codec"
         )
     if one(284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2: chunky only")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF: strip layout only")
-    if len(bits) != spp or len(set(bits)) != 1 or bits[0] not in (8, 16):
+    if one(266, 1) != 1:
+        raise NotImplementedError("TIFF FillOrder 2: MSB-first bit order only")
+    if len(bits) != spp or len(set(bits)) != 1 or bits[0] not in (1, 8, 16):
         raise NotImplementedError(
-            f"TIFF bits-per-sample {bits}: uniform 8/16-bit only"
+            f"TIFF bits-per-sample {bits}: uniform 1/8/16-bit only"
         )
+    if compression in (2, 4) and bits[0] != 1:
+        raise ValueError(f"CCITT compression on a {bits[0]}-bit raster")
+    if bits[0] == 1 and (spp != 1 or photometric not in (0, 1)):
+        raise NotImplementedError("bilevel TIFF: single-sample gray only")
+    if bits[0] == 1 and predictor != 1:
+        raise NotImplementedError("TIFF predictor on a bilevel raster")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if photometric not in (0, 1, 2, 3):
@@ -1724,6 +2068,40 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip offsets/byte-counts missing or mismatched")
     rows_per_strip = one(278, h)
+    if bits[0] == 1:
+        row_bytes = (w + 7) // 8
+        segs = []
+        for s, (off, cnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, h - s * rows_per_strip)
+            if n_rows <= 0:
+                raise ValueError("TIFF has more strips than image rows")
+            raw = bytes(payload[off : off + cnt])
+            if len(raw) < cnt:
+                raise ValueError("truncated TIFF strip")
+            if compression == 4:
+                segs.append(_g4_decode(raw, w, n_rows))
+            elif compression == 2:
+                segs.append(_mh_decode(raw, w, n_rows))
+            else:
+                if compression == 32773:
+                    raw = _packbits_decode(raw, n_rows * row_bytes)
+                elif compression == 5:
+                    raw = _tiff_lzw_decode(raw, n_rows * row_bytes)
+                elif compression in (8, 32946):
+                    import zlib
+
+                    raw = zlib.decompress(raw)
+                if len(raw) != n_rows * row_bytes:
+                    raise ValueError(
+                        f"TIFF bilevel strip {s} has {len(raw)} bytes, "
+                        f"expected {n_rows * row_bytes}"
+                    )
+                packed = np.frombuffer(raw, dtype="u1").reshape(n_rows, row_bytes)
+                segs.append(np.unpackbits(packed, axis=1)[:, :w])
+        arr = (np.vstack(segs) * np.uint8(255))[:, :, None]
+        if photometric == 0:
+            arr = 255 - arr  # MinIsWhite: sample 0 renders white
+        return np.ascontiguousarray(arr[:, :, 0])
     row_bytes = w * spp * (bits[0] // 8)
     parts = []
     for s, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -1787,14 +2165,17 @@ def encode_tiff(
     rows_per_strip: "int | None" = None,
     predictor: int = 1,
     photometric: "str | None" = None,
+    bilevel: bool = False,
 ) -> bytes:
     """Inverse of :func:`_decode_tiff` for chunky 8/16-bit gray and RGB —
     the deterministic fixture builder (layout: header, strip data, IFD
-    last). ``compression`` "none"/"lzw"/"deflate"/"packbits", either
-    ``byteorder``,
-    optional multi-strip layout, predictor 2 (horizontal differencing),
-    and ``photometric="miniswhite"`` (stores inverted samples under
-    photometric 0 — decode inverts back)."""
+    last). ``compression`` "none"/"lzw"/"deflate"/"packbits" (plus
+    "g4"/"mh" when ``bilevel``), either ``byteorder``, optional
+    multi-strip layout, predictor 2 (horizontal differencing), and
+    ``photometric="miniswhite"`` (stores inverted samples under
+    photometric 0 — decode inverts back). ``bilevel`` takes a (h, w)
+    uint8 array of {0, 255} and writes a 1-bit MinIsWhite raster — the
+    scanned-document shape — packed MSB-first or CCITT-coded."""
     import struct
 
     arr = np.asarray(arr)
@@ -1805,6 +2186,49 @@ def encode_tiff(
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
         raise ValueError(f"expected (h,w), (h,w,1) or (h,w,3), got {arr.shape}")
     h, w, spp = arr.shape
+    comp_tags = {
+        "none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "mh": 2, "g4": 4,
+    }
+    if compression not in comp_tags or (
+        compression in ("mh", "g4") and not bilevel
+    ):
+        raise ValueError(f"unsupported compression {compression!r}")
+    if bilevel:
+        if spp != 1 or arr.dtype != np.dtype("uint8"):
+            raise ValueError("bilevel input must be (h, w) uint8")
+        if photometric not in (None, "miniswhite") or predictor != 1:
+            raise ValueError("bilevel writes MinIsWhite, predictor 1")
+        black = arr[:, :, 0] == 0
+        if not bool(((arr[:, :, 0] == 0) | (arr[:, :, 0] == 255)).all()):
+            raise ValueError("bilevel input values must be 0 or 255")
+        sample = black.astype("uint8")  # MinIsWhite: 1 = black
+        bits, photo = 1, 0
+        rps = h if rows_per_strip is None else rows_per_strip
+        strips = []
+        for y0 in range(0, h, rps):
+            rows = sample[y0 : y0 + rps]
+            if compression == "g4":
+                strips.append(_g4_encode(rows))
+            elif compression == "mh":
+                strips.append(_mh_encode(rows))
+            else:
+                packed = np.packbits(rows, axis=1)
+                if compression == "packbits":
+                    strips.append(
+                        b"".join(_packbits_encode(r.tobytes()) for r in packed)
+                    )
+                elif compression == "lzw":
+                    strips.append(_tiff_lzw_encode(packed.tobytes()))
+                elif compression == "deflate":
+                    import zlib
+
+                    strips.append(zlib.compress(packed.tobytes(), 6))
+                else:
+                    strips.append(packed.tobytes())
+        return _tiff_container(
+            struct, byteorder, w, h, 1, bits, photo,
+            comp_tags[compression], rps, strips, predictor,
+        )
     bits = 16 if arr.dtype == np.dtype("uint16") else 8
     photo = 2 if spp == 3 else 1
     if photometric == "miniswhite":
@@ -1820,8 +2244,7 @@ def encode_tiff(
         arr = (d % (1 << bits)).astype(arr.dtype)
     elif predictor != 1:
         raise ValueError(f"unsupported predictor {predictor}")
-    comp_tags = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
-    if compression not in comp_tags:
+    if compression in ("mh", "g4"):
         raise ValueError(f"unsupported compression {compression!r}")
     rps = h if rows_per_strip is None else rows_per_strip
     sample = arr.astype(np.dtype(byteorder + "u2")) if bits == 16 else arr
@@ -1840,11 +2263,20 @@ def encode_tiff(
             strips.append(zlib.compress(rows.tobytes(), 6))
         else:
             strips.append(rows.tobytes())
+    return _tiff_container(
+        struct, byteorder, w, h, spp, bits, photo,
+        comp_tags[compression], rps, strips, predictor,
+    )
 
-    n_strips = len(strips)
-    data_off = 8
+
+def _tiff_container(
+    struct, byteorder, w, h, spp, bits, photo, comp_tag, rps, strips, predictor
+) -> bytes:
+    """Assemble header + strip data + IFD (layout: IFD last, out-of-line
+    value arrays after it) — shared by the multi-byte and bilevel
+    encoder paths."""
     strip_offs = []
-    pos = data_off
+    pos = 8
     for s in strips:
         strip_offs.append(pos)
         pos += len(s)
@@ -1877,7 +2309,7 @@ def encode_tiff(
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 4, bps_count, bps_val),
-        (259, 4, 1, comp_tags[compression]),
+        (259, 4, 1, comp_tag),
         (262, 4, 1, photo),
         (273, 4, so_count, so_val),
         (277, 4, 1, spp),
@@ -2867,6 +3299,41 @@ def image_media_table(emb: DataFrame, width: int = 8, fmt: str = "ppm") -> DataF
                     "vec_id": pdf["vec_id"].astype("int64"),
                     "media": payloads,
                     "media_type": media_type,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return emb.mapInPandas(pack, MEDIA_SCHEMA)
+
+
+def bilevel_media_table(
+    emb: DataFrame, width: int = 8, fmt: str = "g4"
+) -> DataFrame:
+    """Deterministic synthetic scanned-page media table: each vector's
+    float32 values threshold to a bilevel raster (negative → black, the
+    sign pattern of the embedding) written as a CCITT-coded
+    (``fmt``="g4"/"mh") or bit-packed ("packbits"/"none"/…) 1-bit
+    TIFF — the shape of a real scanned-document corpus, no external
+    data."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf["embedding"]:
+                f = np.asarray(v, dtype="<f4")
+                bits = (f < 0).astype("uint8")
+                rows = -(-bits.size // width)  # ceil
+                page = np.zeros((rows, width), dtype="uint8")
+                page.reshape(-1)[: bits.size] = bits
+                payloads.append(
+                    encode_tiff((1 - page) * np.uint8(255), compression=fmt,
+                                bilevel=True)
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "media": payloads,
+                    "media_type": "image/tiff",
                     "n_bytes": [len(p) for p in payloads],
                 }
             )

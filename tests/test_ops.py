@@ -633,6 +633,150 @@ def test_tiff_decode_roundtrip_and_variants():
         multimodal._decode_tiff(bytes(bad))
 
 
+def test_ccitt_fax_decode_roundtrip_and_tables():
+    """CCITT fax (T.4 MH / T.6 G4) bilevel TIFF: text-like, all-white,
+    all-black, and pure-noise pages round-trip exactly through both
+    codings and all four byte compressions (bit-packed MSB-first), in
+    both byte orders and strip layouts; >2560-px runs exercise repeated
+    extended makeups; the transcribed code tables are prefix-free with
+    the exact Kraft sum 127/128 (the reserved EOL prefix space) and
+    match spec-known values; malformed streams and gated variants
+    raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    # table integrity: sizes, prefix-freeness, Kraft sum, spot values
+    assert len(multimodal._FAX_WHITE_TERM) == len(multimodal._FAX_BLACK_TERM) == 64
+    assert len(multimodal._FAX_WHITE_MAKEUP) == len(multimodal._FAX_BLACK_MAKEUP) == 27
+    assert len(multimodal._FAX_EXT_MAKEUP) == 13
+    for codes in (
+        multimodal._FAX_WHITE_TERM + multimodal._FAX_WHITE_MAKEUP + multimodal._FAX_EXT_MAKEUP,
+        multimodal._FAX_BLACK_TERM + multimodal._FAX_BLACK_MAKEUP + multimodal._FAX_EXT_MAKEUP,
+        list(multimodal._FAX_MODES),
+    ):
+        assert len(set(codes)) == len(codes)
+        assert not any(
+            a is not b and b.startswith(a) for a in codes for b in codes
+        )
+    for term, makeup in (
+        (multimodal._FAX_WHITE_TERM, multimodal._FAX_WHITE_MAKEUP),
+        (multimodal._FAX_BLACK_TERM, multimodal._FAX_BLACK_MAKEUP),
+    ):
+        assert sum(2.0 ** -len(c) for c in term + makeup) == 127 / 128
+    # T.4 Table 2/3 landmarks
+    assert multimodal._FAX_WHITE_TERM[0] == "00110101"
+    assert multimodal._FAX_WHITE_TERM[1] == "000111"
+    assert multimodal._FAX_BLACK_TERM[0] == "0000110111"
+    assert multimodal._FAX_BLACK_TERM[2] == "11"
+    assert multimodal._FAX_WHITE_MAKEUP[0] == "11011"  # 64
+    assert multimodal._FAX_WHITE_MAKEUP[25] == "011000"  # 1664
+    assert multimodal._FAX_BLACK_MAKEUP[0] == "0000001111"  # 64
+    assert multimodal._FAX_EXT_MAKEUP[-1] == "000000011111"  # 2560
+
+    def make_doc(h, w, seed):
+        r = np.random.RandomState(seed)
+        img = np.full((h, w), 255, dtype="uint8")
+        for _ in range(h * 2):
+            y, x = r.randint(h), r.randint(w)
+            img[y, x : x + r.randint(1, max(2, w // 4))] = 0
+        return img
+
+    rng = np.random.RandomState(5)
+    cases = [
+        np.full((5, 9), 255, dtype="uint8"),
+        np.zeros((5, 9), dtype="uint8"),
+        make_doc(40, 61, 1),
+        make_doc(16, 2000, 2),  # makeup codes
+        (rng.randint(0, 2, size=(30, 37)) * 255).astype("uint8"),  # noise
+    ]
+    for ci, img in enumerate(cases):
+        for comp in ("none", "packbits", "lzw", "deflate", "mh", "g4"):
+            for bo, rps in (("<", None), (">", 7)):
+                pay = multimodal.encode_tiff(
+                    img, compression=comp, byteorder=bo,
+                    rows_per_strip=rps, bilevel=True,
+                )
+                out = multimodal.decode_image(pay)
+                assert out.shape == img.shape and out.dtype == np.dtype("uint8")
+                assert (out == img).all(), (ci, comp, bo, rps)
+    wide = np.full((3, 2600), 255, dtype="uint8")  # run > 2560: repeated makeup
+    wide[1, 2590:] = 0
+    for comp in ("mh", "g4"):
+        got = multimodal.decode_image(
+            multimodal.encode_tiff(wide, compression=comp, bilevel=True)
+        )
+        assert (got == wide).all(), comp
+
+    # malformed streams: truncation, stalled moves, mid-row zero runs
+    bits = (make_doc(10, 31, 4) == 0).astype("uint8")
+    g4 = multimodal._g4_encode(bits)
+    with _pytest.raises(ValueError, match="fax stream ended"):
+        multimodal._g4_decode(g4[: len(g4) // 2], 31, 10)
+    with _pytest.raises(ValueError, match="unread bits"):
+        multimodal._g4_decode(g4 + b"\x00" * 16, 31, 10)
+    mh = multimodal._mh_encode(bits)
+    with _pytest.raises(ValueError, match="fax stream ended|overruns"):
+        multimodal._mh_decode(mh, 32, 10)  # wrong width mis-frames
+    # gates: G3-with-EOL, fax on 8-bit, bilevel RGB, FillOrder 2
+    with _pytest.raises(ValueError, match="unsupported compression"):
+        multimodal.encode_tiff(np.zeros((2, 2), dtype="uint8"), compression="g4")
+    full = multimodal.encode_tiff(cases[2], compression="g4", bilevel=True)
+    import struct
+
+    buf = bytearray(full)
+    ifd_off = struct.unpack_from("<I", buf, 4)[0]
+    (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        if struct.unpack_from("<H", buf, e)[0] == 259:
+            struct.pack_into("<I", buf, e + 8, 3)  # T.4 G3 with EOLs
+    with _pytest.raises(NotImplementedError, match="compression 3"):
+        multimodal.decode_image(bytes(buf))
+
+
+def test_bilevel_media_features_over_spark(spark, emb):
+    """The scanned-page synthetic table: embeddings threshold to bilevel
+    G4/MH TIFFs over the real mapInPandas path, and the decoded features
+    match a local numpy replica exactly — G4 and MH decode the SAME
+    pixels, only payload bytes differ."""
+    import hashlib
+
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    sample = emb.limit(4)
+    by_fmt = {
+        fmt: {
+            r["vec_id"]: r
+            for r in multimodal.extract_image_features(
+                multimodal.bilevel_media_table(sample, width=8, fmt=fmt)
+            ).collect()
+        }
+        for fmt in ("g4", "mh", "packbits")
+    }
+    for row in sample.collect():
+        f = np.asarray(row["embedding"], dtype="<f4")
+        bits = (f < 0).astype("uint8")
+        rows = -(-bits.size // 8)
+        page = np.zeros((rows, 8), dtype="uint8")
+        page.reshape(-1)[: bits.size] = bits
+        visual = (1 - page) * np.uint8(255)
+        pay = multimodal.encode_tiff(visual, compression="g4", bilevel=True)
+        got = by_fmt["g4"][row["vec_id"]]
+        assert (got["width"], got["height"], got["channels"]) == (8, rows, 1)
+        assert got["min_val"] == int(visual.min()) and got["max_val"] == int(visual.max())
+        assert got["mean_val"] == visual.astype("float64").mean()
+        assert got["checksum"] == hashlib.md5(pay).hexdigest()
+        for fmt in ("mh", "packbits"):
+            other = by_fmt[fmt][row["vec_id"]]
+            pixel = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
+            assert [other[c] for c in pixel] == [got[c] for c in pixel], fmt
+            assert other["checksum"] != got["checksum"]
+
+
 def test_png_decode_all_filters_roundtrip():
     """Stdlib-zlib PNG decode: every scanline filter (None/Sub/Up/
     Average/Paeth) round-trips on gradient data that makes each
