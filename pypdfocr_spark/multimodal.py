@@ -6,9 +6,9 @@ the reference's gs/pdfimages toolchain) actually emits mostly need none:
 :func:`decode_image` decodes the netpbm family (P2/P3/P5/P6),
 uncompressed BMP, 8/16-bit PNG (stdlib zlib, incl. Adam7 interlace),
 GIF87a/89a (full LZW incl. interlace), baseline TIFF (both byte
-orders; uncompressed/LZW/Deflate/PackBits strips; CCITT T.6 Group 4 and
-T.4 MH fax bilevel — what scanned documents actually carry; predictor,
-palette/MinIsWhite),
+orders; uncompressed/LZW/Deflate/PackBits strips; CCITT fax bilevel —
+T.6 Group 4, EOL-framed T.4 Group 3 1-D/2-D, and MH-RLE, what scanned
+documents actually carry; predictor, palette/MinIsWhite),
 and Huffman JPEG — baseline/extended sequential (SOF0/SOF1,
 interleaved or multi-scan) and progressive (SOF2, spectral selection +
 successive approximation) — with stdlib+numpy;
@@ -114,8 +114,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     JPEG (:func:`_decode_jpeg`), GIF87a/89a incl. interlace
     (:func:`_decode_gif` — LZW is pure table bookkeeping, no codec
     library needed), and baseline TIFF — both byte orders; uncompressed,
-    LZW, Deflate, and PackBits strips; CCITT fax bilevel (T.6 Group 4 +
-    T.4 MH-RLE — the scanned-document coding); predictor 2;
+    LZW, Deflate, and PackBits strips; CCITT fax bilevel (T.6 Group 4,
+    T.4 Group 3 1-D/2-D, and MH-RLE — the scanned-document codings);
+    predictor 2;
     palette/MinIsWhite (:func:`_decode_tiff`). Returns uint8 or uint16,
     shape (h, w) for grayscale, (h, w, 3) for RGB.
 
@@ -1817,43 +1818,72 @@ def _fax_fill(cur: "list[int]", w: int) -> "np.ndarray":
     return row
 
 
+def _fax_2d_row(rd: "_FaxReader", ref: "list[int]", w: int, y: int) -> "list[int]":
+    """One 2-D-coded row (T.6, and T.4 2-D rows): pass/horizontal/
+    vertical moves against the reference line's transition list; returns
+    the new line's transitions."""
+    modes = _fax_tables()[2]
+    cur: "list[int]" = []
+    a0 = -1
+    color = 0
+    while a0 < w:
+        kind, d = rd.read_code(modes, 7, "mode")
+        b1, b2 = _fax_b1_b2(ref, a0, color, w)
+        if kind == "P":
+            a0 = b2
+        elif kind == "H":
+            s = max(a0, 0)
+            r1 = rd.read_run(color)
+            r2 = rd.read_run(color ^ 1)
+            t1, t2 = s + r1, s + r1 + r2
+            if t2 > w:
+                raise ValueError(f"fax horizontal runs overrun row {y}")
+            if t2 <= a0 and a0 >= 0:
+                raise ValueError(f"fax horizontal move stalls in row {y}")
+            cur += [t1, t2]
+            a0 = t2
+        else:  # vertical
+            a1 = b1 + d
+            if not (0 <= a1 <= w) or a1 <= a0 and a0 >= 0:
+                raise ValueError(f"fax vertical move out of order in row {y}")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _fax_1d_row(rd: "_FaxReader", w: int, y: int) -> "list[int]":
+    """One T.4 1-D Modified-Huffman row: alternating runs from white;
+    returns the line's transition list (run ends except the final w)."""
+    pos = 0
+    color = 0
+    cur: "list[int]" = []
+    while pos < w:
+        run = rd.read_run(color)
+        if run == 0 and cur:
+            raise ValueError(
+                f"zero-length fax run mid-row {y}: only the leading "
+                "white run may be empty"
+            )
+        if pos + run > w:
+            raise ValueError(f"fax MH run overruns row {y}")
+        pos += run
+        cur.append(pos)
+        color ^= 1
+    return cur[:-1]
+
+
 def _g4_decode(data: bytes, w: int, h: int) -> "np.ndarray":
     """T.6 Group 4 decode of one strip to (h, w) samples (1 = black in
-    the fax sense). The reference line starts imaginary all-white; rows
-    are coded as pass/horizontal/vertical moves against it. Per-row
-    state is the transition-position list, so cost scales with ink, not
-    pixels. Extension codes (uncompressed mode) are gated."""
+    the fax sense). The reference line starts imaginary all-white; every
+    row is 2-D coded against the previous one. Per-row state is the
+    transition-position list, so cost scales with ink, not pixels.
+    Extension codes (uncompressed mode) are gated."""
     rd = _FaxReader(data)
-    _, _, modes = _fax_tables()
     ref: "list[int]" = []
     out = np.zeros((h, w), dtype="uint8")
     for y in range(h):
-        cur: "list[int]" = []
-        a0 = -1
-        color = 0
-        while a0 < w:
-            kind, d = rd.read_code(modes, 7, "mode")
-            b1, b2 = _fax_b1_b2(ref, a0, color, w)
-            if kind == "P":
-                a0 = b2
-            elif kind == "H":
-                s = max(a0, 0)
-                r1 = rd.read_run(color)
-                r2 = rd.read_run(color ^ 1)
-                t1, t2 = s + r1, s + r1 + r2
-                if t2 > w:
-                    raise ValueError(f"fax horizontal runs overrun row {y}")
-                if t2 <= a0 and a0 >= 0:
-                    raise ValueError(f"fax horizontal move stalls in row {y}")
-                cur += [t1, t2]
-                a0 = t2
-            else:  # vertical
-                a1 = b1 + d
-                if not (0 <= a1 <= w) or a1 <= a0 and a0 >= 0:
-                    raise ValueError(f"fax vertical move out of order in row {y}")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
+        cur = _fax_2d_row(rd, ref, w, y)
         out[y] = _fax_fill(cur, w)
         ref = cur
     if len(data) * 8 - rd.bit > 64:
@@ -1863,53 +1893,158 @@ def _g4_decode(data: bytes, w: int, h: int) -> "np.ndarray":
     return out
 
 
+_FAX_MODE_BITS = {
+    ("V", 0): "1", ("V", 1): "011", ("V", 2): "000011", ("V", 3): "0000011",
+    ("V", -1): "010", ("V", -2): "000010", ("V", -3): "0000010",
+    ("H", 0): "001", ("P", 0): "0001",
+}
+
+
+def _fax_row_transitions(row: "np.ndarray") -> "list[int]":
+    cur = (np.flatnonzero(np.diff(row.astype("int8"))) + 1).tolist()
+    return ([0] + cur) if row[0] else cur
+
+
+def _fax_2d_encode_row(
+    wr: "_FaxWriter", cur: "list[int]", ref: "list[int]", w: int
+) -> None:
+    """Encode one row's transitions 2-D against the reference line —
+    the inverse of :func:`_fax_2d_row`."""
+
+    def emit(kind: str, d: int = 0) -> None:
+        b = _FAX_MODE_BITS[(kind, d)]
+        wr.write(len(b), int(b, 2))
+
+    a0 = -1
+    color = 0
+    while a0 < w:
+        i = 0
+        while i < len(cur) and cur[i] <= a0:
+            i += 1
+        if (i & 1) != color:
+            i += 1
+        a1 = cur[i] if i < len(cur) else w
+        a2 = cur[i + 1] if i + 1 < len(cur) else w
+        b1, b2 = _fax_b1_b2(ref, a0, color, w)
+        if b2 < a1:
+            emit("P")
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            emit("V", a1 - b1)
+            a0 = a1
+            color ^= 1
+        else:
+            emit("H")
+            s = max(a0, 0)
+            wr.write_run(a1 - s, color)
+            wr.write_run(a2 - a1, color ^ 1)
+            a0 = a2
+
+
+def _fax_1d_encode_row(wr: "_FaxWriter", row: "np.ndarray", w: int) -> None:
+    """Encode one row 1-D: alternating runs from white (a leading
+    0-length white run when the row starts black)."""
+    bounds = (np.flatnonzero(np.diff(row.astype("int8"))) + 1).tolist() + [w]
+    pos = 0
+    color = 0
+    if row[0]:
+        wr.write_run(0, 0)
+        color = 1
+    for b in bounds:
+        wr.write_run(b - pos, color)
+        pos = b
+        color ^= 1
+
+
 def _g4_encode(img: "np.ndarray") -> bytes:
     """T.6 encoder mirroring :func:`_g4_decode` — the deterministic
     fixture builder. Emits the closing EOFB the spec requires."""
     h, w = img.shape
     wr = _FaxWriter()
-    mode_bits = {
-        ("V", 0): "1", ("V", 1): "011", ("V", 2): "000011", ("V", 3): "0000011",
-        ("V", -1): "010", ("V", -2): "000010", ("V", -3): "0000010",
-        ("H", 0): "001", ("P", 0): "0001",
-    }
+    ref: "list[int]" = []
+    for y in range(h):
+        cur = _fax_row_transitions(img[y])
+        _fax_2d_encode_row(wr, cur, ref, w)
+        ref = cur
+    wr.write(24, 0b000000000001000000000001)  # EOFB
+    return wr.bytes()
 
-    def emit(kind: str, d: int = 0) -> None:
-        b = mode_bits[(kind, d)]
-        wr.write(len(b), int(b, 2))
+
+_FAX_EOL = (12, 0b000000000001)
+
+
+def _g3_decode(data: bytes, w: int, h: int, two_d: bool) -> "np.ndarray":
+    """T.4 Group 3 decode (TIFF compression 3): every row is preceded by
+    an EOL — zero or more fill zeros then 000000000001 — and in 2-D mode
+    (T4Options bit 0) a tag bit picks 1-D or 2-D coding for the row that
+    follows. The trailing RTC (six EOLs) is consumed and checked."""
+    rd = _FaxReader(data)
+
+    def read_eol(what: str) -> None:
+        # fill bits are extra leading zeros: absorb them by restarting
+        # the 12-bit window on each zero past the 11th
+        zeros = 0
+        while True:
+            total = len(rd.data) * 8
+            if rd.bit >= total:
+                raise ValueError(f"fax stream ended looking for {what} EOL")
+            bit = (rd.data[rd.bit >> 3] >> (7 - (rd.bit & 7))) & 1
+            rd.bit += 1
+            if bit:
+                if zeros < 11:
+                    raise ValueError(f"fax {what} EOL has only {zeros} zeros")
+                return
+            zeros += 1
+
+    out = np.zeros((h, w), dtype="uint8")
+    ref: "list[int]" = []
+    for y in range(h):
+        read_eol(f"row-{y}")
+        one_d = True
+        if two_d:
+            total = len(rd.data) * 8
+            if rd.bit >= total:
+                raise ValueError("fax stream ended at a 2-D tag bit")
+            one_d = bool((rd.data[rd.bit >> 3] >> (7 - (rd.bit & 7))) & 1)
+            rd.bit += 1
+        cur = _fax_1d_row(rd, w, y) if one_d else _fax_2d_row(rd, ref, w, y)
+        out[y] = _fax_fill(cur, w)
+        ref = cur
+    # RTC: six EOLs (each tagged 1-D in 2-D mode), possibly fill-padded
+    remaining = len(data) * 8 - rd.bit
+    if remaining > 6 * (12 + 1 + 7) + 7:
+        raise ValueError(f"{remaining} unread bits after the last G3 row")
+    return out
+
+
+def _g3_encode(img: "np.ndarray", two_d: bool = False, byte_align: bool = False) -> bytes:
+    """T.4 encoder mirroring :func:`_g3_decode`: EOL before every row
+    (fill-padded to a byte boundary when ``byte_align``); in 2-D mode
+    the first row is 1-D and the rest 2-D (K = ∞), each flagged by its
+    tag bit; closes with the six-EOL RTC."""
+    h, w = img.shape
+    wr = _FaxWriter()
+
+    def eol(tag: "int | None") -> None:
+        if byte_align:
+            used = (wr.nbits + 12 + (0 if tag is None else 1)) % 8
+            if used:
+                wr.write(8 - used, 0)  # fill zeros so data restarts aligned
+        wr.write(*_FAX_EOL)
+        if tag is not None:
+            wr.write(1, tag)
 
     ref: "list[int]" = []
     for y in range(h):
-        row = img[y]
-        cur = (np.flatnonzero(np.diff(row.astype("int8"))) + 1).tolist()
-        if row[0]:
-            cur = [0] + cur
-        a0 = -1
-        color = 0
-        while a0 < w:
-            i = 0
-            while i < len(cur) and cur[i] <= a0:
-                i += 1
-            if (i & 1) != color:
-                i += 1
-            a1 = cur[i] if i < len(cur) else w
-            a2 = cur[i + 1] if i + 1 < len(cur) else w
-            b1, b2 = _fax_b1_b2(ref, a0, color, w)
-            if b2 < a1:
-                emit("P")
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                emit("V", a1 - b1)
-                a0 = a1
-                color ^= 1
-            else:
-                emit("H")
-                s = max(a0, 0)
-                wr.write_run(a1 - s, color)
-                wr.write_run(a2 - a1, color ^ 1)
-                a0 = a2
-        ref = cur
-    wr.write(24, 0b000000000001000000000001)  # EOFB
+        one_d = (not two_d) or y == 0
+        eol(None if not two_d else (1 if one_d else 0))
+        if one_d:
+            _fax_1d_encode_row(wr, img[y], w)
+        else:
+            _fax_2d_encode_row(wr, _fax_row_transitions(img[y]), ref, w)
+        ref = _fax_row_transitions(img[y])
+    for _ in range(6):  # RTC
+        eol(None if not two_d else 1)
     return wr.bytes()
 
 
@@ -1919,24 +2054,7 @@ def _mh_decode(data: bytes, w: int, h: int) -> "np.ndarray":
     rd = _FaxReader(data)
     out = np.zeros((h, w), dtype="uint8")
     for y in range(h):
-        pos = 0
-        color = 0
-        cur: "list[int]" = []
-        while pos < w:
-            run = rd.read_run(color)
-            if run == 0 and cur:
-                raise ValueError(
-                    f"zero-length fax run mid-row {y}: only the leading "
-                    "white run may be empty"
-                )
-            if pos + run > w:
-                raise ValueError(f"fax MH run overruns row {y}")
-            pos += run
-            cur.append(pos)
-            color ^= 1
-        # run end-positions → color-change positions: every end but the
-        # final w starts the opposite color (rows begin white)
-        out[y] = _fax_fill(cur[:-1], w)
+        out[y] = _fax_fill(_fax_1d_row(rd, w, y), w)
         rd.align()
     if len(data) - (rd.bit >> 3) > 0:
         raise ValueError("trailing bytes after the last MH row")
@@ -1950,17 +2068,7 @@ def _mh_encode(img: "np.ndarray") -> bytes:
     h, w = img.shape
     wr = _FaxWriter()
     for y in range(h):
-        row = img[y]
-        bounds = (np.flatnonzero(np.diff(row.astype("int8"))) + 1).tolist() + [w]
-        pos = 0
-        color = 0
-        if row[0]:  # starts black: explicit zero-length white run
-            wr.write_run(0, 0)
-            color = 1
-        for b in bounds:
-            wr.write_run(b - pos, color)
-            pos = b
-            color ^= 1
+        _fax_1d_encode_row(wr, img[y], w)
         wr.align()
     return wr.bytes()
 
@@ -2009,12 +2117,14 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     1 (MinIsBlack), 2 (RGB), 3 (8-bit palette, 16-bit ColorMap entries
     scaled ≫8 like every reader), 8/16-bit chunky samples, and bilevel
     1-bit rasters — packed MSB-first under the byte compressions, or
-    CCITT fax coded: T.6 Group 4 (=4, :func:`_g4_decode`) and
-    byte-aligned T.4 Modified Huffman rows (=2, :func:`_mh_decode`);
+    CCITT fax coded: T.6 Group 4 (=4, :func:`_g4_decode`),
+    byte-aligned T.4 Modified Huffman rows (=2, :func:`_mh_decode`),
+    and EOL-framed T.4 Group 3 in 1-D and 2-D modes (=3,
+    :func:`_g3_decode`, T4Options honored);
     bilevel output is uint8 {0, 255} after the photometric mapping.
     Multi-page files decode their FIRST IFD (the GIF first-frame rule).
-    Strict strip framing throughout; JPEG-in-TIFF and G3-with-EOL (=3)
-    compression, planar storage, and tiled layout raise
+    Strict strip framing throughout; JPEG-in-TIFF compression, T.4
+    uncompressed-extension mode, planar storage, and tiled layout raise
     ``NotImplementedError`` — the genuine codec-library gate."""
     bo, tags = _tiff_tags(payload)
 
@@ -2031,11 +2141,11 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     spp = one(277, 1)
     bits = tags.get(258, [1])
     predictor = one(317, 1)
-    if compression not in (1, 2, 4, 5, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression}: only uncompressed (1), "
-            "CCITT MH-RLE (2) / Group 4 (4), LZW (5), Deflate (8/32946), "
-            "and PackBits (32773) decode without a codec"
+            "CCITT MH-RLE (2) / Group 3 (3) / Group 4 (4), LZW (5), "
+            "Deflate (8/32946), and PackBits (32773) decode without a codec"
         )
     if one(284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2: chunky only")
@@ -2080,6 +2190,13 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
                 raise ValueError("truncated TIFF strip")
             if compression == 4:
                 segs.append(_g4_decode(raw, w, n_rows))
+            elif compression == 3:
+                t4 = one(292, 0)  # T4Options
+                if t4 & 2:
+                    raise NotImplementedError(
+                        "T.4 uncompressed-extension mode (T4Options bit 1)"
+                    )
+                segs.append(_g3_decode(raw, w, n_rows, two_d=bool(t4 & 1)))
             elif compression == 2:
                 segs.append(_mh_decode(raw, w, n_rows))
             else:
@@ -2187,11 +2304,11 @@ def encode_tiff(
         raise ValueError(f"expected (h,w), (h,w,1) or (h,w,3), got {arr.shape}")
     h, w, spp = arr.shape
     comp_tags = {
-        "none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "mh": 2, "g4": 4,
+        "none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+        "mh": 2, "g3": 3, "g3_2d": 3, "g4": 4,
     }
-    if compression not in comp_tags or (
-        compression in ("mh", "g4") and not bilevel
-    ):
+    fax = ("mh", "g3", "g3_2d", "g4")
+    if compression not in comp_tags or (compression in fax and not bilevel):
         raise ValueError(f"unsupported compression {compression!r}")
     if bilevel:
         if spp != 1 or arr.dtype != np.dtype("uint8"):
@@ -2209,6 +2326,8 @@ def encode_tiff(
             rows = sample[y0 : y0 + rps]
             if compression == "g4":
                 strips.append(_g4_encode(rows))
+            elif compression in ("g3", "g3_2d"):
+                strips.append(_g3_encode(rows, two_d=compression == "g3_2d"))
             elif compression == "mh":
                 strips.append(_mh_encode(rows))
             else:
@@ -2228,6 +2347,7 @@ def encode_tiff(
         return _tiff_container(
             struct, byteorder, w, h, 1, bits, photo,
             comp_tags[compression], rps, strips, predictor,
+            t4_options={"g3": 0, "g3_2d": 1}.get(compression),
         )
     bits = 16 if arr.dtype == np.dtype("uint16") else 8
     photo = 2 if spp == 3 else 1
@@ -2270,7 +2390,8 @@ def encode_tiff(
 
 
 def _tiff_container(
-    struct, byteorder, w, h, spp, bits, photo, comp_tag, rps, strips, predictor
+    struct, byteorder, w, h, spp, bits, photo, comp_tag, rps, strips,
+    predictor, t4_options: "int | None" = None,
 ) -> bytes:
     """Assemble header + strip data + IFD (layout: IFD last, out-of-line
     value arrays after it) — shared by the multi-byte and bilevel
@@ -2295,8 +2416,10 @@ def _tiff_container(
     extra = b""
     # IFD: 2-byte count + 12 bytes per entry + 4-byte next-IFD pointer,
     # then the out-of-line value arrays
-    tag_list = [256, 257, 258, 259, 262, 273, 277, 278, 279] + (
-        [317] if predictor == 2 else []
+    tag_list = (
+        [256, 257, 258, 259, 262, 273, 277, 278, 279]
+        + ([292] if t4_options is not None else [])
+        + ([317] if predictor == 2 else [])
     )
     extra_off = ifd_off + 2 + 12 * len(tag_list) + 4
     bps_count, bps_val, bps_extra = many([bits] * spp)
@@ -2316,6 +2439,8 @@ def _tiff_container(
         (278, 4, 1, rps),
         (279, 4, sc_count, sc_val),
     ]
+    if t4_options is not None:
+        entries.append((292, 4, 1, t4_options))
     if predictor == 2:
         entries.append((317, 4, 1, 2))
     out = struct.pack(

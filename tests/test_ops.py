@@ -634,9 +634,10 @@ def test_tiff_decode_roundtrip_and_variants():
 
 
 def test_ccitt_fax_decode_roundtrip_and_tables():
-    """CCITT fax (T.4 MH / T.6 G4) bilevel TIFF: text-like, all-white,
-    all-black, and pure-noise pages round-trip exactly through both
-    codings and all four byte compressions (bit-packed MSB-first), in
+    """CCITT fax (T.4 MH, EOL-framed G3 1-D/2-D, T.6 G4) bilevel TIFF:
+    text-like, all-white, all-black, and pure-noise pages round-trip
+    exactly through every coding and all four byte compressions
+    (bit-packed MSB-first), in
     both byte orders and strip layouts; >2560-px runs exercise repeated
     extended makeups; the transcribed code tables are prefix-free with
     the exact Kraft sum 127/128 (the reserved EOL prefix space) and
@@ -692,7 +693,7 @@ def test_ccitt_fax_decode_roundtrip_and_tables():
         (rng.randint(0, 2, size=(30, 37)) * 255).astype("uint8"),  # noise
     ]
     for ci, img in enumerate(cases):
-        for comp in ("none", "packbits", "lzw", "deflate", "mh", "g4"):
+        for comp in ("none", "packbits", "lzw", "deflate", "mh", "g3", "g3_2d", "g4"):
             for bo, rps in (("<", None), (">", 7)):
                 pay = multimodal.encode_tiff(
                     img, compression=comp, byteorder=bo,
@@ -703,11 +704,21 @@ def test_ccitt_fax_decode_roundtrip_and_tables():
                 assert (out == img).all(), (ci, comp, bo, rps)
     wide = np.full((3, 2600), 255, dtype="uint8")  # run > 2560: repeated makeup
     wide[1, 2590:] = 0
-    for comp in ("mh", "g4"):
+    for comp in ("mh", "g3", "g3_2d", "g4"):
         got = multimodal.decode_image(
             multimodal.encode_tiff(wide, compression=comp, bilevel=True)
         )
         assert (got == wide).all(), comp
+
+    # G3 kernel: the byte-aligned-EOL (fill-bit) writer variant decodes
+    # through the same fill-tolerant EOL scan
+    bits31 = (make_doc(12, 53, 9) == 0).astype("uint8")
+    for two_d in (False, True):
+        for ba in (False, True):
+            enc = multimodal._g3_encode(bits31, two_d=two_d, byte_align=ba)
+            assert (multimodal._g3_decode(enc, 53, 12, two_d) == bits31).all()
+    with _pytest.raises(ValueError, match="EOL"):
+        multimodal._g3_decode(b"\xff\xff", 8, 1, False)  # a 1 with no zeros
 
     # malformed streams: truncation, stalled moves, mid-row zero runs
     bits = (make_doc(10, 31, 4) == 0).astype("uint8")
@@ -731,8 +742,18 @@ def test_ccitt_fax_decode_roundtrip_and_tables():
     for k in range(n_entries):
         e = ifd_off + 2 + 12 * k
         if struct.unpack_from("<H", buf, e)[0] == 259:
-            struct.pack_into("<I", buf, e + 8, 3)  # T.4 G3 with EOLs
-    with _pytest.raises(NotImplementedError, match="compression 3"):
+            struct.pack_into("<I", buf, e + 8, 6)  # old-style JPEG-in-TIFF
+    with _pytest.raises(NotImplementedError, match="compression 6"):
+        multimodal.decode_image(bytes(buf))
+    g3full = multimodal.encode_tiff(cases[2], compression="g3_2d", bilevel=True)
+    buf = bytearray(g3full)
+    ifd_off = struct.unpack_from("<I", buf, 4)[0]
+    (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        if struct.unpack_from("<H", buf, e)[0] == 292:
+            struct.pack_into("<I", buf, e + 8, 2)  # uncompressed extension
+    with _pytest.raises(NotImplementedError, match="uncompressed-extension"):
         multimodal.decode_image(bytes(buf))
 
 
