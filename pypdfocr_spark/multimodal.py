@@ -2076,16 +2076,14 @@ def _mh_encode(img: "np.ndarray") -> bytes:
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we read
 
 
-def _tiff_tags(payload: bytes) -> "tuple[str, dict[int, list[int]]]":
-    """Parse the header + IFD 0 into (byte-order char, {tag: [values]}).
+def _tiff_read_ifd(
+    payload: bytes, bo: str, ifd_off: int
+) -> "tuple[dict[int, list[int]], int]":
+    """Parse one IFD into ({tag: [values]}, next-IFD offset).
     Integer-typed tags only; other types (ASCII, RATIONAL, …) are
     skipped — none of the raster-defining tags use them."""
     import struct
 
-    bo = {b"II": "<", b"MM": ">"}.get(bytes(payload[:2]))
-    if bo is None or struct.unpack_from(bo + "H", payload, 2)[0] != 42:
-        raise ValueError("not a TIFF: bad byte-order mark or magic 42")
-    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("truncated TIFF IFD")
     (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
@@ -2105,7 +2103,38 @@ def _tiff_tags(payload: bytes) -> "tuple[str, dict[int, list[int]]]":
             raise ValueError(f"TIFF tag {tag} values out of bounds")
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, off))
-    return bo, tags
+    nxt = ifd_off + 2 + 12 * n_entries
+    if nxt + 4 > len(payload):
+        raise ValueError("truncated TIFF next-IFD pointer")
+    return tags, struct.unpack_from(bo + "I", payload, nxt)[0]
+
+
+def _tiff_ifds(payload: bytes) -> "tuple[str, list[dict[int, list[int]]]]":
+    """Walk the whole IFD chain (one IFD per page) with a cycle guard;
+    returns (byte-order char, [tags per page])."""
+    import struct
+
+    bo = {b"II": "<", b"MM": ">"}.get(bytes(payload[:2]))
+    if bo is None or struct.unpack_from(bo + "H", payload, 2)[0] != 42:
+        raise ValueError("not a TIFF: bad byte-order mark or magic 42")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    pages = []
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD chain cycles")
+        seen.add(ifd_off)
+        tags, ifd_off = _tiff_read_ifd(payload, bo, ifd_off)
+        pages.append(tags)
+    if not pages:
+        raise ValueError("TIFF has no IFD")
+    return bo, pages
+
+
+def _tiff_tags(payload: bytes) -> "tuple[str, dict[int, list[int]]]":
+    """(byte-order char, first IFD's tags) — the single-page view."""
+    bo, pages = _tiff_ifds(payload)
+    return bo, pages[0]
 
 
 def _decode_tiff(payload: bytes) -> "np.ndarray":
@@ -2127,6 +2156,47 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     uncompressed-extension mode, planar storage, and tiled layout raise
     ``NotImplementedError`` — the genuine codec-library gate."""
     bo, tags = _tiff_tags(payload)
+    return _decode_tiff_ifd(payload, bo, tags)
+
+
+def probe_tiff(payload: bytes) -> dict:
+    """Page-level metadata without decoding any raster: walks the IFD
+    chain and reports per-page dimensions/compression — the scanned
+    multi-page shape the reference's PDF page iterator works over
+    (ref: pypdfocr/pypdfocr_pdf.py page loops)."""
+    bo, pages = _tiff_ifds(payload)
+    metas = []
+    for tags in pages:
+        metas.append(
+            {
+                "width": tags.get(256, [0])[0],
+                "height": tags.get(257, [0])[0],
+                "bits": tags.get(258, [1])[0],
+                "compression": tags.get(259, [1])[0],
+            }
+        )
+    return {"n_pages": len(pages), "pages": metas}
+
+
+def decode_tiff_pages(
+    payload: bytes, pages: "list[int] | None" = None
+) -> "Iterator[tuple[int, np.ndarray]]":
+    """Decode a multi-page TIFF page-by-page, yielding (page_no, array)
+    and decoding ONLY the requested pages — each IFD owns its strips, so
+    skipped pages cost one IFD walk, not a decode (the same skip-
+    unsampled economics as :func:`decode_video_frames`)."""
+    bo, ifds = _tiff_ifds(payload)
+    want = set(range(len(ifds))) if pages is None else set(pages)
+    for no, tags in enumerate(ifds):
+        if no in want:
+            yield no, _decode_tiff_ifd(payload, bo, tags)
+
+
+def _decode_tiff_ifd(
+    payload: bytes, bo: str, tags: "dict[int, list[int]]"
+) -> "np.ndarray":
+    """Decode one IFD's raster — the per-page worker behind
+    :func:`_decode_tiff` and :func:`decode_tiff_pages`."""
 
     def one(tag: int, default: "int | None" = None) -> int:
         if tag not in tags:
@@ -2287,14 +2357,59 @@ def encode_tiff(
     """Inverse of :func:`_decode_tiff` for chunky 8/16-bit gray and RGB —
     the deterministic fixture builder (layout: header, strip data, IFD
     last). ``compression`` "none"/"lzw"/"deflate"/"packbits" (plus
-    "g4"/"mh" when ``bilevel``), either ``byteorder``, optional
-    multi-strip layout, predictor 2 (horizontal differencing), and
-    ``photometric="miniswhite"`` (stores inverted samples under
+    "mh"/"g3"/"g3_2d"/"g4" when ``bilevel``), either ``byteorder``,
+    optional multi-strip layout, predictor 2 (horizontal differencing),
+    and ``photometric="miniswhite"`` (stores inverted samples under
     photometric 0 — decode inverts back). ``bilevel`` takes a (h, w)
     uint8 array of {0, 255} and writes a 1-bit MinIsWhite raster — the
     scanned-document shape — packed MSB-first or CCITT-coded."""
     import struct
 
+    spec = _tiff_page_spec(
+        arr, compression, byteorder, rows_per_strip, predictor,
+        photometric, bilevel,
+    )
+    return _tiff_chain(struct, byteorder, [spec])
+
+
+def encode_tiff_multipage(
+    arrs: "list[np.ndarray]",
+    compression: str = "none",
+    byteorder: str = "<",
+    rows_per_strip: "int | None" = None,
+    predictor: int = 1,
+    photometric: "str | None" = None,
+    bilevel: bool = False,
+) -> bytes:
+    """Multi-page TIFF: one IFD per page chained through the next-IFD
+    pointers (layout: header, every page's strips, then the IFD chain) —
+    the multi-page scanned-document container
+    :func:`decode_tiff_pages` walks. Pages may differ in size; the
+    encoding options apply to every page."""
+    import struct
+
+    if not arrs:
+        raise ValueError("encode_tiff_multipage needs at least one page")
+    specs = [
+        _tiff_page_spec(
+            a, compression, byteorder, rows_per_strip, predictor,
+            photometric, bilevel,
+        )
+        for a in arrs
+    ]
+    return _tiff_chain(struct, byteorder, specs)
+
+
+def _tiff_page_spec(
+    arr: "np.ndarray",
+    compression: str,
+    byteorder: str,
+    rows_per_strip: "int | None",
+    predictor: int,
+    photometric: "str | None",
+    bilevel: bool,
+) -> dict:
+    """Encode one page's strips and collect its IFD fields."""
     arr = np.asarray(arr)
     if arr.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
         raise ValueError(f"expected uint8/uint16, got {arr.dtype}")
@@ -2344,11 +2459,12 @@ def encode_tiff(
                     strips.append(zlib.compress(packed.tobytes(), 6))
                 else:
                     strips.append(packed.tobytes())
-        return _tiff_container(
-            struct, byteorder, w, h, 1, bits, photo,
-            comp_tags[compression], rps, strips, predictor,
-            t4_options={"g3": 0, "g3_2d": 1}.get(compression),
-        )
+        return {
+            "w": w, "h": h, "spp": 1, "bits": bits, "photo": photo,
+            "comp_tag": comp_tags[compression], "rps": rps, "strips": strips,
+            "predictor": predictor,
+            "t4": {"g3": 0, "g3_2d": 1}.get(compression),
+        }
     bits = 16 if arr.dtype == np.dtype("uint16") else 8
     photo = 2 if spp == 3 else 1
     if photometric == "miniswhite":
@@ -2364,8 +2480,6 @@ def encode_tiff(
         arr = (d % (1 << bits)).astype(arr.dtype)
     elif predictor != 1:
         raise ValueError(f"unsupported predictor {predictor}")
-    if compression in ("mh", "g4"):
-        raise ValueError(f"unsupported compression {compression!r}")
     rps = h if rows_per_strip is None else rows_per_strip
     sample = arr.astype(np.dtype(byteorder + "u2")) if bits == 16 else arr
     strips = []
@@ -2383,75 +2497,81 @@ def encode_tiff(
             strips.append(zlib.compress(rows.tobytes(), 6))
         else:
             strips.append(rows.tobytes())
-    return _tiff_container(
-        struct, byteorder, w, h, spp, bits, photo,
-        comp_tags[compression], rps, strips, predictor,
-    )
+    return {
+        "w": w, "h": h, "spp": spp, "bits": bits, "photo": photo,
+        "comp_tag": comp_tags[compression], "rps": rps, "strips": strips,
+        "predictor": predictor, "t4": None,
+    }
 
 
-def _tiff_container(
-    struct, byteorder, w, h, spp, bits, photo, comp_tag, rps, strips,
-    predictor, t4_options: "int | None" = None,
-) -> bytes:
-    """Assemble header + strip data + IFD (layout: IFD last, out-of-line
-    value arrays after it) — shared by the multi-byte and bilevel
-    encoder paths."""
-    strip_offs = []
+def _tiff_chain(struct, byteorder, specs: "list[dict]") -> bytes:
+    """Assemble header + every page's strip data + the chained IFDs
+    (each IFD immediately followed by its out-of-line value arrays, the
+    next IFD after those)."""
     pos = 8
-    for s in strips:
-        strip_offs.append(pos)
-        pos += len(s)
-    ifd_off = pos
+    for sp in specs:
+        offs = []
+        for s in sp["strips"]:
+            offs.append(pos)
+            pos += len(s)
+        sp["strip_offs"] = offs
+    first_ifd = pos
+    ifd_blobs = []
+    ifd_off = first_ifd
+    for pi, sp in enumerate(specs):
+        tag_list = (
+            [256, 257, 258, 259, 262, 273, 277, 278, 279]
+            + ([292] if sp["t4"] is not None else [])
+            + ([317] if sp["predictor"] == 2 else [])
+        )
+        extra_off = ifd_off + 2 + 12 * len(tag_list) + 4
+        extra = b""
 
-    def many(vals: list[int]) -> "tuple[int, int, bytes]":
-        """(count, inline-or-offset word, trailing bytes) for a LONG list."""
-        nonlocal extra_off
-        if len(vals) == 1:
-            return 1, vals[0], b""
-        blob = struct.pack(byteorder + f"{len(vals)}I", *vals)
-        off = extra_off
-        extra_off += len(blob)
-        return len(vals), off, blob
+        def many(vals: list[int]) -> "tuple[int, int, bytes]":
+            """(count, inline-or-offset word, trailing bytes) for LONGs."""
+            nonlocal extra_off
+            if len(vals) == 1:
+                return 1, vals[0], b""
+            blob = struct.pack(byteorder + f"{len(vals)}I", *vals)
+            off = extra_off
+            extra_off += len(blob)
+            return len(vals), off, blob
 
-    extra = b""
-    # IFD: 2-byte count + 12 bytes per entry + 4-byte next-IFD pointer,
-    # then the out-of-line value arrays
-    tag_list = (
-        [256, 257, 258, 259, 262, 273, 277, 278, 279]
-        + ([292] if t4_options is not None else [])
-        + ([317] if predictor == 2 else [])
-    )
-    extra_off = ifd_off + 2 + 12 * len(tag_list) + 4
-    bps_count, bps_val, bps_extra = many([bits] * spp)
-    extra += bps_extra
-    so_count, so_val, so_extra = many(strip_offs)
-    extra += so_extra
-    sc_count, sc_val, sc_extra = many([len(s) for s in strips])
-    extra += sc_extra
-    entries = [
-        (256, 4, 1, w),
-        (257, 4, 1, h),
-        (258, 4, bps_count, bps_val),
-        (259, 4, 1, comp_tag),
-        (262, 4, 1, photo),
-        (273, 4, so_count, so_val),
-        (277, 4, 1, spp),
-        (278, 4, 1, rps),
-        (279, 4, sc_count, sc_val),
-    ]
-    if t4_options is not None:
-        entries.append((292, 4, 1, t4_options))
-    if predictor == 2:
-        entries.append((317, 4, 1, 2))
+        bps_count, bps_val, bps_extra = many([sp["bits"]] * sp["spp"])
+        extra += bps_extra
+        so_count, so_val, so_extra = many(sp["strip_offs"])
+        extra += so_extra
+        sc_count, sc_val, sc_extra = many([len(s) for s in sp["strips"]])
+        extra += sc_extra
+        entries = [
+            (256, 4, 1, sp["w"]),
+            (257, 4, 1, sp["h"]),
+            (258, 4, bps_count, bps_val),
+            (259, 4, 1, sp["comp_tag"]),
+            (262, 4, 1, sp["photo"]),
+            (273, 4, so_count, so_val),
+            (277, 4, 1, sp["spp"]),
+            (278, 4, 1, sp["rps"]),
+            (279, 4, sc_count, sc_val),
+        ]
+        if sp["t4"] is not None:
+            entries.append((292, 4, 1, sp["t4"]))
+        if sp["predictor"] == 2:
+            entries.append((317, 4, 1, 2))
+        ifd_len = 2 + 12 * len(entries) + 4 + len(extra)
+        next_ifd = ifd_off + ifd_len if pi + 1 < len(specs) else 0
+        blob = struct.pack(byteorder + "H", len(entries))
+        for tag, typ, count, val in entries:
+            blob += struct.pack(byteorder + "HHII", tag, typ, count, val)
+        blob += struct.pack(byteorder + "I", next_ifd) + extra
+        ifd_blobs.append(blob)
+        ifd_off += len(blob)
     out = struct.pack(
-        byteorder + "2sHI", b"II" if byteorder == "<" else b"MM", 42, ifd_off
+        byteorder + "2sHI", b"II" if byteorder == "<" else b"MM", 42, first_ifd
     )
-    out += b"".join(strips)
-    out += struct.pack(byteorder + "H", len(entries))
-    for tag, typ, count, val in entries:
-        out += struct.pack(byteorder + "HHII", tag, typ, count, val)
-    out += struct.pack(byteorder + "I", 0)  # no next IFD
-    return out + extra
+    for sp in specs:
+        out += b"".join(sp["strips"])
+    return out + b"".join(ifd_blobs)
 
 
 # --- GIF (LZW) -------------------------------------------------------------
@@ -3432,14 +3552,17 @@ def image_media_table(emb: DataFrame, width: int = 8, fmt: str = "ppm") -> DataF
 
 
 def bilevel_media_table(
-    emb: DataFrame, width: int = 8, fmt: str = "g4"
+    emb: DataFrame, width: int = 8, fmt: str = "g4", n_pages: int = 1
 ) -> DataFrame:
-    """Deterministic synthetic scanned-page media table: each vector's
-    float32 values threshold to a bilevel raster (negative → black, the
-    sign pattern of the embedding) written as a CCITT-coded
-    (``fmt``="g4"/"mh") or bit-packed ("packbits"/"none"/…) 1-bit
-    TIFF — the shape of a real scanned-document corpus, no external
-    data."""
+    """Deterministic synthetic scanned-document media table: each
+    vector's float32 values threshold to a bilevel raster (negative →
+    black, the sign pattern of the embedding) written as a CCITT-coded
+    (``fmt``="g4"/"g3"/"g3_2d"/"mh") or bit-packed ("packbits"/"none"/…)
+    1-bit TIFF — the shape of a real scanned-document corpus, no
+    external data. With ``n_pages`` > 1, page ``k`` is the raster
+    cyclically shifted ``k`` columns and the payload is a multi-page
+    TIFF (chained IFDs), the multi-page scan the reference's page
+    iterator dissolves (ref: pypdfocr/pypdfocr.py _get_pages)."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3450,10 +3573,18 @@ def bilevel_media_table(
                 rows = -(-bits.size // width)  # ceil
                 page = np.zeros((rows, width), dtype="uint8")
                 page.reshape(-1)[: bits.size] = bits
-                payloads.append(
-                    encode_tiff((1 - page) * np.uint8(255), compression=fmt,
-                                bilevel=True)
-                )
+                visual = (1 - page) * np.uint8(255)
+                if n_pages == 1:
+                    payloads.append(
+                        encode_tiff(visual, compression=fmt, bilevel=True)
+                    )
+                else:
+                    payloads.append(
+                        encode_tiff_multipage(
+                            [np.roll(visual, k, axis=1) for k in range(n_pages)],
+                            compression=fmt, bilevel=True,
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].astype("int64"),
@@ -3464,6 +3595,67 @@ def bilevel_media_table(
             )
 
     return emb.mapInPandas(pack, MEDIA_SCHEMA)
+
+
+TIFF_PAGE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("page_no", IntegerType(), False),
+        StructField("n_pages", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("min_val", IntegerType(), False),
+        StructField("max_val", IntegerType(), False),
+        StructField("mean_val", DoubleType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+
+def sample_tiff_pages(
+    media: DataFrame, every_k: int = 1, max_pages: "int | None" = None
+) -> DataFrame:
+    """Page-sampled per-page features over Arrow batches for multi-page
+    TIFF payloads: the IFD chain is walked (metadata only), pages ``0,
+    every_k, 2*every_k, …`` (at most ``max_pages``) are decoded, and
+    each yields one row — dims, min/max, float64-accumulated mean, md5
+    of the DECODED pixel bytes (a page's strips are scattered through
+    the container, so content identity hashes pixels, unlike the
+    contiguous-span video path). Unsampled pages are never decoded —
+    1-in-k sampling costs ~1/k, the :func:`sample_video_frames`
+    economics on the scanned-document container."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    import hashlib
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["media"]):
+                buf = bytes(payload)
+                bo, ifds = _tiff_ifds(buf)
+                picked = list(range(len(ifds)))[::every_k]
+                if max_pages is not None:
+                    picked = picked[:max_pages]
+                for no in picked:
+                    img = _decode_tiff_ifd(buf, bo, ifds[no])
+                    ch = 1 if img.ndim == 2 else img.shape[2]
+                    flat = img.reshape(-1)
+                    rows.append(
+                        (int(vid), no, len(ifds), int(img.shape[1]),
+                         int(img.shape[0]), int(ch), int(flat.min()),
+                         int(flat.max()),
+                         float(flat.astype("float64").sum() / flat.size),
+                         hashlib.md5(np.ascontiguousarray(img).tobytes()).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "page_no", "n_pages", "width", "height",
+                         "channels", "min_val", "max_val", "mean_val", "checksum"],
+            )
+
+    return media.mapInPandas(feats, TIFF_PAGE_SCHEMA)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:

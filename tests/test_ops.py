@@ -798,6 +798,95 @@ def test_bilevel_media_features_over_spark(spark, emb):
             assert other["checksum"] != got["checksum"]
 
 
+def test_tiff_multipage_roundtrip_and_sampling():
+    """Multi-page TIFF (chained IFDs): probe walks the chain without
+    decoding, per-page decode is exact across fax and byte codings for
+    pages of DIFFERENT sizes, sampled decode touches only requested
+    pages, decode_image takes page 0, and an IFD cycle raises."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    def make_doc(h, w, seed):
+        r = np.random.RandomState(seed)
+        img = np.full((h, w), 255, dtype="uint8")
+        for _ in range(h * 2):
+            y, x = r.randint(h), r.randint(w)
+            img[y, x : x + r.randint(1, max(2, w // 4))] = 0
+        return img
+
+    pages = [make_doc(20, 31, s) for s in range(5)] + [make_doc(8, 31, 99)]
+    for comp in ("g4", "mh", "g3_2d", "packbits"):
+        pay = multimodal.encode_tiff_multipage(pages, compression=comp, bilevel=True)
+        meta = multimodal.probe_tiff(pay)
+        assert meta["n_pages"] == 6
+        assert meta["pages"][5] == {
+            "width": 31, "height": 8, "bits": 1,
+            "compression": {"g4": 4, "mh": 2, "g3_2d": 3, "packbits": 32773}[comp],
+        }
+        got = dict(multimodal.decode_tiff_pages(pay))
+        assert len(got) == 6
+        for i, p in enumerate(pages):
+            assert (got[i] == p).all(), (comp, i)
+        sub = dict(multimodal.decode_tiff_pages(pay, pages=[1, 4]))
+        assert sorted(sub) == [1, 4] and (sub[4] == pages[4]).all()
+        assert (multimodal.decode_image(pay) == pages[0]).all()
+
+    # grayscale multi-page, big-endian, deflate
+    rng = np.random.RandomState(3)
+    gpages = [rng.randint(0, 256, size=(6, 7), dtype=np.uint8) for _ in range(3)]
+    pay = multimodal.encode_tiff_multipage(gpages, compression="deflate", byteorder=">")
+    for i, (no, arr) in enumerate(multimodal.decode_tiff_pages(pay)):
+        assert no == i and (arr == gpages[i]).all()
+
+    # a next-IFD pointer looping back to IFD 0 must raise, not spin
+    buf = bytearray(multimodal.encode_tiff(gpages[0]))
+    ifd_off = struct.unpack_from("<I", buf, 4)[0]
+    (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
+    struct.pack_into("<I", buf, ifd_off + 2 + 12 * n_entries, ifd_off)
+    with _pytest.raises(ValueError, match="cycles"):
+        multimodal.probe_tiff(bytes(buf))
+
+
+def test_tiff_page_sampling_over_spark(spark, emb):
+    """Multi-page scanned-document table through the real mapInPandas
+    path: every page's features match the rolled-raster replica, 1-in-k
+    sampling returns exactly the sampled page numbers, and max_pages
+    caps the walk."""
+    import hashlib
+
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    sample = emb.limit(4)
+    media = multimodal.bilevel_media_table(sample, width=8, fmt="g4", n_pages=5)
+    got = {
+        (r["vec_id"], r["page_no"]): r
+        for r in multimodal.sample_tiff_pages(media, every_k=2).collect()
+    }
+    assert {p for _, p in got} == {0, 2, 4}
+    for row in sample.collect():
+        f = np.asarray(row["embedding"], dtype="<f4")
+        bits = (f < 0).astype("uint8")
+        rows = -(-bits.size // 8)
+        page = np.zeros((rows, 8), dtype="uint8")
+        page.reshape(-1)[: bits.size] = bits
+        visual = (1 - page) * np.uint8(255)
+        for k in (0, 2, 4):
+            want = np.roll(visual, k, axis=1)
+            r = got[(row["vec_id"], k)]
+            assert (r["n_pages"], r["width"], r["height"], r["channels"]) == (5, 8, rows, 1)
+            assert r["min_val"] == int(want.min()) and r["max_val"] == int(want.max())
+            assert r["mean_val"] == want.astype("float64").mean()
+            assert r["checksum"] == hashlib.md5(want.tobytes()).hexdigest()
+    capped = multimodal.sample_tiff_pages(media, every_k=2, max_pages=1).collect()
+    assert len(capped) == 4 and all(r["page_no"] == 0 for r in capped)
+
+
 def test_png_decode_all_filters_roundtrip():
     """Stdlib-zlib PNG decode: every scanline filter (None/Sub/Up/
     Average/Paeth) round-trips on gradient data that makes each
