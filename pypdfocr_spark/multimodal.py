@@ -18,7 +18,7 @@ successive approximation) — with stdlib+numpy;
 :func:`extract_image_features` / :func:`sample_audio_windows` /
 :func:`sample_video_frames` run real decoded-sample features through
 the same mapInPandas plumbing. What's left behind ``NotImplementedError``
-(arithmetic-coded/12-bit/hierarchical JPEG, compressed audio/video) is
+(arithmetic-coded/hierarchical JPEG, compressed audio/video) is
 the pluggable gate — a real cluster swaps in a PIL/ffmpeg-backed kernel
 behind the same signature. The float32-tensor payload path
 (:func:`media_table`/:func:`extract_features`) is the byte-round-trip
@@ -121,7 +121,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
     shape (h, w) for grayscale, (h, w, 3) for RGB.
 
     Formats genuinely needing an external codec (arithmetic-coded /
-    12-bit / hierarchical JPEG, …) still raise ``NotImplementedError`` —
+    hierarchical JPEG, …) still raise ``NotImplementedError`` —
     the pluggable-strategy gate, mirroring the reference's binary
     override design (ref: pypdfocr/pypdfocr.py:314-324).
     """
@@ -539,8 +539,10 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     spectral selection + successive approximation for progressive),
     dequantize + batched orthonormal IDCT (one einsum over every block),
     nearest-neighbor chroma upsampling, and JFIF YCbCr→RGB. Grayscale →
-    (h, w) uint8; 3-component YCbCr → (h, w, 3). Arithmetic coding,
-    hierarchical/lossless frames, 12-bit precision, and CMYK stay behind
+    (h, w); 3-component YCbCr → (h, w, 3); 8-bit frames decode to uint8
+    and 12-bit extended-sequential/progressive frames (SOF1/SOF2,
+    level shift 2048) to uint16 in [0, 4095]. Arithmetic coding,
+    hierarchical/lossless frames, and CMYK stay behind
     the NotImplementedError gate — and, like the PNG Paeth loop, the
     per-block Python entropy loop is for feature extraction and
     thumbnails; codec-speed decode at crawl scale belongs in a real
@@ -584,15 +586,18 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec}: only 8-bit decodes")
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+                raise NotImplementedError(
+                    f"JPEG precision {prec}: 8-bit, or 12-bit under "
+                    "extended-sequential/progressive frames, decodes"
+                )
             if h == 0 or w == 0:
                 raise NotImplementedError("JPEG with DNL-deferred height")
             comps = []
             for ci in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            sof = (h, w, comps)
+            sof = (h, w, comps, prec)
             # per-component coefficient grids over the padded MCU tiling;
             # every scan (sequential or progressive) deposits into these
             hmax = max(c["h"] for c in comps)
@@ -664,7 +669,7 @@ def _jpeg_scan_units(sof, scan):
     is non-interleaved and walks that component's own ceil(cw/8) ×
     ceil(ch/8) block grid one block per unit (padded MCU-grid blocks
     outside it are never entropy-coded)."""
-    h, w, comps = sof
+    h, w, comps = sof[0], sof[1], sof[2]  # encoder passes a 3-tuple
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if len(scan) == 1:
@@ -848,8 +853,13 @@ def _jpeg_reconstruct(sof, qt, coefs):
     """Dequantize + IDCT the per-component coefficient grids and compose
     the image: one einsum over every block, pure-reshape block placement
     (the grids are already in raster block order), nearest-neighbor
-    chroma upsampling, crop to (h, w), JFIF YCbCr→RGB for 3 components."""
-    h, w, comps = sof
+    chroma upsampling, crop to (h, w), JFIF YCbCr→RGB for 3 components.
+    The level shift, clip ceiling, and output dtype follow the frame
+    precision: 8-bit → uint8, 12-bit → uint16 in [0, 4095]."""
+    h, w, comps, prec = sof
+    mid = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dt = "uint16" if prec > 8 else "uint8"
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     a = _dct_basis()
@@ -870,16 +880,16 @@ def _jpeg_reconstruct(sof, qt, coefs):
         plane = np.repeat(
             np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
         )
-        planes[cid] = plane[:h, :w] + 128.0
+        planes[cid] = plane[:h, :w] + mid
     if len(comps) == 1:
-        return np.clip(np.round(planes[comps[0]["id"]]), 0, 255).astype("uint8")
+        return np.clip(np.round(planes[comps[0]["id"]]), 0, maxv).astype(dt)
     if len(comps) != 3:
         raise NotImplementedError(f"{len(comps)}-component JPEG (CMYK?) needs a codec")
     y, cb, cr = (planes[c["id"]] for c in comps)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype("uint8")
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = y + 1.772 * (cb - mid)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxv).astype(dt)
 
 
 # Typical Huffman tables from the public T.81 spec Annex K — used only by
@@ -985,9 +995,16 @@ def _jpeg_plan(arr: "np.ndarray", quant: int, subsample: tuple[int, int]):
     4:2:0 box-average, pad to the MCU grid, forward DCT + uniform
     quantization. Returns (color, h, w, planes_meta [(cid, h, v)],
     blocks_zz {cid: (n_padded_blocks, 64) int64 zigzag}, mcus_x, mcus_y,
-    q) — blocks are raster-ordered over the padded grid with row stride
-    mcus_x * h_i."""
-    arr = np.asarray(arr, dtype="uint8")
+    q, prec) — blocks are raster-ordered over the padded grid with row
+    stride mcus_x * h_i. A uint16 input (values < 4096) builds a 12-bit
+    frame: level shift 2048, same pipeline."""
+    arr = np.asarray(arr)
+    if arr.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
+        raise ValueError(f"expected uint8/uint16, got {arr.dtype}")
+    prec = 12 if arr.dtype == np.dtype("uint16") else 8
+    if prec == 12 and int(arr.max(initial=0)) > 4095:
+        raise ValueError("12-bit JPEG samples must be < 4096")
+    mid = float(1 << (prec - 1))
     color = arr.ndim == 3
     if color and arr.shape[2] != 3:
         raise ValueError(f"expected (h,w) or (h,w,3), got {arr.shape}")
@@ -1002,8 +1019,8 @@ def _jpeg_plan(arr: "np.ndarray", quant: int, subsample: tuple[int, int]):
     if color:
         f = arr.astype("float64")
         y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
-        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + mid
+        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + mid
         if (sh, sv) == (2, 2):
             ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
             cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -1022,12 +1039,15 @@ def _jpeg_plan(arr: "np.ndarray", quant: int, subsample: tuple[int, int]):
         th, tw = mcus_y * cv * 8, mcus_x * ch_ * 8
         padded = np.pad(
             plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])), mode="edge"
-        ) - 128.0
+        ) - mid
         tiles = padded.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
         s = np.einsum("ux,nxy,vy->nuv", a, tiles.reshape(-1, 8, 8), a)
         nat = np.round(s.reshape(-1, 64) / q_nat).astype("int64")
         blocks_zz[cid] = nat[:, _ZIGZAG]
-    return color, h, w, [(cid, ch_, cv) for cid, _, ch_, cv in planes], blocks_zz, mcus_x, mcus_y, q
+    return (
+        color, h, w, [(cid, ch_, cv) for cid, _, ch_, cv in planes],
+        blocks_zz, mcus_x, mcus_y, q, prec,
+    )
 
 
 def _jpeg_headers(
@@ -1039,6 +1059,7 @@ def _jpeg_headers(
     color: bool,
     dht_list,
     restart_interval: int,
+    prec: int = 8,
 ) -> bytearray:
     """SOI + DQT(+chroma) + SOFn + DHTs (+DRI): the marker preamble both
     test encoders share; scans are appended by the caller."""
@@ -1054,7 +1075,7 @@ def _jpeg_headers(
     comps = b""
     for cid, ch_, cv in planes_meta:
         comps += bytes([cid, (ch_ << 4) | cv, 0 if cid == 1 else 1])
-    out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, len(planes_meta)) + comps)
+    out += seg(sof_marker, struct.pack(">BHHB", prec, h, w, len(planes_meta)) + comps)
     for tc, th_, (bits, vals) in dht_list:
         out += seg(0xC4, bytes([(tc << 4) | th_] + bits) + vals)
     if restart_interval:
@@ -1081,18 +1102,25 @@ def encode_jpeg(
     production encoder."""
     import struct
 
-    color, h, w, pmeta, blocks_zz, mcus_x, mcus_y, q = _jpeg_plan(arr, quant, subsample)
+    color, h, w, pmeta, blocks_zz, mcus_x, mcus_y, q, prec = _jpeg_plan(arr, quant, subsample)
     sof_like = (h, w, [{"id": cid, "h": ch_, "v": cv} for cid, ch_, cv in pmeta])
     comp_of = {c["id"]: c for c in sof_like[2]}
     tiles_x = {cid: mcus_x * ch_ for cid, ch_, _ in pmeta}
-    dc_maps = {1: _huff_encode_map(*_K_DC_LUMA), 2: _huff_encode_map(*_K_DC_CHROMA)}
-    ac_maps = {1: _huff_encode_map(*_K_AC_LUMA), 2: _huff_encode_map(*_K_AC_CHROMA)}
+    if prec == 12:
+        dc_tabs = {1: _K12_DC, 2: _K12_DC}
+        ac_tabs = {1: _K12_AC, 2: _K12_AC}
+    else:
+        dc_tabs = {1: _K_DC_LUMA, 2: _K_DC_CHROMA}
+        ac_tabs = {1: _K_AC_LUMA, 2: _K_AC_CHROMA}
+    dc_maps = {k: _huff_encode_map(*t) for k, t in dc_tabs.items()}
+    ac_maps = {k: _huff_encode_map(*t) for k, t in ac_tabs.items()}
     cids = [cid for cid, *_ in pmeta]
 
-    dht = [(0, 0, _K_DC_LUMA), (1, 0, _K_AC_LUMA)] + (
-        [(0, 1, _K_DC_CHROMA), (1, 1, _K_AC_CHROMA)] if color else []
+    dht = [(0, 0, dc_tabs[1]), (1, 0, ac_tabs[1])] + (
+        [(0, 1, dc_tabs[2]), (1, 1, ac_tabs[2])] if color else []
     )
-    out = _jpeg_headers(0xC0, h, w, pmeta, q, color, dht, restart_interval)
+    out = _jpeg_headers(0xC1 if prec == 12 else 0xC0, h, w, pmeta, q, color,
+                        dht, restart_interval, prec)
 
     for scan_cids in [cids] if interleave else [[cid] for cid in cids]:
         scan = [
@@ -1167,6 +1195,31 @@ _PROG_AC_SYMS = bytes(
 _PROG_AC = (
     [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
     _PROG_AC_SYMS,
+)
+
+# 12-bit frames need categories the 8-bit Annex-K tables stop short of
+# (DC to 15, AC size to 15). Simple canonical tables: 16 five-bit DC
+# codes; AC symbols split 128/8-bit + rest/9-bit (Kraft 0.75, all-ones
+# reserved). The decoder always rebuilds from the DHT segment, so only
+# the encoders care which tables these are.
+_K12_DC = ([0, 0, 0, 0, 16] + [0] * 11, bytes(range(16)))
+_K12_AC_SYMS = bytes(
+    sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 16)})
+)
+_K12_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 128, len(_K12_AC_SYMS) - 128, 0, 0, 0, 0, 0, 0, 0],
+    _K12_AC_SYMS,
+)
+_PROG_AC12_SYMS = bytes(
+    sorted(
+        {n << 4 for n in range(15)}
+        | {0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 16)}
+    )
+)
+_PROG_AC12 = (
+    [0, 0, 0, 0, 0, 0, 0, 128, len(_PROG_AC12_SYMS) - 128, 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC12_SYMS,
 )
 
 
@@ -1282,15 +1335,17 @@ def encode_jpeg_progressive(
     the tests pin."""
     import struct
 
-    color, h, w, pmeta, blocks_zz, mcus_x, mcus_y, q = _jpeg_plan(arr, quant, subsample)
+    color, h, w, pmeta, blocks_zz, mcus_x, mcus_y, q, prec = _jpeg_plan(arr, quant, subsample)
     sof_like = (h, w, [{"id": cid, "h": ch_, "v": cv} for cid, ch_, cv in pmeta])
     comp_of = {c["id"]: c for c in sof_like[2]}
     tiles_x = {cid: mcus_x * ch_ for cid, ch_, _ in pmeta}
+    dc_luma, dc_chroma = (_K12_DC, _K12_DC) if prec == 12 else (_K_DC_LUMA, _K_DC_CHROMA)
+    prog_ac = _PROG_AC12 if prec == 12 else _PROG_AC
     dc_maps = {
-        cid: _huff_encode_map(*(_K_DC_LUMA if cid == 1 else _K_DC_CHROMA))
+        cid: _huff_encode_map(*(dc_luma if cid == 1 else dc_chroma))
         for cid, *_ in pmeta
     }
-    ac_map = _huff_encode_map(*_PROG_AC)
+    ac_map = _huff_encode_map(*prog_ac)
     cids = [cid for cid, *_ in pmeta]
 
     # cjpeg-style simple script: DC first, AC bands coarse, refine AC, refine DC
@@ -1303,10 +1358,10 @@ def encode_jpeg_progressive(
         + [(cids, 0, 0, 1, 0)]
     )
 
-    dht = [(0, 0, _K_DC_LUMA), (1, 0, _PROG_AC)] + (
-        [(0, 1, _K_DC_CHROMA)] if color else []
+    dht = [(0, 0, dc_luma), (1, 0, prog_ac)] + (
+        [(0, 1, dc_chroma)] if color else []
     )
-    out = _jpeg_headers(0xC2, h, w, pmeta, q, color, dht, restart_interval)
+    out = _jpeg_headers(0xC2, h, w, pmeta, q, color, dht, restart_interval, prec)
 
     def block(cid: int, by: int, bx: int):
         return blocks_zz[cid][by * tiles_x[cid] + bx]

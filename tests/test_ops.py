@@ -798,6 +798,51 @@ def test_bilevel_media_features_over_spark(spark, emb):
             assert other["checksum"] != got["checksum"]
 
 
+def test_jpeg_12bit_decode():
+    """12-bit JPEG (SOF1 extended sequential + SOF2 progressive, level
+    shift 2048, 16 five-bit DC / size-15 AC tables): flat blocks at
+    quant=1 round-trip EXACTLY to uint16, pure noise at quant=1 stays
+    within IDCT rounding (±1), sequential and progressive encodings of
+    one image decode bit-identically, 4:2:0 / restart markers /
+    non-interleaved scans all work, and 12-bit under baseline SOF0
+    stays gated (T.81 limits baseline to 8-bit)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(2)
+    flat = np.repeat(
+        np.repeat(rng.randint(0, 4096, size=(3, 4), dtype=np.uint16), 8, 0), 8, 1
+    )
+    out = multimodal.decode_image(multimodal.encode_jpeg(flat, quant=1))
+    assert out.dtype == np.dtype("uint16") and (out == flat).all()
+
+    noise = rng.randint(0, 4096, size=(17, 23), dtype=np.uint16)
+    got = multimodal.decode_image(multimodal.encode_jpeg(noise, quant=1))
+    assert np.abs(got.astype(int) - noise.astype(int)).max() <= 1
+
+    rgb12 = rng.randint(0, 4096, size=(10, 9, 3)).astype("uint16")
+    seq = multimodal.decode_image(multimodal.encode_jpeg(rgb12, quant=2))
+    prog = multimodal.decode_image(multimodal.encode_jpeg_progressive(rgb12, quant=2))
+    assert seq.dtype == np.dtype("uint16") and (seq == prog).all()
+
+    big = rng.randint(0, 4096, size=(33, 41, 3)).astype("uint16")
+    for kw in (
+        dict(subsample=(2, 2)), dict(restart_interval=2), dict(interleave=False)
+    ):
+        out = multimodal.decode_image(multimodal.encode_jpeg(big, quant=8, **kw))
+        assert out.dtype == np.dtype("uint16") and out.shape == big.shape, kw
+
+    pay = bytearray(multimodal.encode_jpeg(flat, quant=1))
+    i = pay.find(b"\xff\xc1")
+    pay[i + 1] = 0xC0
+    with _pytest.raises(NotImplementedError, match="precision 12"):
+        multimodal.decode_image(bytes(pay))
+    with _pytest.raises(ValueError, match="4096"):
+        multimodal.encode_jpeg(np.full((8, 8), 4096, dtype=np.uint16))
+
+
 def test_tiff_multipage_roundtrip_and_sampling():
     """Multi-page TIFF (chained IFDs): probe walks the chain without
     decoding, per-page decode is exact across fax and byte codings for
