@@ -12,8 +12,9 @@ documents actually carry; predictor, palette/MinIsWhite),
 and Huffman JPEG — baseline/extended sequential (SOF0/SOF1,
 interleaved or multi-scan) and progressive (SOF2, spectral selection +
 successive approximation) — with stdlib+numpy;
-:func:`decode_audio` decodes WAV (RIFF PCM u8/i16/i24/i32 + IEEE float
-+ G.711 A-law/μ-law, incl. EXTENSIBLE headers);
+:func:`decode_audio` decodes WAV / Sun AU / AIFF-C (PCM
+u8/s8/i16/i24/i32 both byte orders + IEEE float + G.711 A-law/μ-law,
+incl. EXTENSIBLE headers and the 80-bit extended-float AIFF rate);
 :func:`decode_video_frames` decodes Y4M; and
 :func:`extract_image_features` / :func:`sample_audio_windows` /
 :func:`sample_video_frames` run real decoded-sample features through
@@ -3221,51 +3222,40 @@ def _parse_wav_header(payload: bytes):
 
 def probe_audio(payload: bytes) -> dict:
     """Container metadata from the header walk alone — no sample is
-    converted; the cheap planner path, like :func:`probe_video`."""
-    fmt, _, dlen = _parse_wav_header(payload)
-    n = dlen // fmt["block"]
+    converted; the cheap planner path, like :func:`probe_video`. Works
+    over every supported container (WAV / Sun AU / AIFF)."""
+    buf = bytes(payload)
+    afmt, _, dlen = _parse_audio_header(buf)
+    n = dlen // afmt["block"]
+    container = "wav" if buf[:4] == b"RIFF" else (
+        "au" if buf[:4] == b".snd" else "aiff"
+    )
     return {
-        "sample_rate": fmt["rate"],
-        "channels": fmt["channels"],
-        "bits": fmt["bits"],
-        "encoding": {_WAV_PCM: "pcm", _WAV_FLOAT: "float",
-                     _WAV_ALAW: "alaw", _WAV_ULAW: "ulaw"}[fmt["tag"]],
+        "sample_rate": afmt["rate"],
+        "channels": afmt["channels"],
+        "bits": afmt["bits"],
+        "encoding": {"pcm_u8": "pcm", "pcm_s8": "pcm"}.get(
+            afmt["codec"], afmt["codec"]
+        ),
+        "container": container,
         "n_samples": n,
-        "duration_sec": n / fmt["rate"],
+        "duration_sec": n / afmt["rate"],
     }
 
 
 def _wav_frames_to_array(raw: bytes, fmt: dict) -> "np.ndarray":
-    """Raw sample frames → (n, channels) float64 in [-1, 1): unsigned
-    8-bit is re-centered then /128, signed 16/24/32-bit divide by 2^15 /
-    2^23 / 2^31, IEEE float passes through, G.711 A-law/μ-law bytes
-    expand to linear 16-bit then /2^15. Every conversion is exact in
-    float64 (≤53 mantissa bits), so replicas can assert equality."""
-    bits, ch = fmt["bits"], fmt["channels"]
-    if fmt["tag"] in (_WAV_ALAW, _WAV_ULAW):
-        law = "alaw" if fmt["tag"] == _WAV_ALAW else "ulaw"
-        arr = _g711_expand(np.frombuffer(raw, dtype="u1"), law).astype("float64") / 32768.0
-    elif fmt["tag"] == _WAV_FLOAT:
-        arr = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype("float64")
-    elif bits == 8:
-        arr = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
-    elif bits == 16:
-        arr = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
-    elif bits == 24:
-        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype("int64")
-        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-        arr = ((v ^ 0x800000) - 0x800000).astype("float64") / 8388608.0
-    else:  # 32-bit integer PCM
-        arr = np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
-    return arr.reshape(-1, ch)
+    """WAV-layout wrapper over the container-agnostic
+    :func:`_frames_to_array` — kept as the replica hook the kernel
+    tests pin."""
+    return _frames_to_array(raw, _afmt_from_wav(fmt))
 
 
 def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
-    """Decode a WAV payload to ((n, channels) float64 samples in
-    [-1, 1), sample_rate) — pure stdlib+numpy, exact normalization per
-    :func:`_wav_frames_to_array`."""
-    fmt, off, dlen = _parse_wav_header(payload)
-    return _wav_frames_to_array(bytes(payload)[off : off + dlen], fmt), fmt["rate"]
+    """Decode a WAV / Sun AU / AIFF payload to ((n, channels) float64
+    samples in [-1, 1), sample_rate) — pure stdlib+numpy, exact
+    normalization per :func:`_frames_to_array`."""
+    afmt, off, dlen = _parse_audio_header(payload)
+    return _frames_to_array(bytes(payload)[off : off + dlen], afmt), afmt["rate"]
 
 
 def encode_wav(
@@ -3317,6 +3307,304 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# --- AU / AIFF containers --------------------------------------------------
+#
+# The other two classic uncompressed-audio containers a crawl contains:
+# Sun AU (.snd — big-endian header, G.711 μ-law is literally encoding 1)
+# and AIFF / AIFF-C (IFF chunks, 80-bit extended-float sample rate, the
+# "sowt" little-endian and fl32/fl64/G.711 AIFC compressions). Both are
+# header walks over the SAME sample layouts WAV already decodes, so the
+# frame conversion is shared (:func:`_frames_to_array`) and only the
+# parsers differ. Genuinely-compressed codecs (ADPCM, MP3-in-AIFF, ima4)
+# stay behind the NotImplementedError gate.
+
+_AU_ENCODINGS = {
+    1: ("ulaw", 8), 2: ("pcm_s8", 8), 3: ("pcm", 16), 4: ("pcm", 24),
+    5: ("pcm", 32), 6: ("float", 32), 7: ("float", 64), 27: ("alaw", 8),
+}
+
+
+def _parse_au(buf: bytes):
+    """Sun AU header: 6 big-endian u32 fields after the ``.snd`` magic;
+    data size 0xFFFFFFFF means 'rest of file' per the spec."""
+    import struct
+
+    if len(buf) < 24:
+        raise ValueError("truncated AU header")
+    off, dsize, enc, rate, ch = struct.unpack_from(">IIIII", buf, 4)
+    if off < 24 or off > len(buf):
+        raise ValueError(f"AU data offset {off} out of bounds")
+    if ch == 0 or rate == 0:
+        raise ValueError("AU header has zero channels or sample rate")
+    if enc not in _AU_ENCODINGS:
+        raise NotImplementedError(
+            f"AU encoding {enc}: only G.711/PCM/IEEE-float layouts decode "
+            "without an audio library"
+        )
+    codec, bits = _AU_ENCODINGS[enc]
+    block = ch * (bits // 8)
+    dlen = len(buf) - off if dsize == 0xFFFFFFFF else dsize
+    if off + dlen > len(buf):
+        raise ValueError(
+            f"truncated AU data: {len(buf) - off} bytes, declared {dlen}"
+        )
+    if dlen % block:
+        raise ValueError("AU data length is not a whole number of sample frames")
+    return (
+        {"codec": codec, "endian": ">", "channels": ch, "rate": rate,
+         "bits": bits, "block": block},
+        off, dlen,
+    )
+
+
+def _f80_decode(b: bytes) -> int:
+    """80-bit IEEE extended float → integer sample rate (AIFF stores
+    rates as small exact integers; the explicit-integer-bit mantissa
+    makes the shift arithmetic exact)."""
+    import struct
+
+    se, mant = struct.unpack(">HQ", b)
+    sign, exp = se >> 15, se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0
+    if sign:
+        raise ValueError("negative AIFF sample rate")
+    sh = exp - 16383 - 63
+    return int(mant << sh) if sh >= 0 else int(mant >> -sh)
+
+
+def _f80_encode(rate: int) -> bytes:
+    import struct
+
+    if rate <= 0:
+        raise ValueError(f"sample rate must be positive, got {rate}")
+    e = rate.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, rate << (63 - e))
+
+
+_AIFC_COMPRESSIONS = {
+    b"NONE": ("pcm", ">", None), b"sowt": ("pcm", "<", 16),
+    b"fl32": ("float", ">", 32), b"FL32": ("float", ">", 32),
+    b"fl64": ("float", ">", 64), b"FL64": ("float", ">", 64),
+    b"ulaw": ("ulaw", ">", 8), b"ULAW": ("ulaw", ">", 8),
+    b"alaw": ("alaw", ">", 8), b"ALAW": ("alaw", ">", 8),
+}
+
+
+def _parse_aiff(buf: bytes):
+    """AIFF / AIFF-C chunk walk: COMM carries the layout (incl. the
+    80-bit extended-float rate and, for AIFC, the compression type),
+    SSND the frames (after its own offset field). G.711 AIFC advertises
+    the UNCOMPRESSED 16-bit size in sampleSize, so the stored width
+    comes from the compression table, not COMM."""
+    import struct
+
+    aifc = buf[8:12] == b"AIFC"
+    comm = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", buf, pos + 4)
+        body = pos + 8
+        if cid == b"COMM":
+            if size < (22 if aifc else 18):
+                raise ValueError(f"AIFF COMM chunk is {size} bytes")
+            ch, nframes, bits = struct.unpack_from(">HIH", buf, body)
+            rate = _f80_decode(buf[body + 8 : body + 18])
+            comp = bytes(buf[body + 18 : body + 22]) if aifc else b"NONE"
+            comm = (ch, nframes, bits, rate, comp)
+        elif cid == b"SSND":
+            o, _blocksize = struct.unpack_from(">II", buf, body)
+            data = (body + 8 + o, size - 8 - o)
+        pos = body + size + (size & 1)  # IFF pads odd chunks
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    ch, nframes, bits, rate, comp = comm
+    if ch == 0 or rate == 0:
+        raise ValueError("AIFF COMM has zero channels or sample rate")
+    if comp not in _AIFC_COMPRESSIONS:
+        raise NotImplementedError(
+            f"AIFC compression {comp!r}: only NONE/sowt/fl32/fl64/G.711 "
+            "decode without an audio library"
+        )
+    codec, endian, forced_bits = _AIFC_COMPRESSIONS[comp]
+    if forced_bits is not None:
+        bits = forced_bits
+    elif bits not in (8, 16, 24, 32):
+        raise NotImplementedError(
+            f"AIFF sampleSize {bits}: only whole-byte widths decode"
+        )
+    if codec == "pcm" and bits == 8:
+        codec = "pcm_s8"  # AIFF PCM is signed at every width
+    block = ch * (bits // 8)
+    dlen = nframes * block
+    if data[1] < dlen or data[0] + dlen > len(buf):
+        raise ValueError(
+            f"truncated AIFF SSND: {data[1]} bytes for {nframes} frames"
+        )
+    return (
+        {"codec": codec, "endian": endian, "channels": ch, "rate": rate,
+         "bits": bits, "block": block},
+        data[0], dlen,
+    )
+
+
+def _parse_audio_header(payload: bytes):
+    """Container dispatch: WAV (RIFF), Sun AU (.snd), AIFF/AIFF-C (FORM)
+    → (normalized layout dict, data offset, data length)."""
+    buf = bytes(payload)
+    if buf[:4] == b"RIFF":
+        fmt, off, dlen = _parse_wav_header(buf)
+        return _afmt_from_wav(fmt), off, dlen
+    if buf[:4] == b".snd":
+        return _parse_au(buf)
+    if buf[:4] == b"FORM" and buf[8:12] in (b"AIFF", b"AIFC"):
+        return _parse_aiff(buf)
+    raise NotImplementedError(
+        "unsupported audio payload: only WAV (RIFF), Sun AU (.snd), and "
+        "AIFF/AIFF-C decode without an audio library"
+    )
+
+
+def _afmt_from_wav(fmt: dict) -> dict:
+    codec = {_WAV_FLOAT: "float", _WAV_ALAW: "alaw", _WAV_ULAW: "ulaw"}.get(
+        fmt["tag"], "pcm_u8" if fmt["bits"] == 8 else "pcm"
+    )
+    return {"codec": codec, "endian": "<", "channels": fmt["channels"],
+            "rate": fmt["rate"], "bits": fmt["bits"], "block": fmt["block"]}
+
+
+def _frames_to_array(raw: bytes, f: dict) -> "np.ndarray":
+    """Raw sample frames → (n, channels) float64 in [-1, 1) for any
+    container's normalized layout: unsigned 8-bit re-centers then /128,
+    signed 8/16/24/32-bit divide by 2^(bits−1), IEEE float passes
+    through, G.711 expands to linear 16-bit then /2^15 — byte order per
+    the container. Every conversion is exact in float64 (≤53 mantissa
+    bits), so replicas can assert equality."""
+    bits, ch, e = f["bits"], f["channels"], f["endian"]
+    codec = f["codec"]
+    if codec in ("alaw", "ulaw"):
+        arr = _g711_expand(np.frombuffer(raw, dtype="u1"), codec).astype("float64") / 32768.0
+    elif codec == "float":
+        arr = np.frombuffer(raw, dtype=e + ("f4" if bits == 32 else "f8")).astype("float64")
+    elif codec == "pcm_u8":
+        arr = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    elif codec == "pcm_s8":
+        arr = np.frombuffer(raw, dtype="i1").astype("float64") / 128.0
+    elif bits == 16:
+        arr = np.frombuffer(raw, dtype=e + "i2").astype("float64") / 32768.0
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype("int64")
+        lo, mid_, hi = (0, 1, 2) if e == "<" else (2, 1, 0)
+        v = b[:, lo] | (b[:, mid_] << 8) | (b[:, hi] << 16)
+        arr = ((v ^ 0x800000) - 0x800000).astype("float64") / 8388608.0
+    else:  # 32-bit integer PCM
+        arr = np.frombuffer(raw, dtype=e + "i4").astype("float64") / 2147483648.0
+    return arr.reshape(-1, ch)
+
+
+def encode_au(
+    samples: "np.ndarray", sample_rate: int, encoding: str = "pcm16"
+) -> bytes:
+    """Minimal Sun AU encoder for round-trip tests: same input dtype
+    conventions as :func:`encode_wav` (int16 for "pcm16"/G.711, int32
+    for "pcm24"/"pcm32", int8 for "pcm8", float32/float64 for
+    "f32"/"f64"), big-endian samples, 24-byte header."""
+    import struct
+
+    enc_ids = {"ulaw": 1, "pcm8": 2, "pcm16": 3, "pcm24": 4, "pcm32": 5,
+               "f32": 6, "f64": 7, "alaw": 27}
+    if encoding not in enc_ids:
+        raise ValueError(f"unsupported AU encoding {encoding!r}")
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if encoding in ("ulaw", "alaw"):
+        raw = _g711_compress(arr.astype("int64"), encoding).tobytes()
+    elif encoding == "pcm8":
+        raw = arr.astype("i1").tobytes()
+    elif encoding == "pcm16":
+        raw = arr.astype(">i2").tobytes()
+    elif encoding == "pcm24":
+        v = arr.astype(">i4").astype("int64").reshape(-1)
+        b = np.empty((v.size, 3), dtype="u1")
+        b[:, 0] = (v >> 16) & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = v & 0xFF
+        raw = b.tobytes()
+    elif encoding == "pcm32":
+        raw = arr.astype(">i4").tobytes()
+    else:
+        raw = arr.astype(">f4" if encoding == "f32" else ">f8").tobytes()
+    return struct.pack(
+        ">4sIIIII", b".snd", 24, len(raw), enc_ids[encoding],
+        int(sample_rate), arr.shape[1],
+    ) + raw
+
+
+def encode_aiff(
+    samples: "np.ndarray",
+    sample_rate: int,
+    bits: int = 16,
+    compression: "str | None" = None,
+) -> bytes:
+    """Minimal AIFF / AIFF-C encoder for round-trip tests: plain AIFF
+    for big-endian PCM (``bits`` 8/16/24/32, input conventions as
+    :func:`encode_wav`), AIFF-C for ``compression`` "sowt" (int16
+    little-endian), "fl32"/"fl64", or "ulaw"/"alaw" (int16 linear in,
+    G.711 out, sampleSize advertised 16 as real writers do)."""
+    import struct
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, ch = arr.shape
+    comm_bits = bits
+    if compression is None:
+        if bits == 8:
+            raw = arr.astype("i1").tobytes()
+        elif bits == 16:
+            raw = arr.astype(">i2").tobytes()
+        elif bits == 24:
+            v = arr.astype(">i4").astype("int64").reshape(-1)
+            b = np.empty((v.size, 3), dtype="u1")
+            b[:, 0] = (v >> 16) & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = v & 0xFF
+            raw = b.tobytes()
+        elif bits == 32:
+            raw = arr.astype(">i4").tobytes()
+        else:
+            raise ValueError(f"bits must be 8/16/24/32, got {bits}")
+    elif compression == "sowt":
+        raw = arr.astype("<i2").tobytes()
+        comm_bits = 16
+    elif compression in ("fl32", "fl64"):
+        comm_bits = 32 if compression == "fl32" else 64
+        raw = arr.astype(">f4" if compression == "fl32" else ">f8").tobytes()
+    elif compression in ("ulaw", "alaw"):
+        raw = _g711_compress(arr.astype("int64"), compression).tobytes()
+        comm_bits = 16  # the uncompressed width, per real AIFC writers
+    else:
+        raise ValueError(f"unsupported AIFF compression {compression!r}")
+    aifc = compression is not None
+    comm = struct.pack(">HIH", ch, n, comm_bits) + _f80_encode(int(sample_rate))
+    if aifc:
+        comp_name = b"\x00\x00"  # empty pascal string, padded even
+        comm += compression.encode() + comp_name
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    ssnd = struct.pack(">II", 0, 0) + raw
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    form_type = b"AIFC" if aifc else b"AIFF"
+    if aifc:
+        fver = struct.pack(">I", 0xA2805140)  # AIFCVersion1 timestamp
+        chunks = b"FVER" + struct.pack(">I", 4) + fver + chunks
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+
+
 AUDIO_WINDOW_SCHEMA = StructType(
     [
         StructField("vec_id", LongType(), False),
@@ -3336,22 +3624,36 @@ AUDIO_WINDOW_SCHEMA = StructType(
 
 def audio_media_table(
     emb: DataFrame, sample_rate: int = 8000, repeat: int = 16,
-    law: "str | None" = None,
+    law: "str | None" = None, container: str = "wav",
 ) -> DataFrame:
-    """Deterministic synthetic WAV media table derived from the
+    """Deterministic synthetic audio media table derived from the
     embeddings table: each vector's float32 values scale to int16 PCM
     (clip(v * 16384)) and tile ``repeat`` times — a real mono waveform
     per row with known content, no external data. ``law`` of
     ``"alaw"``/``"ulaw"`` writes the same waveform G.711-companded (the
     telephony container shape), quantized to segment midpoints by
-    construction."""
+    construction; ``container`` picks "wav", "au", or "aiff" around the
+    identical frames."""
+    if container not in ("wav", "au", "aiff"):
+        raise ValueError(f"unsupported container {container!r}")
+
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for v in pdf["embedding"]:
                 f = np.asarray(v, dtype="<f4").astype("float64")
                 pcm = np.clip(np.round(f * 16384.0), -32768, 32767).astype("<i2")
-                payloads.append(encode_wav(np.tile(pcm, repeat), sample_rate, law=law))
+                frames = np.tile(pcm, repeat)
+                if container == "wav":
+                    payloads.append(encode_wav(frames, sample_rate, law=law))
+                elif container == "au":
+                    payloads.append(
+                        encode_au(frames, sample_rate, encoding=law or "pcm16")
+                    )
+                else:
+                    payloads.append(
+                        encode_aiff(frames, sample_rate, compression=law)
+                    )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].astype("int64"),
@@ -3388,7 +3690,7 @@ def sample_audio_windows(
             rows = []
             for vid, payload in zip(pdf["vec_id"], pdf["media"]):
                 buf = bytes(payload)
-                fmt, off, dlen = _parse_wav_header(buf)
+                fmt, off, dlen = _parse_audio_header(buf)
                 n = dlen // fmt["block"]
                 n_windows = -(-n // window)
                 picked = range(0, n_windows, every_k)
@@ -3398,7 +3700,7 @@ def sample_audio_windows(
                     a = off + i * window * fmt["block"]
                     b = min(off + dlen, a + window * fmt["block"])
                     seg = buf[a:b]
-                    x = _wav_frames_to_array(seg, fmt)
+                    x = _frames_to_array(seg, fmt)
                     mono = x.mean(axis=1)  # features over the channel mean
                     zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
                     rows.append(

@@ -1431,7 +1431,7 @@ def test_wav_audio_decode_roundtrip_and_gates():
     struct.pack_into("<H", bad, 20, 0x0007)  # μ-law tag, but 16-bit frames
     with _pytest.raises(NotImplementedError, match="not a decodable layout"):
         multimodal.decode_audio(bytes(bad))
-    with _pytest.raises(NotImplementedError, match="only the WAV"):
+    with _pytest.raises(NotImplementedError, match="only WAV"):
         multimodal.decode_audio(b"ID3\x04" + b"\x00" * 40)
     with _pytest.raises(ValueError, match="truncated WAV data"):
         multimodal.decode_audio(pay[:-7])
@@ -1500,6 +1500,106 @@ def test_audio_window_sampling_over_spark(spark, emb):
                 assert r["peak"] == float(np.abs(mono).max())
                 assert r["mean_val"] == float(mono.mean())
                 assert r["checksum"] == hashlib.md5(seg.tobytes()).hexdigest()
+
+
+def test_au_aiff_decode_roundtrip():
+    """Sun AU and AIFF/AIFF-C decode through the shared frame kernel:
+    every AU encoding (G.711/s8/s16/s24/s32/f32/f64, big-endian), every
+    AIFF PCM width, and the AIFC compressions (sowt little-endian,
+    fl32/fl64, G.711) round-trip exactly to the same normalized float64
+    form WAV produces; the 80-bit extended-float rate is exact for every
+    standard rate; unknown containers/encodings stay gated."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(4)
+    s16 = rng.randint(-32768, 32768, size=(101, 2)).astype("<i2")
+    s8 = rng.randint(-128, 128, size=50).astype("i1")
+    v24 = rng.randint(-(1 << 23), 1 << 23, size=33).astype("<i4")
+    f32 = (rng.randn(60) * 0.5).astype("<f4")
+
+    for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000, 1):
+        assert multimodal._f80_decode(multimodal._f80_encode(r)) == r, r
+
+    au_cases = [
+        ("pcm16", s16, s16.astype("float64") / 32768.0),
+        ("pcm8", s8, (s8.astype("float64") / 128.0).reshape(-1, 1)),
+        ("pcm24", v24, (v24.astype("float64") / 8388608.0).reshape(-1, 1)),
+        ("f32", f32, f32.astype("float64").reshape(-1, 1)),
+    ]
+    for enc, data, want in au_cases:
+        pay = multimodal.encode_au(data, 8000, encoding=enc)
+        x, rate = multimodal.decode_audio(pay)
+        assert rate == 8000 and np.array_equal(x, want), enc
+        meta = multimodal.probe_audio(pay)
+        assert meta["container"] == "au" and meta["n_samples"] == len(want)
+
+    aiff_cases = [
+        (dict(bits=16), s16, s16.astype("float64") / 32768.0),
+        (dict(bits=8), s8, (s8.astype("float64") / 128.0).reshape(-1, 1)),
+        (dict(bits=24), v24, (v24.astype("float64") / 8388608.0).reshape(-1, 1)),
+        (dict(compression="sowt"), s16, s16.astype("float64") / 32768.0),
+        (dict(compression="fl32"), f32, f32.astype("float64").reshape(-1, 1)),
+    ]
+    for kw, data, want in aiff_cases:
+        pay = multimodal.encode_aiff(data, 44100, **kw)
+        x, rate = multimodal.decode_audio(pay)
+        assert rate == 44100 and np.array_equal(x, want), kw
+        assert multimodal.probe_audio(pay)["container"] == "aiff"
+    for law in ("ulaw", "alaw"):
+        codes = multimodal._g711_compress(s16.astype("int64"), law)
+        want = (multimodal._g711_expand(codes, law).astype("float64") / 32768.0).reshape(-1, 2)
+        for pay in (
+            multimodal.encode_au(s16, 8000, encoding=law),
+            multimodal.encode_aiff(s16, 8000, compression=law),
+        ):
+            x, _ = multimodal.decode_audio(pay)
+            assert np.array_equal(x, want), law
+            assert multimodal.probe_audio(pay)["encoding"] == law
+
+    with _pytest.raises(NotImplementedError, match="only WAV"):
+        multimodal.decode_audio(b"fLaC not a container we decode")
+    bad = bytearray(multimodal.encode_au(s16, 8000))
+    struct.pack_into(">I", bad, 12, 23)  # G.721 ADPCM
+    with _pytest.raises(NotImplementedError, match="AU encoding 23"):
+        multimodal.decode_audio(bytes(bad))
+    bad = bytearray(multimodal.encode_aiff(s16, 8000, compression="sowt"))
+    i = bytes(bad).find(b"sowt")
+    bad[i : i + 4] = b"ima4"
+    with _pytest.raises(NotImplementedError, match="AIFC compression"):
+        multimodal.decode_audio(bytes(bad))
+
+
+def test_audio_windows_across_containers(spark, emb):
+    """The SAME PCM frames through WAV, AU, and AIFF containers over the
+    real mapInPandas window path yield identical per-window features —
+    only the payload checksums differ (container bytes)."""
+    from pypdfocr_spark import multimodal
+
+    sample = emb.limit(3)
+    by_c = {
+        c: {
+            (r["vec_id"], r["window_no"]): r
+            for r in multimodal.sample_audio_windows(
+                multimodal.audio_media_table(
+                    sample, sample_rate=8000, repeat=4, container=c
+                ),
+                window=100, every_k=2,
+            ).collect()
+        }
+        for c in ("wav", "au", "aiff")
+    }
+    assert by_c["wav"] and set(by_c["wav"]) == set(by_c["au"]) == set(by_c["aiff"])
+    feature_cols = ["n_windows", "sample_rate", "channels", "n_samples",
+                    "rms", "peak", "zero_crossings", "mean_val"]
+    for key, ref in by_c["wav"].items():
+        for c in ("au", "aiff"):
+            got = by_c[c][key]
+            assert [got[k] for k in feature_cols] == [ref[k] for k in feature_cols], (c, key)
 
 
 def test_entry_contract(spark):
