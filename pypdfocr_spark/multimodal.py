@@ -542,8 +542,10 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     nearest-neighbor chroma upsampling, and JFIF YCbCr→RGB. Grayscale →
     (h, w); 3-component YCbCr → (h, w, 3); 8-bit frames decode to uint8
     and 12-bit extended-sequential/progressive frames (SOF1/SOF2,
-    level shift 2048) to uint16 in [0, 4095]. Arithmetic coding,
-    hierarchical/lossless frames, and CMYK stay behind
+    level shift 2048) to uint16 in [0, 4095]; Adobe 4-component
+    CMYK/YCCK (APP14 transform honored, inverted-channel convention)
+    composes to RGB. Arithmetic coding and
+    hierarchical/lossless frames stay behind
     the NotImplementedError gate — and, like the PNG Paeth loop, the
     per-block Python entropy loop is for feature extraction and
     thumbnails; codec-speed decode at crawl scale belongs in a real
@@ -557,6 +559,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     coefs: "dict[int, np.ndarray] | None" = None
     scans = 0
     restart_interval = 0
+    adobe = None  # APP14 transform flag; also marks Adobe-inverted CMYK
     pos = 2
     n = len(payload)
     while pos + 2 <= n:
@@ -656,11 +659,15 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             ):
                 pos += 1
             continue
+        elif marker == 0xEE and seg[:5] == b"Adobe":
+            adobe = seg[11]  # APP14 color-transform flag (0/1/2)
+            pos += 2 + seglen
+            continue
         # APPn / COM / anything else: skip via the declared length
         pos += 2 + seglen
     if scans == 0:
         raise ValueError("JPEG ended without an SOS scan")
-    return _jpeg_reconstruct(sof, qt, coefs)
+    return _jpeg_reconstruct(sof, qt, coefs, adobe)
 
 
 def _jpeg_scan_units(sof, scan):
@@ -850,13 +857,16 @@ def _jpeg_progressive_scan(rd, sof, scan, ss, se, ah, al, huff, coefs, restart_i
             eobrun -= 1
 
 
-def _jpeg_reconstruct(sof, qt, coefs):
+def _jpeg_reconstruct(sof, qt, coefs, adobe=None):
     """Dequantize + IDCT the per-component coefficient grids and compose
     the image: one einsum over every block, pure-reshape block placement
     (the grids are already in raster block order), nearest-neighbor
     chroma upsampling, crop to (h, w), JFIF YCbCr→RGB for 3 components.
-    The level shift, clip ceiling, and output dtype follow the frame
-    precision: 8-bit → uint8, 12-bit → uint16 in [0, 4095]."""
+    4 components are Adobe CMYK/YCCK (APP14 transform 2 runs the
+    YCbCr inverse on the first three; Adobe stores CMYK INVERTED, so
+    with APP14 present RGB = stored_cmy × stored_k / maxv) composed
+    down to RGB. The level shift, clip ceiling, and output dtype follow
+    the frame precision: 8-bit → uint8, 12-bit → uint16 in [0, 4095]."""
     h, w, comps, prec = sof
     mid = float(1 << (prec - 1))
     maxv = (1 << prec) - 1
@@ -884,8 +894,24 @@ def _jpeg_reconstruct(sof, qt, coefs):
         planes[cid] = plane[:h, :w] + mid
     if len(comps) == 1:
         return np.clip(np.round(planes[comps[0]["id"]]), 0, maxv).astype(dt)
+    if len(comps) == 4:
+        c1, c2, c3, c4 = (planes[c["id"]] for c in comps)
+        if adobe == 2:  # YCCK: YCbCr inverse recovers the stored CMY
+            y_, cb_, cr_ = c1, c2, c3
+            c1 = y_ + 1.402 * (cr_ - mid)
+            c2 = y_ - 0.344136 * (cb_ - mid) - 0.714136 * (cr_ - mid)
+            c3 = y_ + 1.772 * (cb_ - mid)
+        sc = np.clip(np.stack([c1, c2, c3], axis=-1), 0, maxv)
+        sk = np.clip(c4, 0, maxv)[:, :, None]
+        if adobe is None:
+            sc, sk = maxv - sc, maxv - sk  # plain (non-inverted) CMYK
+        rgb = sc * sk / float(maxv)  # R = (maxv−C)(maxv−K)/maxv
+        return np.clip(np.round(rgb), 0, maxv).astype(dt)
     if len(comps) != 3:
-        raise NotImplementedError(f"{len(comps)}-component JPEG (CMYK?) needs a codec")
+        raise NotImplementedError(f"{len(comps)}-component JPEG needs a codec")
+    if adobe == 0:  # APP14 transform 0 with 3 channels: plain RGB, no YCbCr
+        rgb = np.stack([planes[c["id"]] for c in comps], axis=-1)
+        return np.clip(np.round(rgb), 0, maxv).astype(dt)
     y, cb, cr = (planes[c["id"]] for c in comps)
     r = y + 1.402 * (cr - mid)
     g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
@@ -991,7 +1017,10 @@ def _huff_encode_map(bits: list[int], values: bytes) -> dict[int, tuple[int, int
     return out
 
 
-def _jpeg_plan(arr: "np.ndarray", quant: int, subsample: tuple[int, int]):
+def _jpeg_plan(
+    arr: "np.ndarray", quant: int, subsample: tuple[int, int],
+    adobe: "int | None" = None,
+):
     """Shared front half of the test encoders: color transform, optional
     4:2:0 box-average, pad to the MCU grid, forward DCT + uniform
     quantization. Returns (color, h, w, planes_meta [(cid, h, v)],
@@ -1007,8 +1036,16 @@ def _jpeg_plan(arr: "np.ndarray", quant: int, subsample: tuple[int, int]):
         raise ValueError("12-bit JPEG samples must be < 4096")
     mid = float(1 << (prec - 1))
     color = arr.ndim == 3
-    if color and arr.shape[2] != 3:
-        raise ValueError(f"expected (h,w) or (h,w,3), got {arr.shape}")
+    cmyk = color and arr.shape[2] == 4
+    if cmyk:
+        if adobe not in (0, 2):
+            raise ValueError("4-channel input needs adobe_transform 0 (CMYK) or 2 (YCCK)")
+        if prec != 8 or subsample != (1, 1):
+            raise ValueError("CMYK encoding: 8-bit, no subsampling")
+    elif adobe is not None:
+        raise ValueError("adobe_transform needs a (h, w, 4) CMYK input")
+    if color and not cmyk and arr.shape[2] != 3:
+        raise ValueError(f"expected (h,w), (h,w,3) or (h,w,4), got {arr.shape}")
     sh, sv = subsample if color else (1, 1)
     if (sh, sv) not in ((1, 1), (2, 2)):
         raise ValueError("subsample must be (1,1) or (2,2)")
@@ -1017,7 +1054,19 @@ def _jpeg_plan(arr: "np.ndarray", quant: int, subsample: tuple[int, int]):
     mcus_y = -(-h // (8 * sv))
     q = np.full(64, int(quant), dtype="int32")  # zigzag order (uniform: same)
 
-    if color:
+    if cmyk:
+        # Adobe stores CMYK inverted; YCCK (transform 2) additionally
+        # runs the forward YCbCr on the inverted CMY channels
+        s = 255.0 - arr.astype("float64")
+        if adobe == 2:
+            y = 0.299 * s[:, :, 0] + 0.587 * s[:, :, 1] + 0.114 * s[:, :, 2]
+            cb = -0.168736 * s[:, :, 0] - 0.331264 * s[:, :, 1] + 0.5 * s[:, :, 2] + mid
+            cr = 0.5 * s[:, :, 0] - 0.418688 * s[:, :, 1] - 0.081312 * s[:, :, 2] + mid
+            chans = [y, cb, cr, s[:, :, 3]]
+        else:
+            chans = [s[:, :, i] for i in range(4)]
+        planes = [(i + 1, chans[i], 1, 1) for i in range(4)]
+    elif color:
         f = arr.astype("float64")
         y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
         cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + mid
@@ -1090,6 +1139,7 @@ def encode_jpeg(
     subsample: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
     interleave: bool = True,
+    adobe_transform: "int | None" = None,
 ) -> bytes:
     """Minimal baseline-JPEG encoder for round-trip tests: 8-bit gray or
     RGB, uniform quantization step ``quant`` (1 = near-lossless — flat
@@ -1100,10 +1150,14 @@ def encode_jpeg(
     for 4:4:4) instead of one interleaved scan. Like
     :func:`encode_png`/:func:`encode_bmp`, this is the deterministic
     spec-literal replica the decoder is tested against — not a
-    production encoder."""
+    production encoder. A (h, w, 4) input with ``adobe_transform`` 0
+    (CMYK) or 2 (YCCK) writes the Adobe four-component form — inverted
+    channels + APP14 marker — real print-origin documents carry."""
     import struct
 
-    color, h, w, pmeta, blocks_zz, mcus_x, mcus_y, q, prec = _jpeg_plan(arr, quant, subsample)
+    color, h, w, pmeta, blocks_zz, mcus_x, mcus_y, q, prec = _jpeg_plan(
+        arr, quant, subsample, adobe_transform
+    )
     sof_like = (h, w, [{"id": cid, "h": ch_, "v": cv} for cid, ch_, cv in pmeta])
     comp_of = {c["id"]: c for c in sof_like[2]}
     tiles_x = {cid: mcus_x * ch_ for cid, ch_, _ in pmeta}
@@ -1122,6 +1176,9 @@ def encode_jpeg(
     )
     out = _jpeg_headers(0xC1 if prec == 12 else 0xC0, h, w, pmeta, q, color,
                         dht, restart_interval, prec)
+    if adobe_transform is not None:
+        body = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, adobe_transform])
+        out += bytes([0xFF, 0xEE]) + struct.pack(">H", len(body) + 2) + body
 
     for scan_cids in [cids] if interleave else [[cid] for cid in cids]:
         scan = [

@@ -798,6 +798,49 @@ def test_bilevel_media_features_over_spark(spark, emb):
             assert other["checksum"] != got["checksum"]
 
 
+def test_jpeg_cmyk_decode():
+    """Adobe 4-component JPEG (the print-origin document form): CMYK
+    (APP14 transform 0) and YCCK (transform 2) decode to RGB within DCT
+    rounding of the (maxv−C)(maxv−K)/maxv composite; Adobe-inverted
+    channel storage honored; flat blocks at quant=1 exact; stripping
+    APP14 flips to the plain (non-inverted) CMYK convention."""
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(6)
+    cmyk = rng.randint(0, 256, size=(18, 25, 4), dtype=np.uint8)
+
+    def cmyk_to_rgb(c):
+        f = c.astype("float64")
+        return np.clip(
+            np.round((255.0 - f[:, :, :3]) * (255.0 - f[:, :, 3:4]) / 255.0),
+            0, 255,
+        ).astype("uint8")
+
+    for transform in (0, 2):
+        pay = multimodal.encode_jpeg(cmyk, quant=1, adobe_transform=transform)
+        out = multimodal.decode_image(pay)
+        assert out.shape == (18, 25, 3)
+        assert np.abs(out.astype(int) - cmyk_to_rgb(cmyk).astype(int)).max() <= 4
+
+    flat = np.repeat(
+        np.repeat(rng.randint(0, 256, size=(2, 3, 4), dtype=np.uint8), 8, 0), 8, 1
+    )
+    out = multimodal.decode_image(
+        multimodal.encode_jpeg(flat, quant=1, adobe_transform=0)
+    )
+    assert (out == cmyk_to_rgb(flat)).all()
+
+    # APP14 removed → same stored channels read as PLAIN CMYK
+    pay = bytearray(multimodal.encode_jpeg(cmyk, quant=1, adobe_transform=0))
+    i = bytes(pay).find(b"\xff\xee")
+    seglen = int.from_bytes(pay[i + 2 : i + 4], "big")
+    out = multimodal.decode_image(bytes(pay[:i]) + bytes(pay[i + 2 + seglen :]))
+    want = cmyk_to_rgb(255 - cmyk)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 4
+
+
 def test_jpeg_12bit_decode():
     """12-bit JPEG (SOF1 extended sequential + SOF2 progressive, level
     shift 2048, 16 five-bit DC / size-15 AC tables): flat blocks at
