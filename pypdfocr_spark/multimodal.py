@@ -2826,24 +2826,22 @@ def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _decode_gif(payload: bytes) -> "np.ndarray":
-    """GIF87a/GIF89a decode to uint8 — first image descriptor only (an
-    animated GIF's later frames are deltas against screen state; a still
-    decode returns frame 0, the same choice PIL's ``Image.open`` makes
-    before ``seek``). Grayscale palettes collapse to (h, w) and color
-    palettes expand to RGB via lookup, matching the PNG/BMP palette
-    convention. Extensions (GCE, comments, application blocks) are
-    skipped structurally; transparency is ignored — the transparent
-    index still has palette RGB, and feature extraction wants pixels,
-    not compositing."""
+def _gif_walk(data: bytes, first_only: bool = False):
+    """Full block walk: header + every extension and image descriptor →
+    (screen_w, screen_h, gct, bg_index, frames). Each frame dict carries
+    its sub-rectangle, palette, interlace flag, raw LZW bytes, and the
+    Graphic Control Extension (disposal / transparency / delay) that
+    preceded it. ``first_only`` stops after the first image — the cheap
+    still-decode path."""
     import struct
 
-    data = bytes(payload)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF payload: {data[:6]!r}")
     if len(data) < 13:
         raise ValueError("truncated GIF logical screen descriptor")
+    screen_w, screen_h = struct.unpack_from("<HH", data, 6)
     packed = data[10]
+    bg_index = data[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -2852,55 +2850,159 @@ def _decode_gif(payload: bytes) -> "np.ndarray":
             raise ValueError("truncated GIF global color table")
         gct = np.frombuffer(data[pos : pos + 3 * n], dtype="u1").reshape(n, 3)
         pos += 3 * n
+    frames = []
+    gce = None
     while True:
         if pos >= len(data):
+            if frames:
+                break  # missing trailer: tolerate, like most readers
             raise ValueError("GIF ended without an image descriptor")
         block = data[pos]
         pos += 1
         if block == 0x3B:
-            raise ValueError("GIF trailer reached before any image data")
+            if not frames:
+                raise ValueError("GIF trailer reached before any image data")
+            break
         if block == 0x21:  # extension: label byte, then sub-blocks
             if pos >= len(data):
                 raise ValueError("truncated GIF extension")
-            _, pos = _gif_subblocks(data, pos + 1)
+            label = data[pos]
+            body, pos = _gif_subblocks(data, pos + 1)
+            if label == 0xF9 and len(body) >= 4:
+                gpacked, delay = body[0], struct.unpack_from("<H", body, 1)[0]
+                gce = {
+                    "disposal": (gpacked >> 2) & 7,
+                    "transparent": body[3] if gpacked & 1 else None,
+                    "delay_cs": delay,
+                }
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        break
-    _, _, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
-    pos += 9
-    pal = gct
-    if ipacked & 0x80:
-        n = 2 << (ipacked & 0x07)
-        if pos + 3 * n > len(data):
-            raise ValueError("truncated GIF local color table")
-        pal = np.frombuffer(data[pos : pos + 3 * n], dtype="u1").reshape(n, 3)
-        pos += 3 * n
-    if pal is None:
-        raise ValueError("GIF image has neither global nor local color table")
-    if w == 0 or h == 0:
-        raise ValueError(f"invalid GIF image dimensions {w}x{h}")
-    if pos >= len(data):
-        raise ValueError("truncated GIF image data")
-    mcs = data[pos]
-    lzw, _ = _gif_subblocks(data, pos + 1)
-    raster = _gif_lzw_decode(lzw, mcs)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype="u1").reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has neither global nor local color table")
+        if w == 0 or h == 0:
+            raise ValueError(f"invalid GIF image dimensions {w}x{h}")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        mcs = data[pos]
+        lzw, pos = _gif_subblocks(data, pos + 1)
+        frames.append(
+            {"left": left, "top": top, "w": w, "h": h, "pal": pal,
+             "interlace": bool(ipacked & 0x40), "mcs": mcs, "lzw": lzw,
+             "gce": gce}
+        )
+        gce = None
+        if first_only:
+            break
+    return screen_w, screen_h, gct, bg_index, frames
+
+
+def _gif_frame_indices(fr: dict) -> "np.ndarray":
+    """One frame's LZW bytes → (h, w) palette-index array, deinterlaced."""
+    raster = _gif_lzw_decode(fr["lzw"], fr["mcs"])
+    w, h = fr["w"], fr["h"]
     if len(raster) != w * h:
         raise ValueError(f"GIF raster has {len(raster)} pixels, expected {w * h}")
     idx = np.frombuffer(bytes(raster), dtype="u1").reshape(h, w)
-    if int(idx.max()) >= len(pal):
+    if int(idx.max()) >= len(fr["pal"]):
         raise ValueError("GIF pixel index beyond palette size")
-    if ipacked & 0x40:  # interlaced: rows were stored in 4-pass order
+    if fr["interlace"]:  # rows were stored in 4-pass order
         order = np.concatenate(
             [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
         )
         deinterlaced = np.empty_like(idx)
         deinterlaced[order] = idx
         idx = deinterlaced
-    rgb = pal[idx]  # (h, w, 3)
+    return idx
+
+
+def _decode_gif(payload: bytes) -> "np.ndarray":
+    """GIF87a/GIF89a decode to uint8 — first image descriptor only (an
+    animated GIF's later frames are deltas against screen state; a still
+    decode returns frame 0, the same choice PIL's ``Image.open`` makes
+    before ``seek`` — :func:`decode_gif_frames` is the composited
+    animation path). Grayscale palettes collapse to (h, w) and color
+    palettes expand to RGB via lookup, matching the PNG/BMP palette
+    convention. Extensions (GCE, comments, application blocks) are
+    skipped structurally; transparency is ignored — the transparent
+    index still has palette RGB, and feature extraction wants pixels,
+    not compositing."""
+    _, _, _, _, frames = _gif_walk(bytes(payload), first_only=True)
+    fr = frames[0]
+    rgb = fr["pal"][_gif_frame_indices(fr)]  # (h, w, 3)
     if bool((rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all()):
         return np.ascontiguousarray(rgb[:, :, 0])  # grayscale palette
     return np.ascontiguousarray(rgb)
+
+
+def probe_gif(payload: bytes) -> dict:
+    """Animation metadata from a full block walk with no LZW decode —
+    the cheap planner path, like :func:`probe_video`."""
+    screen_w, screen_h, _, _, frames = _gif_walk(bytes(payload))
+    return {
+        "width": screen_w,
+        "height": screen_h,
+        "n_frames": len(frames),
+        "animated": len(frames) > 1,
+        "delays_cs": [
+            (fr["gce"] or {}).get("delay_cs", 0) for fr in frames
+        ],
+    }
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: "int | None" = None
+) -> "Iterator[tuple[int, np.ndarray]]":
+    """Composited animated-GIF decode, yielding (frame_no, (screen_h,
+    screen_w, 3) RGB canvas) per frame with the GIF89a semantics real
+    viewers implement: frames draw into their sub-rectangle, transparent
+    pixels leave the canvas through, and each frame's disposal method
+    (keep / restore-background / restore-previous) prepares the next.
+    Unlike Y4M frames or TIFF pages, GIF frames are DELTAS — sampling
+    frame k still costs decoding frames 0..k, so the only skip lever is
+    ``max_frames`` truncation (the generator also stops paying when the
+    caller stops iterating)."""
+    screen_w, screen_h, gct, bg_index, frames = _gif_walk(bytes(payload))
+    if gct is not None and bg_index < len(gct):
+        background = gct[bg_index].copy()
+    else:
+        background = np.zeros(3, dtype="uint8")
+    canvas = np.broadcast_to(background, (screen_h, screen_w, 3)).copy()
+    for no, fr in enumerate(frames):
+        if max_frames is not None and no >= max_frames:
+            return
+        y0, x0 = fr["top"], fr["left"]
+        y1, x1 = min(y0 + fr["h"], screen_h), min(x0 + fr["w"], screen_w)
+        if y0 >= screen_h or x0 >= screen_w:
+            yield no, canvas.copy()  # degenerate off-screen frame
+            continue
+        gce = fr["gce"] or {}
+        disposal = gce.get("disposal", 0)
+        if disposal == 3:
+            saved = canvas[y0:y1, x0:x1].copy()
+        idx = _gif_frame_indices(fr)[: y1 - y0, : x1 - x0]
+        patch = fr["pal"][idx]
+        region = canvas[y0:y1, x0:x1]
+        transparent = gce.get("transparent")
+        if transparent is None:
+            region[:] = patch
+        else:
+            opaque = idx != transparent
+            region[opaque] = patch[opaque]
+        yield no, canvas.copy()
+        if disposal == 2:
+            canvas[y0:y1, x0:x1] = background
+        elif disposal == 3:
+            canvas[y0:y1, x0:x1] = saved
 
 
 def encode_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
@@ -2942,6 +3044,74 @@ def encode_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
         chunk = lzw[off : off + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animated(
+    frames_spec: "list[dict]", screen: "tuple[int, int] | None" = None
+) -> bytes:
+    """Animated-GIF fixture builder — the inverse of
+    :func:`decode_gif_frames`. Each spec dict: ``img`` ((h, w) or
+    (h, w, 3) uint8), optional ``left``/``top`` sub-rectangle placement,
+    ``disposal`` (0-3), ``transparent`` (an RGB tuple whose pixels punch
+    through to the prior canvas), ``delay_cs``, ``interlace``. One
+    global palette over every frame's colors (≤256 or raises)."""
+    import struct
+
+    if not frames_spec:
+        raise ValueError("encode_gif_animated needs at least one frame")
+    rgbs = []
+    for sp in frames_spec:
+        a = np.asarray(sp["img"], dtype="uint8")
+        rgbs.append(np.stack([a] * 3, axis=-1) if a.ndim == 2 else a)
+    colors = np.unique(np.concatenate([r.reshape(-1, 3) for r in rgbs]), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"GIF palette overflow: {len(colors)} unique colors > 256")
+    pal_bits = max(1, (len(colors) - 1).bit_length())
+    table = np.zeros((1 << pal_bits, 3), dtype="uint8")
+    table[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    if screen is None:
+        screen = (
+            max(sp.get("left", 0) + r.shape[1] for sp, r in zip(frames_spec, rgbs)),
+            max(sp.get("top", 0) + r.shape[0] for sp, r in zip(frames_spec, rgbs)),
+        )
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", screen[0], screen[1], 0x80 | ((pal_bits - 1) & 0x07), 0, 0
+    )
+    out += table.tobytes()
+    mcs = max(2, pal_bits)
+    for sp, rgb in zip(frames_spec, rgbs):
+        h, w = rgb.shape[:2]
+        idx = np.array(
+            [lut[tuple(px)] for px in rgb.reshape(-1, 3)], dtype="uint8"
+        ).reshape(h, w)
+        transparent = sp.get("transparent")
+        tindex = lut[tuple(np.asarray(transparent, dtype="uint8").tolist()
+                           if not np.isscalar(transparent)
+                           else (transparent,) * 3)] if transparent is not None else None
+        gpacked = ((sp.get("disposal", 0) & 7) << 2) | (1 if tindex is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gpacked]) + struct.pack(
+            "<H", sp.get("delay_cs", 0)
+        ) + bytes([tindex or 0, 0])
+        interlace = bool(sp.get("interlace"))
+        if interlace:
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+            )
+            idx = idx[order]
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", sp.get("left", 0), sp.get("top", 0), w, h,
+            0x40 if interlace else 0,
+        )
+        lzw = _gif_lzw_encode(idx.tobytes(), mcs)
+        out += bytes([mcs])
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

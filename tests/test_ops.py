@@ -498,6 +498,61 @@ def _lzw_encode_deferred(indices: bytes, mcs: int) -> bytes:
     return bytes(out)
 
 
+def test_gif_animation_compositing():
+    """Animated GIF: probe walks frames without LZW decode; full-canvas
+    frames compose to themselves; sub-rectangle frames draw in place
+    with transparent pixels punching through; disposal 3 restores the
+    pre-frame region and disposal 2 the background color before the
+    next frame; decode_image still returns frame 0; max_frames
+    truncates."""
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(8)
+    frames = [rng.randint(0, 8, size=(6, 8), dtype=np.uint8) * 30 for _ in range(3)]
+    pay = multimodal.encode_gif_animated([{"img": f} for f in frames])
+    meta = multimodal.probe_gif(pay)
+    assert meta == {"width": 8, "height": 6, "n_frames": 3, "animated": True,
+                    "delays_cs": [0, 0, 0]}
+    got = dict(multimodal.decode_gif_frames(pay))
+    for i, f in enumerate(frames):
+        assert (got[i] == np.stack([f] * 3, -1)).all(), i
+    assert (multimodal.decode_image(pay) == frames[0]).all()
+    # a still GIF probes as non-animated
+    assert multimodal.probe_gif(multimodal.encode_gif(frames[0]))["animated"] is False
+
+    base = np.full((6, 8, 3), 200, dtype=np.uint8)
+    patch = np.full((2, 3, 3), 50, dtype=np.uint8)
+    patch[0, 0] = (99, 99, 99)
+    spec = [
+        {"img": base, "disposal": 0},
+        {"img": patch, "left": 2, "top": 1, "transparent": (99, 99, 99),
+         "disposal": 3, "delay_cs": 5},
+        {"img": np.full((1, 1, 3), 10, dtype=np.uint8), "disposal": 2},
+        # fully-transparent frame: exposes the canvas state after the
+        # disposal-2 restore of the 1x1 frame before it
+        {"img": np.full((6, 8, 3), 200, dtype=np.uint8),
+         "transparent": (200, 200, 200)},
+    ]
+    pay = multimodal.encode_gif_animated(spec)
+    assert multimodal.probe_gif(pay)["delays_cs"] == [0, 5, 0, 0]
+    fs = dict(multimodal.decode_gif_frames(pay))
+    assert (fs[0] == 200).all()
+    want1 = fs[0].copy()
+    want1[1:3, 2:5] = 50
+    want1[1, 2] = 200  # transparent pixel left the canvas visible
+    assert (fs[1] == want1).all()
+    want2 = fs[0].copy()
+    want2[0, 0] = 10  # disposal 3 restored the patch region first
+    assert (fs[2] == want2).all()
+    # disposal 2 restored (0,0) to the background = global palette entry
+    # 0 = (10,10,10) (sorted unique colors), rest still the frame-1 state
+    assert fs[3][0, 0].tolist() == [10, 10, 10]
+    assert (fs[3][3:, :] == want1[3:, :]).all()
+    assert len(dict(multimodal.decode_gif_frames(pay, max_frames=2))) == 2
+
+
 def test_tiff_decode_roundtrip_and_variants():
     """Baseline TIFF decode without PIL: gray/RGB × 8/16-bit × both byte
     orders × none/PackBits/LZW/Deflate × single/multi-strip × predictor
