@@ -14,7 +14,9 @@ interleaved or multi-scan) and progressive (SOF2, spectral selection +
 successive approximation) — with stdlib+numpy;
 :func:`decode_audio` decodes WAV / Sun AU / AIFF-C (PCM
 u8/s8/i16/i24/i32 both byte orders + IEEE float + G.711 A-law/μ-law,
-incl. EXTENSIBLE headers and the 80-bit extended-float AIFF rate);
+incl. EXTENSIBLE headers and the 80-bit extended-float AIFF rate) and
+FLAC in full (Rice residuals, fixed/LPC predictors, stereo
+decorrelation, CRC-verified);
 :func:`decode_video_frames` decodes Y4M; and
 :func:`extract_image_features` / :func:`sample_audio_windows` /
 :func:`sample_video_frames` run real decoded-sample features through
@@ -3450,8 +3452,10 @@ def _parse_wav_header(payload: bytes):
 def probe_audio(payload: bytes) -> dict:
     """Container metadata from the header walk alone — no sample is
     converted; the cheap planner path, like :func:`probe_video`. Works
-    over every supported container (WAV / Sun AU / AIFF)."""
+    over every supported container (WAV / Sun AU / AIFF / FLAC)."""
     buf = bytes(payload)
+    if buf[:4] == b"fLaC":
+        return probe_flac(buf)
     afmt, _, dlen = _parse_audio_header(buf)
     n = dlen // afmt["block"]
     container = "wav" if buf[:4] == b"RIFF" else (
@@ -3478,11 +3482,15 @@ def _wav_frames_to_array(raw: bytes, fmt: dict) -> "np.ndarray":
 
 
 def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
-    """Decode a WAV / Sun AU / AIFF payload to ((n, channels) float64
-    samples in [-1, 1), sample_rate) — pure stdlib+numpy, exact
-    normalization per :func:`_frames_to_array`."""
-    afmt, off, dlen = _parse_audio_header(payload)
-    return _frames_to_array(bytes(payload)[off : off + dlen], afmt), afmt["rate"]
+    """Decode a WAV / Sun AU / AIFF / FLAC payload to ((n, channels)
+    float64 samples in [-1, 1), sample_rate) — pure stdlib+numpy, exact
+    normalization per :func:`_frames_to_array` (FLAC decodes losslessly
+    through :func:`decode_flac`)."""
+    buf = bytes(payload)
+    if buf[:4] == b"fLaC":
+        return decode_flac(buf)
+    afmt, off, dlen = _parse_audio_header(buf)
+    return _frames_to_array(buf[off : off + dlen], afmt), afmt["rate"]
 
 
 def encode_wav(
@@ -3688,9 +3696,14 @@ def _parse_audio_header(payload: bytes):
         return _parse_au(buf)
     if buf[:4] == b"FORM" and buf[8:12] in (b"AIFF", b"AIFC"):
         return _parse_aiff(buf)
+    if buf[:4] == b"fLaC":
+        raise NotImplementedError(
+            "FLAC frames are entropy-coded — no byte-slice window path; "
+            "decode_audio/decode_flac pay one full decode instead"
+        )
     raise NotImplementedError(
-        "unsupported audio payload: only WAV (RIFF), Sun AU (.snd), and "
-        "AIFF/AIFF-C decode without an audio library"
+        "unsupported audio payload: only WAV (RIFF), Sun AU (.snd), "
+        "AIFF/AIFF-C, and FLAC decode without an audio library"
     )
 
 
@@ -3830,6 +3843,510 @@ def encode_aiff(
         fver = struct.pack(">I", 0xA2805140)  # AIFCVersion1 timestamp
         chunks = b"FVER" + struct.pack(">I", 4) + fver + chunks
     return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+
+
+# --- FLAC ------------------------------------------------------------------
+#
+# FLAC is lossless audio's GIF: everything in it is fixed-point integer
+# bookkeeping — Rice-coded residuals, integer LPC predictors, stereo
+# decorrelation — with no entropy-coder library required. The decoder
+# below covers the full subframe surface (constant / verbatim / fixed
+# orders 0-4 / arbitrary LPC with quantized coefficients), both Rice
+# methods incl. escape partitions, wasted bits, all four channel
+# assignments, and verifies the header CRC-8 and frame CRC-16. Like the
+# JPEG entropy loop, the per-sample Python is for feature extraction,
+# not codec-speed transcoding.
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07 (FLAC frame-header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005 (FLAC whole-frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacReader:
+    """MSB-first bit reader with byte-position access (CRC spans)."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.bit = byte_pos * 8
+
+    def read(self, n: int) -> int:
+        end = self.bit + n
+        if end > len(self.data) * 8:
+            raise ValueError("FLAC stream ended mid-field")
+        val = 0
+        b = self.bit
+        while b < end:
+            byte = self.data[b >> 3]
+            avail = 8 - (b & 7)
+            take = min(avail, end - b)
+            val = (val << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            b += take
+        self.bit = end
+        return val
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        self.bit = (self.bit + 7) & ~7
+
+
+def _flac_utf8_number(rd: "_FlacReader") -> int:
+    """The UTF-8-like extended coding FLAC uses for frame/sample
+    numbers (up to 36 bits / 7 bytes)."""
+    b0 = rd.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    probe = b0
+    while probe & 0x40:
+        n += 1
+        probe <<= 1
+    if n == 0 or n > 6:
+        raise ValueError(f"invalid FLAC number lead byte 0x{b0:02x}")
+    val = b0 & (0x3F >> n)
+    for _ in range(n):
+        c = rd.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC number continuation byte")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+               7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+
+
+def _flac_residual(rd: "_FlacReader", n: int, order: int) -> "list[int]":
+    method = rd.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = rd.read(4)
+    parts = 1 << porder
+    if n % parts:
+        raise ValueError("FLAC partition order does not divide block size")
+    out: "list[int]" = []
+    for p in range(parts):
+        count = (n >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        param = rd.read(pbits)
+        if param == escape:
+            raw = rd.read(5)
+            out += [rd.sread(raw) if raw else 0 for _ in range(count)]
+        else:
+            for _ in range(count):
+                q = rd.unary()
+                zig = (q << param) | rd.read(param)
+                out.append((zig >> 1) ^ -(zig & 1))
+    return out
+
+
+def _flac_subframe(rd: "_FlacReader", n: int, bps: int) -> "list[int]":
+    if rd.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    typ = rd.read(6)
+    wasted = 0
+    if rd.read(1):
+        wasted = rd.unary() + 1
+        bps -= wasted
+    if typ == 0:
+        samples = [rd.sread(bps)] * n
+    elif typ == 1:
+        samples = [rd.sread(bps) for _ in range(n)]
+    elif 8 <= typ <= 12:
+        order = typ - 8
+        samples = [rd.sread(bps) for _ in range(order)]
+        res = _flac_residual(rd, n, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for i, r in enumerate(res):
+            pred = sum(c * samples[order + i - 1 - j] for j, c in enumerate(coefs))
+            samples.append(pred + r)
+    elif typ >= 32:
+        order = typ - 31
+        samples = [rd.sread(bps) for _ in range(order)]
+        prec = rd.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC coefficient precision escape")
+        shift = rd.sread(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [rd.sread(prec) for _ in range(order)]
+        res = _flac_residual(rd, n, order)
+        for i, r in enumerate(res):
+            pred = sum(
+                c * samples[order + i - 1 - j] for j, c in enumerate(coefs)
+            ) >> shift
+            samples.append(pred + r)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {typ}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _flac_streaminfo(buf: bytes):
+    """Parse the metadata chain; returns (streaminfo dict, first frame
+    byte offset)."""
+    import struct
+
+    if buf[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    si = None
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated FLAC metadata header")
+        head = buf[pos]
+        (length,) = struct.unpack(">I", b"\x00" + buf[pos + 1 : pos + 4])
+        body = pos + 4
+        if body + length > len(buf):
+            raise ValueError("truncated FLAC metadata block")
+        if head & 0x7F == 0:  # STREAMINFO
+            if length != 34:
+                raise ValueError(f"FLAC STREAMINFO is {length} bytes, expected 34")
+            rd = _FlacReader(buf, body)
+            rd.read(16), rd.read(16), rd.read(24), rd.read(24)
+            rate = rd.read(20)
+            channels = rd.read(3) + 1
+            bps = rd.read(5) + 1
+            total = rd.read(36)
+            si = {"rate": rate, "channels": channels, "bits": bps,
+                  "total": total}
+        pos = body + length
+        if head & 0x80:
+            break
+    if si is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if si["rate"] == 0:
+        raise ValueError("FLAC STREAMINFO has zero sample rate")
+    return si, pos
+
+
+def probe_flac(payload: bytes) -> dict:
+    """STREAMINFO metadata without touching any frame."""
+    si, _ = _flac_streaminfo(bytes(payload))
+    return {
+        "sample_rate": si["rate"],
+        "channels": si["channels"],
+        "bits": si["bits"],
+        "encoding": "flac",
+        "container": "flac",
+        "n_samples": si["total"],
+        "duration_sec": si["total"] / si["rate"],
+    }
+
+
+def decode_flac(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Full FLAC decode to ((n, channels) float64 in [-1, 1),
+    sample_rate), verifying each frame's header CRC-8 and frame CRC-16.
+    Unlike the raw containers, FLAC frames are entropy-coded — there is
+    no byte-slicing shortcut, so window features over FLAC pay one full
+    decode (stated, not hidden)."""
+    buf = bytes(payload)
+    si, pos = _flac_streaminfo(buf)
+    rd = _FlacReader(buf, pos)
+    chans: "list[list[int]]" = [[] for _ in range(si["channels"])]
+    decoded = 0
+    while decoded < si["total"] or (si["total"] == 0 and rd.bit < len(buf) * 8 - 15):
+        frame_start = rd.bit >> 3
+        if rd.read(14) != 0x3FFE:
+            raise ValueError(f"bad FLAC frame sync at byte {frame_start}")
+        rd.read(1)  # reserved
+        rd.read(1)  # blocking strategy
+        bs_code = rd.read(4)
+        sr_code = rd.read(4)
+        ch_code = rd.read(4)
+        ss_code = rd.read(3)
+        rd.read(1)  # reserved
+        _flac_utf8_number(rd)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code 0")
+        if bs_code == 1:
+            n = 192
+        elif bs_code <= 5:
+            n = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            n = rd.read(8) + 1
+        elif bs_code == 7:
+            n = rd.read(16) + 1
+        else:
+            n = 256 << (bs_code - 8)
+        if sr_code == 0:
+            pass
+        elif sr_code in _FLAC_RATES:
+            if _FLAC_RATES[sr_code] != si["rate"]:
+                raise ValueError("FLAC frame sample rate contradicts STREAMINFO")
+        elif sr_code == 12:
+            rd.read(8)
+        elif sr_code in (13, 14):
+            rd.read(16)
+        else:
+            raise ValueError("invalid FLAC sample rate code 15")
+        bps = {0: si["bits"], 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+        if bps is None:
+            raise ValueError(f"reserved FLAC sample size code {ss_code}")
+        header_end = rd.bit >> 3
+        if _crc8(buf[frame_start:header_end]) != rd.read(8):
+            raise ValueError(f"FLAC header CRC-8 mismatch at byte {frame_start}")
+        if ch_code < 8:
+            n_ch = ch_code + 1
+            if n_ch != si["channels"]:
+                raise ValueError("FLAC frame channel count contradicts STREAMINFO")
+            sub = [_flac_subframe(rd, n, bps) for _ in range(n_ch)]
+        elif ch_code in (8, 9, 10):
+            if si["channels"] != 2:
+                raise ValueError("FLAC stereo decorrelation in a non-stereo stream")
+            # the SIDE channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(rd, n, bps)
+                side = _flac_subframe(rd, n, bps + 1)
+                sub = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side (side first)
+                side = _flac_subframe(rd, n, bps + 1)
+                right = _flac_subframe(rd, n, bps)
+                sub = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _flac_subframe(rd, n, bps)
+                side = _flac_subframe(rd, n, bps + 1)
+                sub = [[], []]
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    sub[0].append((m + s) >> 1)
+                    sub[1].append((m - s) >> 1)
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        rd.align()
+        if _crc16(buf[frame_start : rd.bit >> 3]) != rd.read(16):
+            raise ValueError(f"FLAC frame CRC-16 mismatch at byte {frame_start}")
+        for c, s in zip(chans, sub):
+            c.extend(s)
+        decoded += n
+    if si["total"] and decoded > si["total"]:
+        chans = [c[: si["total"]] for c in chans]
+    arr = np.array(chans, dtype="int64").T.astype("float64")
+    return arr / float(1 << (si["bits"] - 1)), si["rate"]
+
+
+def _flac_rice_best(res: "list[int]") -> int:
+    """Cheapest 4-bit Rice parameter for a residual partition by exact
+    size count."""
+    zigs = [(r << 1) ^ (r >> 63) for r in np.asarray(res, dtype="int64").tolist()]
+    best, best_bits = 0, None
+    for param in range(15):
+        bits = sum((z >> param) + 1 + param for z in zigs)
+        if best_bits is None or bits < best_bits:
+            best, best_bits = param, bits
+        if best_bits <= len(zigs) * (param + 1):
+            break  # larger params only add fixed cost from here
+    return best
+
+
+def _flac_write_residual(wr: "_FaxWriter", res: "list[int]") -> None:
+    """Method-0 Rice, partition order 0; escapes to raw when the best
+    parameter would still blow up (pathological residuals)."""
+    param = _flac_rice_best(res)
+    zigs = [(r << 1) ^ (r >> 63) for r in np.asarray(res, dtype="int64").tolist()]
+    total = sum((z >> param) + 1 + param for z in zigs)
+    raw_bits = max((abs(r) + (r >= 0)).bit_length() + 1 for r in res) if res else 1
+    wr.write(2, 0)
+    wr.write(4, 0)  # partition order 0
+    if raw_bits <= 31 and total > len(res) * raw_bits + 5:
+        wr.write(4, 15)  # escape
+        wr.write(5, raw_bits)
+        for r in res:
+            wr.write(raw_bits, r & ((1 << raw_bits) - 1))
+        return
+    wr.write(4, param)
+    for z in zigs:
+        q = z >> param
+        for _ in range(q):
+            wr.write(1, 0)
+        wr.write(1, 1)
+        if param:
+            wr.write(param, z & ((1 << param) - 1))
+
+
+def _flac_utf8_encode(wr: "_FaxWriter", val: int) -> None:
+    if val < 0x80:
+        wr.write(8, val)
+        return
+    chunks = []
+    while True:
+        chunks.append(val & 0x3F)
+        val >>= 6
+        lead_space = 6 - len(chunks)
+        if val < (1 << lead_space) or lead_space == 0:
+            break
+    lead = (0xFF << (7 - len(chunks))) & 0xFF | val
+    wr.write(8, lead)
+    for c in reversed(chunks):
+        wr.write(8, 0x80 | c)
+
+
+def _flac_write_subframe(
+    wr: "_FaxWriter", s: "list[int]", bps: int, mode: str
+) -> None:
+    wr.write(1, 0)
+    if mode == "constant":
+        wr.write(6, 0)
+        wr.write(1, 0)
+        wr.write(bps, s[0] & ((1 << bps) - 1))
+        return
+    if mode == "verbatim":
+        wr.write(6, 1)
+        wr.write(1, 0)
+        for v in s:
+            wr.write(bps, v & ((1 << bps) - 1))
+        return
+    if mode.startswith("fixed"):
+        order = int(mode[5:])
+        wr.write(6, 8 + order)
+        wr.write(1, 0)
+        for v in s[:order]:
+            wr.write(bps, v & ((1 << bps) - 1))
+        coefs = _FLAC_FIXED_COEFS[order]
+        res = [
+            s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(s))
+        ]
+        _flac_write_residual(wr, res)
+        return
+    if mode == "lpc":
+        # a deliberately simple quantized predictor: order 2,
+        # coefficients (3, -2) >> 1 — exercises the LPC decode path with
+        # exact integer math, not a production analysis stage
+        order, prec, shift, coefs = 2, 4, 1, [3, -2]
+        if len(s) <= order:
+            return _flac_write_subframe(wr, s, bps, "verbatim")
+        wr.write(6, 32 + order - 1)
+        wr.write(1, 0)
+        for v in s[:order]:
+            wr.write(bps, v & ((1 << bps) - 1))
+        wr.write(4, prec - 1)
+        wr.write(5, shift & 0x1F)
+        for c in coefs:
+            wr.write(prec, c & ((1 << prec) - 1))
+        res = [
+            s[i] - (sum(c * s[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, len(s))
+        ]
+        _flac_write_residual(wr, res)
+        return
+    raise ValueError(f"unsupported subframe mode {mode!r}")
+
+
+def encode_flac(
+    samples: "np.ndarray",
+    sample_rate: int,
+    bits: int = 16,
+    block_size: int = 256,
+    subframe: str = "fixed2",
+    stereo: str = "independent",
+) -> bytes:
+    """Minimal compliant FLAC encoder for round-trip tests: integer
+    input (n,) or (n, channels) within ``bits`` range, fixed block
+    size, one subframe strategy for every block ("constant" picked
+    automatically when a block is flat) — "verbatim", "fixed0".."fixed4",
+    or "lpc" — and for stereo a decorrelation ``stereo`` of
+    "independent", "left_side", "right_side", or "mid_side". Writes
+    real CRC-8/CRC-16 trailers; the decoder verifies them."""
+    import struct
+
+    arr = np.asarray(samples, dtype="int64")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, ch = arr.shape
+    if ch > 8:
+        raise ValueError(f"FLAC supports at most 8 channels, got {ch}")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if arr.min(initial=0) < lo or arr.max(initial=0) > hi:
+        raise ValueError(f"samples exceed {bits}-bit range")
+    if stereo != "independent" and ch != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bits)
+    if ss_code is None:
+        raise ValueError(f"unsupported bits {bits}")
+    head = _FaxWriter()
+    head.write(16, block_size)
+    head.write(16, block_size)
+    head.write(24, 0)
+    head.write(24, 0)
+    head.write(20, int(sample_rate))
+    head.write(3, ch - 1)
+    head.write(5, bits - 1)
+    head.write(36, n)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", 34)[1:] + head.bytes() + b"\x00" * 16
+    for frame_no, start in enumerate(range(0, n, block_size)):
+        block = arr[start : start + block_size]
+        bn = block.shape[0]
+        wr = _FaxWriter()
+        wr.write(14, 0x3FFE)
+        wr.write(1, 0)
+        wr.write(1, 0)  # fixed blocksize strategy
+        wr.write(4, 7)  # 16-bit block size follows
+        wr.write(4, 0)  # sample rate from STREAMINFO
+        ch_code = {"independent": ch - 1, "left_side": 8,
+                   "right_side": 9, "mid_side": 10}[stereo]
+        wr.write(4, ch_code)
+        wr.write(3, ss_code)
+        wr.write(1, 0)
+        _flac_utf8_encode(wr, frame_no)
+        wr.write(16, bn - 1)
+        header = wr.bytes()  # everything so far is byte-aligned
+        wr.out, wr.nbits, wr.acc = bytearray(header), 0, 0
+        wr.write(8, _crc8(header))
+        cols = [block[:, c].tolist() for c in range(ch)]
+        if stereo == "left_side":
+            subs = [(cols[0], bits), ([l - r for l, r in zip(*cols)], bits + 1)]
+        elif stereo == "right_side":
+            subs = [([l - r for l, r in zip(*cols)], bits + 1), (cols[1], bits)]
+        elif stereo == "mid_side":
+            side = [l - r for l, r in zip(*cols)]
+            mid = [(l + r) >> 1 for l, r in zip(*cols)]
+            subs = [(mid, bits), (side, bits + 1)]
+        else:
+            subs = [(c, bits) for c in cols]
+        for s, sbps in subs:
+            mode = subframe
+            if len(set(s)) == 1:
+                mode = "constant"
+            elif mode.startswith("fixed") and len(s) <= int(mode[5:]):
+                mode = "verbatim"
+            _flac_write_subframe(wr, s, sbps, mode)
+        wr.align()
+        body = wr.bytes()
+        out += body + struct.pack(">H", _crc16(body))
+    return bytes(out)
 
 
 AUDIO_WINDOW_SCHEMA = StructType(

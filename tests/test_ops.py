@@ -1660,7 +1660,7 @@ def test_au_aiff_decode_roundtrip():
             assert multimodal.probe_audio(pay)["encoding"] == law
 
     with _pytest.raises(NotImplementedError, match="only WAV"):
-        multimodal.decode_audio(b"fLaC not a container we decode")
+        multimodal.decode_audio(b"OggS not a container we decode")
     bad = bytearray(multimodal.encode_au(s16, 8000))
     struct.pack_into(">I", bad, 12, 23)  # G.721 ADPCM
     with _pytest.raises(NotImplementedError, match="AU encoding 23"):
@@ -1670,6 +1670,65 @@ def test_au_aiff_decode_roundtrip():
     bad[i : i + 4] = b"ima4"
     with _pytest.raises(NotImplementedError, match="AIFC compression"):
         multimodal.decode_audio(bytes(bad))
+
+
+def test_flac_decode_roundtrip():
+    """FLAC — lossless integer bookkeeping, no codec library: every
+    subframe mode (constant auto-pick / verbatim / fixed orders 0-4 /
+    quantized LPC) and every stereo decorrelation (independent,
+    left-side, right-side, mid-side) round-trips EXACTLY through Rice
+    coding at 8/16/24-bit, partial tail blocks included; the probe reads
+    STREAMINFO without touching frames; decode_audio dispatches on the
+    fLaC magic; header CRC-8 and frame CRC-16 catch corruption; the
+    window sampler refuses honestly (frames are entropy-coded, no
+    byte-slice path)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(9)
+
+    def check(samples, rate, **kw):
+        pay = multimodal.encode_flac(samples, rate, **kw)
+        x, r = multimodal.decode_audio(pay)  # dispatch via magic
+        want = np.asarray(samples, dtype="int64")
+        if want.ndim == 1:
+            want = want.reshape(-1, 1)
+        bits = kw.get("bits", 16)
+        assert r == rate
+        assert np.array_equal(x, want.astype("float64") / (1 << (bits - 1))), kw
+        return pay
+
+    mono = rng.randint(-30000, 30000, size=1000).astype("int64")
+    smooth = np.cumsum(rng.randint(-50, 51, size=1000)).astype("int64")
+    for mode in ("verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc"):
+        check(mono, 44100, subframe=mode)
+        check(smooth, 44100, subframe=mode)
+    check(np.full(500, 123, dtype="int64"), 8000, block_size=64)  # constant
+    check(mono[:130], 22050, block_size=64)  # partial tail block
+    st = rng.randint(-30000, 30000, size=(600, 2)).astype("int64")
+    for stereo in ("independent", "left_side", "right_side", "mid_side"):
+        check(st, 48000, stereo=stereo, subframe="fixed2")
+        check(st, 48000, stereo=stereo, subframe="lpc")
+    check(rng.randint(-120, 120, size=300), 8000, bits=8)
+    check(rng.randint(-(1 << 22), 1 << 22, size=300), 96000, bits=24)
+
+    pay = multimodal.encode_flac(st, 48000)
+    assert multimodal.probe_audio(pay) == {
+        "sample_rate": 48000, "channels": 2, "bits": 16, "encoding": "flac",
+        "container": "flac", "n_samples": 600, "duration_sec": 600 / 48000,
+    }
+    bad = bytearray(pay)
+    bad[-40] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC-16"):
+        multimodal.decode_flac(bytes(bad))
+    bad = bytearray(pay)
+    bad[len(pay) - len(pay) // 3] ^= 0x01  # likely inside a frame header/body
+    with _pytest.raises(ValueError):
+        multimodal.decode_flac(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="entropy-coded"):
+        multimodal._parse_audio_header(pay)
 
 
 def test_audio_windows_across_containers(spark, emb):
