@@ -1645,9 +1645,11 @@ def _packbits_encode(row: bytes) -> bytes:
 _TIFF_LZW_CLEAR, _TIFF_LZW_EOI = 256, 257
 
 
-def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+def _tiff_lzw_decode(data: bytes, expected: "int | None") -> bytes:
     """TIFF-variant LZW decode (TIFF 6.0 §13) to exactly ``expected``
-    bytes. Differs from the GIF variant in every framing detail while
+    bytes — or, with ``expected=None``, until the EOI code (the PDF
+    LZWDecode framing, which shares this exact variant). Differs from
+    the GIF variant in every framing detail while
     sharing the table bookkeeping: codes pack MOST-significant-bit
     first, the alphabet is fixed at 8-bit bytes (Clear=256, EOI=257,
     first dynamic code 258), and the width bump is one code EARLY —
@@ -1658,9 +1660,11 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     out = bytearray()
     prev = None
     acc = nbits = pos = 0
-    while len(out) < expected:
+    while expected is None or len(out) < expected:
         while nbits < width:
             if pos >= len(data):
+                if expected is None:
+                    return bytes(out)  # EOI-less stream: pad bits discarded
                 raise ValueError("TIFF LZW stream ended mid-raster")
             acc = (acc << 8) | data[pos]
             nbits += 8
@@ -1693,7 +1697,7 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             width += 1  # early change: one before the GIF schedule
         out += entry
         prev = entry
-    if len(out) != expected:
+    if expected is not None and len(out) != expected:
         raise ValueError(
             f"TIFF LZW decoded {len(out)} bytes, expected {expected}"
         )
