@@ -77,11 +77,112 @@ def render_searchable_doc(
     return b"%SYNOCR1%" + json.dumps({"pages": pages}, separators=(",", ":")).encode()
 
 
-def with_artifacts(spans_df: DataFrame) -> DataFrame:
+def _pdf_escape(text: str) -> bytes:
+    out = text.encode("latin-1", "replace")
+    return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def render_searchable_pdf(
+    spans_pages: "list[list[dict]]",
+    width_pt: float,
+    height_pt: float,
+    rotations: "list[int] | None" = None,
+    page_images: "list | None" = None,
+    compress: bool = True,
+) -> bytes:
+    """K1 as a REAL PDF: the invisible text layer (render mode 3,
+    Helvetica, one Tm+Tj per word — the reference's reportlab form,
+    ref: pypdfocr/pypdfocr_pdf.py:58-78) over an optional page-image
+    XObject, built with the in-repo :class:`pdfimages.PdfWriter` — no
+    reportlab/PyPDF2. The placement math is byte-for-byte the JSON
+    artifact's (:func:`render_text_page`), so
+    :func:`pdfimages.extract_pdf_text` reads back exactly what
+    :func:`render_searchable_doc` records — the searchable round trip
+    the reference never had a check for. Page rotation is carried as
+    the page's ``/Rotate`` with the merge CTM applied to the words, the
+    reference's merge-time behavior."""
+    import math
+    import zlib
+
+    import numpy as np
+
+    from . import pdfimages
+
+    rotations = rotations or [0] * len(spans_pages)
+    wr = pdfimages.PdfWriter()
+    catalog_num, pages_num, font_num = wr.alloc(), wr.alloc(), wr.alloc()
+    font_ref = wr.put(
+        font_num, {"Type": "Font", "Subtype": "Type1", "BaseFont": "Helvetica"}
+    )
+    page_nums = []
+    for pno, (lines, rot) in enumerate(zip(spans_pages, rotations)):
+        layer = render_text_page(lines, width_pt, height_pt, rot)
+        body = bytearray()
+        resources: dict = {"Font": {"F1": font_ref}}
+        if page_images is not None and page_images[pno] is not None:
+            img = np.asarray(page_images[pno], dtype="uint8")
+            gray = img.ndim == 2
+            h, w = img.shape[:2]
+            img_ref = wr.put_stream(
+                wr.alloc(),
+                {"Type": "XObject", "Subtype": "Image", "Width": w, "Height": h,
+                 "BitsPerComponent": 8, "Filter": "FlateDecode",
+                 "ColorSpace": "DeviceGray" if gray else "DeviceRGB"},
+                zlib.compress(img.tobytes(), 6),
+            )
+            resources["XObject"] = {"Im0": img_ref}
+            body += (
+                f"q {layer['w']} 0 0 {layer['h']} 0 0 cm /Im0 Do Q\n".encode()
+            )
+        body += b"BT\n3 Tr\n"
+        last_size = None
+        for word in layer["words"]:
+            if word["size"] != last_size:
+                body += f"/F1 {word['size']} Tf\n".encode()
+                last_size = word["size"]
+            rad = math.radians(word["angle"])
+            cos, sin = round(math.cos(rad), 6), round(math.sin(rad), 6)
+            body += (
+                f"{cos} {sin} {-sin} {cos} {word['x']} {word['y']} Tm\n".encode()
+            )
+            body += b"(" + _pdf_escape(word["t"]) + b") Tj\n"
+        body += b"ET\n"
+        content_dic: dict = {}
+        raw = bytes(body)
+        if compress:
+            content_dic["Filter"] = "FlateDecode"
+            raw = zlib.compress(raw, 6)
+        content_ref = wr.put_stream(wr.alloc(), content_dic, raw)
+        num = wr.alloc()
+        page_nums.append(num)
+        page: dict = {
+            "Type": "Page", "Parent": pdfimages.PdfRef(pages_num, 0),
+            "MediaBox": [0, 0, layer["w"], layer["h"]],
+            "Resources": resources, "Contents": content_ref,
+        }
+        if rot:
+            page["Rotate"] = rot
+        wr.put(num, page)
+    root = wr.put(catalog_num, {"Type": "Catalog", "Pages": pdfimages.PdfRef(pages_num, 0)})
+    wr.put(
+        pages_num,
+        {"Type": "Pages", "Count": len(page_nums),
+         "Kids": [pdfimages.PdfRef(n, 0) for n in page_nums]},
+    )
+    return wr.finish(root)
+
+
+def with_artifacts(spans_df: DataFrame, fmt: str = "json") -> DataFrame:
     """Append an ``artifact`` binary column to span-level extraction
-    output (spans.extract_spans) via an Arrow-batched stage."""
+    output (spans.extract_spans) via an Arrow-batched stage. ``fmt``
+    "json" emits the byte-identity JSON form (%SYNOCR1%); "pdf" emits a
+    REAL searchable PDF (:func:`render_searchable_pdf`) whose text layer
+    :func:`pdfimages.extract_pdf_text` reads back verbatim."""
     from pyspark.sql.types import BinaryType, StructField, StructType
 
+    if fmt not in ("json", "pdf"):
+        raise ValueError(f"unsupported artifact format {fmt!r}")
+    render = render_searchable_doc if fmt == "json" else render_searchable_pdf
     schema = StructType(list(spans_df.schema.fields) + [StructField("artifact", BinaryType())])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,7 +193,7 @@ def with_artifacts(spans_df: DataFrame) -> DataFrame:
                     [ln if isinstance(ln, dict) else ln for ln in p["lines"]]
                     for p in span_pages
                 ]
-                artifacts.append(render_searchable_doc(pages, 612.0, 792.0))
+                artifacts.append(render(pages, 612.0, 792.0))
             out = pdf.copy()
             out["artifact"] = artifacts
             yield out

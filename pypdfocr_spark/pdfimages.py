@@ -677,7 +677,218 @@ def extract_pdf_images(
             yield no, name, _decode_image_xobject(doc, dic, raw)
 
 
+def _page_content(doc: "PdfDocument", page: dict) -> bytes:
+    """A page's decoded content stream(s), concatenated in order.
+    Deliberately does NOT ``resolve`` stream refs — resolve unwraps a
+    stream object to its dictionary, and the raw bytes are needed."""
+    contents = page.get("Contents")
+    if contents is None:
+        return b""
+    if isinstance(contents, PdfRef):
+        got = doc.obj(contents.num)
+        parts = got if isinstance(got, list) else [got]
+    else:
+        parts = contents if isinstance(contents, list) else [contents]
+    out = []
+    for part in parts:
+        dic, raw = doc.stream(part)
+        out.append(_apply_byte_filters(raw, dic, doc))
+    return b"\n".join(out)
+
+
+def extract_pdf_text(payload: bytes) -> "list[list[dict]]":
+    """Text-layer extraction from content streams — the read half of
+    the searchable-PDF round trip (the reference WRITES this layer, ref:
+    pypdfocr/pypdfocr_pdf.py:58-78; this reads it back). Interprets the
+    text-object operators (BT/ET, Tf, Tr, Tm/Td/TD/T*/TL, Tj/TJ/'/")
+    and returns, per page, one record per shown string: {"text", "x",
+    "y", "size", "mode", "angle"} in device coordinates (the text-matrix
+    translation; angle from its rotation part). Non-text operators are
+    skipped structurally; inline images (BI) are gated."""
+    import math
+
+    doc = PdfDocument(payload)
+    pages_out = []
+    for page in doc.pages():
+        data = _page_content(doc, page)
+        lex = _Lexer(data)
+        operands: list = []
+        tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        size = 0.0
+        mode = 0
+        leading = 0.0
+        words: "list[dict]" = []
+
+        def emit(text: bytes) -> None:
+            a, b = tm[0], tm[1]
+            words.append(
+                {"text": text.decode("latin-1"),
+                 "x": round(tm[4], 4), "y": round(tm[5], 4),
+                 "size": size, "mode": mode,
+                 "angle": round(math.degrees(math.atan2(b, a)), 4) % 360.0}
+            )
+
+        def newline(tx: float, ty: float) -> tuple:
+            # Td semantics: translate the LINE matrix, text matrix follows
+            a, b, c, d, e, f = tlm
+            return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+        while True:
+            lex.skip_ws()
+            if lex.pos >= len(data):
+                break
+            c = data[lex.pos : lex.pos + 1]
+            if c in b"/([<" or c.isdigit() or c in b"+-.":
+                operands.append(_parse_object(lex))
+                continue
+            op = lex.token()
+            if op == b"BI":
+                raise NotImplementedError("inline image (BI) in content stream")
+            if op == b"BT":
+                tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+            elif op == b"Tf" and operands:
+                size = float(operands[-1])
+            elif op == b"Tr" and operands:
+                mode = int(operands[-1])
+            elif op == b"TL" and operands:
+                leading = float(operands[-1])
+            elif op == b"Tm" and len(operands) >= 6:
+                tm = tlm = tuple(float(v) for v in operands[-6:])
+            elif op in (b"Td", b"TD") and len(operands) >= 2:
+                if op == b"TD":
+                    leading = -float(operands[-1])
+                tm = tlm = newline(float(operands[-2]), float(operands[-1]))
+            elif op == b"T*":
+                tm = tlm = newline(0.0, -leading)
+            elif op == b"Tj" and operands:
+                emit(operands[-1])
+            elif op == b"TJ" and operands:
+                emit(b"".join(x for x in operands[-1] if isinstance(x, bytes)))
+            elif op in (b"'", b'"') and operands:
+                tm = tlm = newline(0.0, -leading)
+                emit(operands[-1])
+            operands = []
+        pages_out.append(words)
+    return pages_out
+
+
 # -- fixture builder ----------------------------------------------------------
+
+
+def _ser(v) -> bytes:
+    """Serialize a Python value as a PDF object (names as str, strings
+    as bytes → hex form)."""
+    if isinstance(v, dict):
+        return b"<< " + b" ".join(
+            b"/" + k.encode() + b" " + _ser(x) for k, x in v.items()
+        ) + b" >>"
+    if isinstance(v, list):
+        return b"[ " + b" ".join(_ser(x) for x in v) + b" ]"
+    if isinstance(v, PdfRef):
+        return f"{v.num} 0 R".encode()
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, str):
+        return b"/" + v.encode()
+    if isinstance(v, bytes):
+        return b"<" + v.hex().encode() + b">"
+    if isinstance(v, float):
+        return f"{v:.4f}".rstrip("0").rstrip(".").encode() or b"0"
+    return str(v).encode()
+
+
+class PdfWriter:
+    """Deterministic PDF emitter shared by the fixture builder and the
+    searchable-document artifact: numbered objects/streams, then either
+    a classic xref table or a PDF 1.5 xref STREAM (optionally packing
+    chosen plain objects into an object STREAM)."""
+
+    def __init__(self):
+        self.objects: "dict[int, bytes]" = {}
+        self.streams: "dict[int, tuple[bytes, bytes]]" = {}
+        self._next = 1
+
+    def alloc(self) -> int:
+        n = self._next
+        self._next += 1
+        return n
+
+    def put(self, num: int, obj) -> PdfRef:
+        self.objects[num] = _ser(obj)
+        return PdfRef(num, 0)
+
+    def put_stream(self, num: int, dic: dict, raw: bytes) -> PdfRef:
+        dic = dict(dic)
+        dic["Length"] = len(raw)
+        self.streams[num] = (_ser(dic), raw)
+        return PdfRef(num, 0)
+
+    def finish(
+        self, root: PdfRef, xref_stream: bool = False,
+        objstm_nums: "list[int] | None" = None,
+    ) -> bytes:
+        import struct
+
+        out = bytearray(
+            b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else b"%PDF-1.4\n"
+        )
+        offsets: "dict[int, int]" = {}
+        in_stm: "dict[int, tuple[int, int]]" = {}
+        plain = dict(self.objects)
+        if xref_stream and objstm_nums:
+            objstm_num = self.alloc()
+            bodies = [plain.pop(n) for n in objstm_nums]
+            offs = []
+            pos = 0
+            for b in bodies:
+                offs.append(pos)
+                pos += len(b) + 1
+            header = " ".join(
+                f"{n} {o}" for n, o in zip(objstm_nums, offs)
+            ).encode() + b"\n"
+            payload_stm = header + b"\n".join(bodies) + b"\n"
+            self.put_stream(
+                objstm_num,
+                {"Type": "ObjStm", "N": len(objstm_nums), "First": len(header)},
+                payload_stm,
+            )
+            for i, n in enumerate(objstm_nums):
+                in_stm[n] = (objstm_num, i)
+        for num in sorted(plain):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + plain[num] + b"\nendobj\n"
+        for num in sorted(self.streams):
+            offsets[num] = len(out)
+            body, raw = self.streams[num]
+            out += f"{num} 0 obj\n".encode() + body + b"\nstream\n" + raw
+            out += b"\nendstream\nendobj\n"
+        if xref_stream:
+            xref_num = self.alloc()
+            size = self._next
+            entries = {n: (1, off, 0) for n, off in offsets.items()}
+            for n, (stm, idx) in in_stm.items():
+                entries[n] = (2, stm, idx)
+            entries[xref_num] = (1, len(out), 0)
+            rows = bytearray()
+            for n in range(size):
+                t, a, b = entries.get(n, (0, 0, 0))
+                rows += bytes([t]) + struct.pack(">I", a) + bytes([b])
+            xdic = {"Type": "XRef", "Size": size, "W": [1, 4, 1],
+                    "Index": [0, size], "Root": root, "Length": len(rows)}
+            xref_off = len(out)
+            out += f"{xref_num} 0 obj\n".encode() + _ser(xdic)
+            out += b"\nstream\n" + bytes(rows) + b"\nendstream\nendobj\n"
+            out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+        else:
+            xref_off = len(out)
+            size = self._next
+            out += f"xref\n0 {size}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for n in range(1, size):
+                out += f"{offsets[n]:010d} 00000 n \n".encode()
+            out += b"trailer\n" + _ser({"Size": size, "Root": root})
+            out += b"\nstartxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+        return bytes(out)
 
 
 def build_pdf(
@@ -688,34 +899,11 @@ def build_pdf(
     | "lzw" | "rle" | "ahx" | "a85" | "dct" | "g4" | "raw"}. With
     ``xref_stream`` the file uses a PDF 1.5 cross-reference STREAM and
     packs the page dicts into an object STREAM — the modern layout."""
-    import struct
     import zlib
 
-    objects: "dict[int, bytes]" = {}
-    streams: "dict[int, tuple[bytes, bytes]]" = {}  # num -> (dict body, raw)
-    next_num = [1]
-
-    def alloc() -> int:
-        n = next_num[0]
-        next_num[0] += 1
-        return n
-
-    def ser(v) -> bytes:
-        if isinstance(v, dict):
-            return b"<< " + b" ".join(
-                b"/" + k.encode() + b" " + ser(x) for k, x in v.items()
-            ) + b" >>"
-        if isinstance(v, list):
-            return b"[ " + b" ".join(ser(x) for x in v) + b" ]"
-        if isinstance(v, PdfRef):
-            return f"{v.num} 0 R".encode()
-        if isinstance(v, bool):
-            return b"true" if v else b"false"
-        if isinstance(v, str):
-            return b"/" + v.encode()
-        if isinstance(v, bytes):
-            return b"<" + v.hex().encode() + b">"
-        return str(v).encode()
+    wr = PdfWriter()
+    alloc = wr.alloc
+    ser = _ser
 
     catalog_num, pages_num = alloc(), alloc()
     page_nums = []
@@ -779,91 +967,24 @@ def build_pdf(
                 pass
             else:
                 raise ValueError(f"unknown fixture filter {filt!r}")
-            dic["Length"] = len(raw)
-            num = alloc()
-            streams[num] = (ser(dic), raw)
-            xobj[f"Im{i}"] = PdfRef(num, 0)
+            xobj[f"Im{i}"] = wr.put_stream(alloc(), dic, raw)
         num = alloc()
         page_nums.append(num)
-        page_dicts.append(
+        wr.put(
+            num,
             {"Type": "Page", "Parent": PdfRef(pages_num, 0),
              "MediaBox": [0, 0, 612, 792],
-             "Resources": {"XObject": xobj}}
+             "Resources": {"XObject": xobj}},
         )
-    objects[catalog_num] = ser({"Type": "Catalog", "Pages": PdfRef(pages_num, 0)})
-    objects[pages_num] = ser(
+    root = wr.put(catalog_num, {"Type": "Catalog", "Pages": PdfRef(pages_num, 0)})
+    wr.put(
+        pages_num,
         {"Type": "Pages", "Count": len(page_nums),
-         "Kids": [PdfRef(n, 0) for n in page_nums]}
+         "Kids": [PdfRef(n, 0) for n in page_nums]},
     )
-
-    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else b"%PDF-1.4\n")
-    offsets: "dict[int, int]" = {}
-    in_stm: "dict[int, int]" = {}
-
-    if xref_stream:
-        # page dicts live inside an object stream (type-2 entries)
-        objstm_num = alloc()
-        bodies = [ser(d) for d in page_dicts]
-        offs = []
-        pos = 0
-        for b in bodies:
-            offs.append(pos)
-            pos += len(b) + 1
-        header = " ".join(
-            f"{n} {o}" for n, o in zip(page_nums, offs)
-        ).encode() + b"\n"
-        payload_stm = header + b"\n".join(bodies) + b"\n"
-        stm_dic = {"Type": "ObjStm", "N": len(page_nums),
-                   "First": len(header), "Length": len(payload_stm)}
-        streams[objstm_num] = (ser(stm_dic), payload_stm)
-        for i, n in enumerate(page_nums):
-            in_stm[n] = (objstm_num, i)
-    else:
-        for n, d in zip(page_nums, page_dicts):
-            objects[n] = ser(d)
-
-    for num in sorted(objects):
-        offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
-    for num in sorted(streams):
-        offsets[num] = len(out)
-        body, raw = streams[num]
-        out += f"{num} 0 obj\n".encode() + body + b"\nstream\n" + raw
-        out += b"\nendstream\nendobj\n"
-
-    if xref_stream:
-        xref_num = alloc()
-        size = next_num[0]
-        rows = bytearray()
-        index = []
-        entries = {}
-        for n, off in offsets.items():
-            entries[n] = (1, off, 0)
-        for n, (stm, idx) in in_stm.items():
-            entries[n] = (2, stm, idx)
-        entries[xref_num] = (1, len(out), 0)
-        for n in range(size):
-            t, a, b = entries.get(n, (0, 0, 0))
-            rows += bytes([t]) + struct.pack(">I", a) + bytes([b])
-        xdic = {"Type": "XRef", "Size": size, "W": [1, 4, 1],
-                "Index": [0, size], "Root": PdfRef(catalog_num, 0),
-                "Length": len(rows)}
-        xref_off = len(out)
-        out += f"{xref_num} 0 obj\n".encode() + ser(xdic)
-        out += b"\nstream\n" + bytes(rows) + b"\nendstream\nendobj\n"
-        out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
-    else:
-        xref_off = len(out)
-        size = next_num[0]
-        out += f"xref\n0 {size}\n".encode()
-        out += b"0000000000 65535 f \n"
-        for n in range(1, size):
-            out += f"{offsets[n]:010d} 00000 n \n".encode()
-        out += b"trailer\n" + ser(
-            {"Size": size, "Root": PdfRef(catalog_num, 0)}
-        )
-        out += b"\nstartxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
-    return bytes(out)
+    # the modern layout packs the page dicts into an object stream
+    return wr.finish(root, xref_stream=xref_stream,
+                     objstm_nums=page_nums if xref_stream else None)
 
 
 # -- Spark ops ----------------------------------------------------------------

@@ -115,3 +115,25 @@ def test_size_split_uses_stats_column(spark):
         assert any(
             "Or(IsNull(n_bytes)" in ln or "LessThanOrEqual(n_bytes" in ln for ln in pushed
         ), pushed
+
+def test_with_artifacts_pdf_roundtrip(spark):
+    """fmt="pdf": the artifact column is a REAL searchable PDF whose
+    invisible text layer reads back (pdfimages.extract_pdf_text) with
+    exactly the span words in order — the searchable round trip over
+    actual extraction output."""
+    from pypdfocr_spark import pdfimages
+
+    df = spans.extract_spans(pipeline.build_corpus_df(spark, SF_SMOKE), ExtractConfig())
+    out = artifact.with_artifacts(df.where(F.col("n_pages") <= 3).limit(5), fmt="pdf")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        blob = bytes(r["artifact"])
+        assert blob.startswith(b"%PDF-1.4")
+        pages = pdfimages.extract_pdf_text(blob)
+        got_words = [w["text"] for p in pages for w in p]
+        want_words = [
+            w["text"] for p in r["spans"] for ln in p["lines"] for w in ln["words"]
+        ]
+        assert got_words == want_words
+        assert all(w["mode"] == 3 for p in pages for w in p)  # invisible layer

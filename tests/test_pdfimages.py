@@ -119,3 +119,45 @@ def test_pdf_image_features_over_spark(spark, emb):
                 assert r["min_val"] == int(want.min()) and r["max_val"] == int(want.max())
                 assert r["mean_val"] == want.astype("float64").mean()
                 assert r["checksum"] == hashlib.md5(want.tobytes()).hexdigest()
+
+
+def test_searchable_pdf_text_roundtrip():
+    """K1 as a real PDF: the invisible-text layer written by
+    artifact.render_searchable_pdf reads back through
+    pdfimages.extract_pdf_text with EXACTLY the JSON artifact's
+    placement (text, x, y, size, mode 3, angle), the optional page
+    image decodes back bit-for-bit, string escapes survive, and the
+    uncompressed-contents form parses identically."""
+    import json
+    import math
+
+    from pypdfocr_spark import artifact
+
+    def word(t, x, y, size=10.0, angle=0):
+        return {"text": t, "x_pt": x, "y_pt": y, "font_size": size, "angle": angle}
+
+    pages = [
+        [{"words": [word("Hello", 72.0, 700.5), word("(w\\or(ld))", 120.25, 700.5, 12.0)]},
+         {"words": [word("rotated", 200.0, 650.0, 10.0, 90)]}],
+        [{"words": [word("page2", 36.0, 36.0, 8.0)]}],
+    ]
+    img0 = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    pay = artifact.render_searchable_pdf(
+        pages, 612.0, 792.0, rotations=[0, 90], page_images=[img0, None]
+    )
+    want = json.loads(artifact.render_searchable_doc(pages, 612.0, 792.0, [0, 90])[9:])
+    got = pdfimages.extract_pdf_text(pay)
+    assert len(got) == 2
+    for want_page, got_page in zip(want["pages"], got):
+        assert len(want_page["words"]) == len(got_page)
+        for wj, wp in zip(want_page["words"], got_page):
+            assert wp["text"] == wj["t"]
+            assert math.isclose(wp["x"], wj["x"], abs_tol=1e-6)
+            assert math.isclose(wp["y"], wj["y"], abs_tol=1e-6)
+            assert wp["size"] == wj["size"] and wp["mode"] == 3
+            assert math.isclose(wp["angle"] % 360, wj["angle"] % 360, abs_tol=1e-3)
+    ((no, _, img),) = list(pdfimages.extract_pdf_images(pay))
+    assert no == 0 and (img == img0).all()
+    assert pdfimages.probe_pdf(pay)["n_pages"] == 2
+    plain = artifact.render_searchable_pdf(pages, 612.0, 792.0, compress=False)
+    assert pdfimages.extract_pdf_text(plain)[1][0]["text"] == "page2"
