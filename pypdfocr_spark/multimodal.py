@@ -532,7 +532,7 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _decode_jpeg(payload: bytes) -> "np.ndarray":
+def _decode_jpeg(payload: bytes, color_transform: "str | None" = None) -> "np.ndarray":
     """Huffman JPEG decode — baseline/extended sequential (SOF0/SOF1,
     single- or multi-scan) AND progressive (SOF2) — with stdlib + numpy,
     no PIL. Closes the remaining raster gap from VERDICT r4 ('a real
@@ -669,6 +669,14 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
         pos += 2 + seglen
     if scans == 0:
         raise ValueError("JPEG ended without an SOS scan")
+    if color_transform == "rgb":
+        # caller (JPEG-in-TIFF photometric 2) asserts the components are
+        # already RGB — same meaning as an Adobe APP14 transform-0 flag
+        adobe = 0
+    elif color_transform == "ycbcr":
+        adobe = None
+    elif color_transform is not None:
+        raise ValueError(f"unknown color_transform {color_transform!r}")
     return _jpeg_reconstruct(sof, qt, coefs, adobe)
 
 
@@ -1021,7 +1029,7 @@ def _huff_encode_map(bits: list[int], values: bytes) -> dict[int, tuple[int, int
 
 def _jpeg_plan(
     arr: "np.ndarray", quant: int, subsample: tuple[int, int],
-    adobe: "int | None" = None,
+    adobe: "int | None" = None, rgb_direct: bool = False,
 ):
     """Shared front half of the test encoders: color transform, optional
     4:2:0 box-average, pad to the MCU grid, forward DCT + uniform
@@ -1068,6 +1076,13 @@ def _jpeg_plan(
         else:
             chans = [s[:, :, i] for i in range(4)]
         planes = [(i + 1, chans[i], 1, 1) for i in range(4)]
+    elif color and rgb_direct:
+        # store R/G/B as components 1/2/3 with no color transform — the
+        # JPEG-in-TIFF photometric-2 form (TIFF 6.0 §22 / TechNote 2)
+        if subsample != (1, 1):
+            raise ValueError("rgb_direct stores full-resolution components")
+        f = arr.astype("float64")
+        planes = [(i + 1, f[:, :, i], 1, 1) for i in range(3)]
     elif color:
         f = arr.astype("float64")
         y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
@@ -1142,6 +1157,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     interleave: bool = True,
     adobe_transform: "int | None" = None,
+    rgb_direct: bool = False,
 ) -> bytes:
     """Minimal baseline-JPEG encoder for round-trip tests: 8-bit gray or
     RGB, uniform quantization step ``quant`` (1 = near-lossless — flat
@@ -1158,7 +1174,7 @@ def encode_jpeg(
     import struct
 
     color, h, w, pmeta, blocks_zz, mcus_x, mcus_y, q, prec = _jpeg_plan(
-        arr, quant, subsample, adobe_transform
+        arr, quant, subsample, adobe_transform, rgb_direct
     )
     sof_like = (h, w, [{"id": cid, "h": ch_, "v": cv} for cid, ch_, cv in pmeta])
     comp_of = {c["id"]: c for c in sof_like[2]}
@@ -2192,7 +2208,7 @@ def _mh_encode(img: "np.ndarray") -> bytes:
     return wr.bytes()
 
 
-_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we read
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 def _tiff_read_ifd(
@@ -2220,7 +2236,7 @@ def _tiff_read_ifd(
         )[0]
         if off + size * count > len(payload):
             raise ValueError(f"TIFF tag {tag} values out of bounds")
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, off))
     nxt = ifd_off + 2 + 12 * n_entries
     if nxt + 4 > len(payload):
@@ -2270,9 +2286,16 @@ def _decode_tiff(payload: bytes) -> "np.ndarray":
     and EOL-framed T.4 Group 3 in 1-D and 2-D modes (=3,
     :func:`_g3_decode`, T4Options honored);
     bilevel output is uint8 {0, 255} after the photometric mapping.
+    Both segment layouts decode: strips (273/278/279) and the tiled grid
+    (322-325, :func:`_tiff_layout`) whose edge tiles store full-size
+    padding the placement crops. New-style JPEG (=7) decodes each
+    strip/tile as a complete or JPEGTables-abbreviated stream
+    (:func:`_jpeg_abbrev_merge`, tag 347) through :func:`_decode_jpeg`
+    — photometric 1 gray, 2 stored-RGB (no color transform), or
+    6 YCbCr (converted to RGB like every JFIF decode).
     Multi-page files decode their FIRST IFD (the GIF first-frame rule).
-    Strict strip framing throughout; JPEG-in-TIFF compression, T.4
-    uncompressed-extension mode, planar storage, and tiled layout raise
+    Strict segment framing throughout; old-style JPEG (=6), T.4
+    uncompressed-extension mode, and planar storage raise
     ``NotImplementedError`` — the genuine codec-library gate."""
     bo, tags = _tiff_tags(payload)
     return _decode_tiff_ifd(payload, bo, tags)
@@ -2311,6 +2334,58 @@ def decode_tiff_pages(
             yield no, _decode_tiff_ifd(payload, bo, tags)
 
 
+def _tiff_layout(
+    tags: "dict[int, list[int]]", w: int, h: int, rps: int
+) -> "list[tuple[int, int, int, int, int, int]]":
+    """Segment placement for one IFD: a list of (offset, byte_count,
+    seg_w, seg_h, dest_y, dest_x). Strips are full-width bands; tiles
+    (TIFF 6.0 §15, tags 322-325) are a fixed grid laid out across then
+    down, every tile stored FULL SIZE — edge tiles carry padding the
+    placement crops off."""
+    if 322 in tags or 323 in tags:
+        if 273 in tags:
+            raise ValueError("TIFF with both strip and tile tags")
+        tw = tags.get(322, [0])[0]
+        tl = tags.get(323, [0])[0]
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError(f"TIFF tile size {tw}x{tl}: multiples of 16 required")
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tile offsets/byte-counts missing or mismatched")
+        across, down = -(-w // tw), -(-h // tl)
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF has {len(offsets)} tiles, expected {across * down}"
+            )
+        return [
+            (off, cnt, tw, tl, (i // across) * tl, (i % across) * tw)
+            for i, (off, cnt) in enumerate(zip(offsets, counts))
+        ]
+    offsets, counts = tags.get(273), tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/byte-counts missing or mismatched")
+    segs = []
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rps, h - s * rps)
+        if n_rows <= 0:
+            raise ValueError("TIFF has more strips than image rows")
+        segs.append((off, cnt, w, n_rows, s * rps, 0))
+    return segs
+
+
+def _jpeg_abbrev_merge(tables: bytes, stream: bytes) -> bytes:
+    """TIFF TechNote 2: tag 347 (JPEGTables) holds an abbreviated
+    tables-only JPEG stream (SOI, DQT/DHT/DRI…, EOI) shared by every
+    strip/tile; each segment is an abbreviated image stream. Splice the
+    tables in right after the segment's SOI so the plain decoder sees
+    one complete stream."""
+    if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise ValueError("JPEGTables must be an SOI…EOI tables stream")
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("JPEG-in-TIFF segment missing SOI")
+    return stream[:2] + tables[2:-2] + stream[2:]
+
+
 def _decode_tiff_ifd(
     payload: bytes, bo: str, tags: "dict[int, list[int]]"
 ) -> "np.ndarray":
@@ -2330,16 +2405,15 @@ def _decode_tiff_ifd(
     spp = one(277, 1)
     bits = tags.get(258, [1])
     predictor = one(317, 1)
-    if compression not in (1, 2, 3, 4, 5, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression}: only uncompressed (1), "
             "CCITT MH-RLE (2) / Group 3 (3) / Group 4 (4), LZW (5), "
-            "Deflate (8/32946), and PackBits (32773) decode without a codec"
+            "new-style JPEG (7), Deflate (8/32946), and PackBits (32773) "
+            "decode without a codec"
         )
     if one(284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2: chunky only")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF: strip layout only")
     if one(266, 1) != 1:
         raise NotImplementedError("TIFF FillOrder 2: MSB-first bit order only")
     if len(bits) != spp or len(set(bits)) != 1 or bits[0] not in (1, 8, 16):
@@ -2354,7 +2428,23 @@ def _decode_tiff_ifd(
         raise NotImplementedError("TIFF predictor on a bilevel raster")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
-    if photometric not in (0, 1, 2, 3):
+    if compression == 7:
+        # new-style JPEG (TechNote 2): the segments are complete or
+        # tables-abbreviated JPEG streams — gray (photo 1), stored-RGB
+        # (photo 2), or YCbCr (photo 6, the JPEG stream itself converts)
+        if bits[0] != 8:
+            raise NotImplementedError("JPEG-in-TIFF: 8-bit samples only")
+        if predictor != 1:
+            raise ValueError("TIFF predictor with JPEG compression")
+        if photometric not in (1, 2, 6):
+            raise NotImplementedError(
+                f"JPEG-in-TIFF photometric {photometric}: gray/RGB/YCbCr only"
+            )
+        if (photometric == 1 and spp != 1) or (photometric in (2, 6) and spp != 3):
+            raise ValueError(
+                f"JPEG-in-TIFF photometric {photometric} with {spp} samples"
+            )
+    elif photometric not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photometric}")
     if photometric == 2 and spp < 3:
         raise ValueError("TIFF RGB with <3 samples per pixel")
@@ -2362,92 +2452,94 @@ def _decode_tiff_ifd(
         raise NotImplementedError("TIFF palette: 8-bit single-sample only")
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid TIFF dimensions {w}x{h}")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/byte-counts missing or mismatched")
-    rows_per_strip = one(278, h)
+    segs = _tiff_layout(tags, w, h, one(278, h))
     if bits[0] == 1:
-        row_bytes = (w + 7) // 8
-        segs = []
-        for s, (off, cnt) in enumerate(zip(offsets, counts)):
-            n_rows = min(rows_per_strip, h - s * rows_per_strip)
-            if n_rows <= 0:
-                raise ValueError("TIFF has more strips than image rows")
+        canvas = np.zeros((h, w), dtype="u1")
+        for s, (off, cnt, sw, sh, dy, dx) in enumerate(segs):
+            row_bytes = (sw + 7) // 8
             raw = bytes(payload[off : off + cnt])
             if len(raw) < cnt:
-                raise ValueError("truncated TIFF strip")
+                raise ValueError("truncated TIFF segment")
             if compression == 4:
-                segs.append(_g4_decode(raw, w, n_rows))
+                rows = _g4_decode(raw, sw, sh)
             elif compression == 3:
                 t4 = one(292, 0)  # T4Options
                 if t4 & 2:
                     raise NotImplementedError(
                         "T.4 uncompressed-extension mode (T4Options bit 1)"
                     )
-                segs.append(_g3_decode(raw, w, n_rows, two_d=bool(t4 & 1)))
+                rows = _g3_decode(raw, sw, sh, two_d=bool(t4 & 1))
             elif compression == 2:
-                segs.append(_mh_decode(raw, w, n_rows))
+                rows = _mh_decode(raw, sw, sh)
             else:
                 if compression == 32773:
-                    raw = _packbits_decode(raw, n_rows * row_bytes)
+                    raw = _packbits_decode(raw, sh * row_bytes)
                 elif compression == 5:
-                    raw = _tiff_lzw_decode(raw, n_rows * row_bytes)
+                    raw = _tiff_lzw_decode(raw, sh * row_bytes)
                 elif compression in (8, 32946):
                     import zlib
 
                     raw = zlib.decompress(raw)
-                if len(raw) != n_rows * row_bytes:
+                if len(raw) != sh * row_bytes:
                     raise ValueError(
-                        f"TIFF bilevel strip {s} has {len(raw)} bytes, "
-                        f"expected {n_rows * row_bytes}"
+                        f"TIFF bilevel segment {s} has {len(raw)} bytes, "
+                        f"expected {sh * row_bytes}"
                     )
-                packed = np.frombuffer(raw, dtype="u1").reshape(n_rows, row_bytes)
-                segs.append(np.unpackbits(packed, axis=1)[:, :w])
-        arr = (np.vstack(segs) * np.uint8(255))[:, :, None]
+                packed = np.frombuffer(raw, dtype="u1").reshape(sh, row_bytes)
+                rows = np.unpackbits(packed, axis=1)[:, :sw]
+            ch_, cw_ = min(sh, h - dy), min(sw, w - dx)
+            canvas[dy : dy + ch_, dx : dx + cw_] = rows[:ch_, :cw_]
+        arr = canvas * np.uint8(255)
         if photometric == 0:
             arr = 255 - arr  # MinIsWhite: sample 0 renders white
-        return np.ascontiguousarray(arr[:, :, 0])
-    row_bytes = w * spp * (bits[0] // 8)
-    parts = []
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        n_rows = min(rows_per_strip, h - s * rows_per_strip)
-        if n_rows <= 0:
-            raise ValueError("TIFF has more strips than image rows")
+        return np.ascontiguousarray(arr)
+    jpegtables = bytes(tags[347]) if 347 in tags else None
+    out_dt = "uint16" if bits[0] == 16 else "uint8"
+    canvas = np.zeros((h, w, spp), dtype=out_dt)
+    for s, (off, cnt, sw, sh, dy, dx) in enumerate(segs):
         raw = bytes(payload[off : off + cnt])
         if len(raw) < cnt:
-            raise ValueError("truncated TIFF strip")
-        if compression == 32773:
-            raw = _packbits_decode(raw, n_rows * row_bytes)
-        elif compression == 5:
-            raw = _tiff_lzw_decode(raw, n_rows * row_bytes)
-        elif compression in (8, 32946):
-            import zlib
-
-            raw = zlib.decompress(raw)
-            if len(raw) != n_rows * row_bytes:
-                raise ValueError(
-                    f"TIFF Deflate strip {s} inflated to {len(raw)} bytes, "
-                    f"expected {n_rows * row_bytes}"
-                )
-        elif len(raw) != n_rows * row_bytes:
-            raise ValueError(
-                f"TIFF strip {s} has {len(raw)} bytes, expected {n_rows * row_bytes}"
+            raise ValueError("truncated TIFF segment")
+        if compression == 7:
+            stream = _jpeg_abbrev_merge(jpegtables, raw) if jpegtables else raw
+            seg_arr = _decode_jpeg(
+                stream, color_transform="rgb" if photometric == 2 else None
             )
-        parts.append(raw)
-    data = b"".join(parts)
-    if len(data) != h * row_bytes:
-        raise ValueError(
-            f"TIFF strips total {len(data)} bytes, expected {h * row_bytes}"
-        )
-    dtype = np.dtype(bo + "u2") if bits[0] == 16 else np.dtype("u1")
-    arr = np.frombuffer(data, dtype=dtype).reshape(h, w, spp)
-    arr = arr.astype("uint16" if bits[0] == 16 else "uint8")
-    if predictor == 2:
-        # horizontal differencing: each sample stores the delta from its
-        # left neighbor; modular cumsum restores the row (dtype-targeted
-        # cumsum wraps exactly like the encoder's modular subtraction)
-        arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
+            if seg_arr.ndim == 2:
+                seg_arr = seg_arr[:, :, None]
+            if seg_arr.shape != (sh, sw, spp):
+                raise ValueError(
+                    f"JPEG-in-TIFF segment {s} decodes to {seg_arr.shape}, "
+                    f"expected {(sh, sw, spp)}"
+                )
+            seg_arr = seg_arr.astype(out_dt)
+        else:
+            row_bytes = sw * spp * (bits[0] // 8)
+            if compression == 32773:
+                raw = _packbits_decode(raw, sh * row_bytes)
+            elif compression == 5:
+                raw = _tiff_lzw_decode(raw, sh * row_bytes)
+            elif compression in (8, 32946):
+                import zlib
+
+                raw = zlib.decompress(raw)
+            if len(raw) != sh * row_bytes:
+                raise ValueError(
+                    f"TIFF segment {s} has {len(raw)} bytes, "
+                    f"expected {sh * row_bytes}"
+                )
+            dtype = np.dtype(bo + "u2") if bits[0] == 16 else np.dtype("u1")
+            seg_arr = np.frombuffer(raw, dtype=dtype).reshape(sh, sw, spp)
+            seg_arr = seg_arr.astype(out_dt)
+            if predictor == 2:
+                # horizontal differencing restarts at every row and is
+                # scoped to the segment (each tile differences its own
+                # rows); modular cumsum restores them (dtype-targeted
+                # cumsum wraps exactly like the encoder's subtraction)
+                seg_arr = np.cumsum(seg_arr, axis=1, dtype=seg_arr.dtype)
+        ch_, cw_ = min(sh, h - dy), min(sw, w - dx)
+        canvas[dy : dy + ch_, dx : dx + cw_] = seg_arr[:ch_, :cw_]
+    arr = canvas
     if photometric == 3:
         cmap = tags.get(320)
         if cmap is None or len(cmap) != 3 * 256:
@@ -2472,21 +2564,33 @@ def encode_tiff(
     predictor: int = 1,
     photometric: "str | None" = None,
     bilevel: bool = False,
+    tile: "tuple[int, int] | None" = None,
+    jpeg_quant: int = 1,
+    jpeg_subsample: "tuple[int, int]" = (1, 1),
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Inverse of :func:`_decode_tiff` for chunky 8/16-bit gray and RGB —
     the deterministic fixture builder (layout: header, strip data, IFD
-    last). ``compression`` "none"/"lzw"/"deflate"/"packbits" (plus
-    "mh"/"g3"/"g3_2d"/"g4" when ``bilevel``), either ``byteorder``,
-    optional multi-strip layout, predictor 2 (horizontal differencing),
+    last). ``compression`` "none"/"lzw"/"deflate"/"packbits"/"jpeg"
+    (plus "mh"/"g3"/"g3_2d"/"g4" when ``bilevel``), either ``byteorder``,
+    optional multi-strip layout OR a tiled grid (``tile=(tw, tl)``,
+    multiples of 16, edge tiles stored full-size), predictor 2
+    (horizontal differencing, per segment),
     and ``photometric="miniswhite"`` (stores inverted samples under
     photometric 0 — decode inverts back). ``bilevel`` takes a (h, w)
     uint8 array of {0, 255} and writes a 1-bit MinIsWhite raster — the
-    scanned-document shape — packed MSB-first or CCITT-coded."""
+    scanned-document shape — packed MSB-first or CCITT-coded.
+    ``compression="jpeg"`` writes new-style JPEG (7) segments via
+    :func:`encode_jpeg` — gray → photometric 1, RGB → YCbCr photometric
+    6 (``jpeg_subsample`` honored) or stored-RGB photometric 2 with
+    ``photometric="rgb"``; ``jpeg_tables=True`` factors the shared
+    DQT/DHT/DRI into a tag-347 JPEGTables stream with abbreviated
+    segments (TIFF TechNote 2)."""
     import struct
 
     spec = _tiff_page_spec(
         arr, compression, byteorder, rows_per_strip, predictor,
-        photometric, bilevel,
+        photometric, bilevel, tile, jpeg_quant, jpeg_subsample, jpeg_tables,
     )
     return _tiff_chain(struct, byteorder, [spec])
 
@@ -2499,6 +2603,10 @@ def encode_tiff_multipage(
     predictor: int = 1,
     photometric: "str | None" = None,
     bilevel: bool = False,
+    tile: "tuple[int, int] | None" = None,
+    jpeg_quant: int = 1,
+    jpeg_subsample: "tuple[int, int]" = (1, 1),
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Multi-page TIFF: one IFD per page chained through the next-IFD
     pointers (layout: header, every page's strips, then the IFD chain) —
@@ -2512,11 +2620,65 @@ def encode_tiff_multipage(
     specs = [
         _tiff_page_spec(
             a, compression, byteorder, rows_per_strip, predictor,
-            photometric, bilevel,
+            photometric, bilevel, tile, jpeg_quant, jpeg_subsample,
+            jpeg_tables,
         )
         for a in arrs
     ]
     return _tiff_chain(struct, byteorder, specs)
+
+
+def _jpeg_split_tables(stream: bytes) -> "tuple[bytes, bytes]":
+    """Split a full JPEG stream into (tables, abbreviated image stream):
+    DQT/DHT/DRI segments move to a SOI…EOI tables stream (the tag-347
+    JPEGTables payload), everything else keeps its order — the encoder
+    inverse of :func:`_jpeg_abbrev_merge`."""
+    import struct
+
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    abbrev = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at byte {pos}")
+        marker = stream[pos + 1]
+        if marker in (0xD9, 0xDA):
+            # SOS (entropy data follows) or EOI: the rest moves verbatim
+            abbrev += stream[pos:]
+            break
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4, 0xDD):
+            tables += seg
+        else:
+            abbrev += seg
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG stream ended before SOS/EOI")
+    return bytes(tables + b"\xff\xd9"), bytes(abbrev)
+
+
+def _tiff_segment_blocks(sample, h: int, w: int, rps: int, tile):
+    """Per-segment pixel blocks in layout order: full-width strip bands,
+    or full-size tiles with edge-replicated padding on the right/bottom
+    edges (the decoder crops it back off)."""
+    if tile is None:
+        return [sample[y0 : y0 + rps] for y0 in range(0, h, rps)]
+    tw, tl = tile
+    if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+        raise ValueError(f"TIFF tile size {tw}x{tl}: multiples of 16 required")
+    blocks = []
+    for r in range(0, h, tl):
+        for c in range(0, w, tw):
+            blk = sample[r : r + tl, c : c + tw]
+            ph, pw = tl - blk.shape[0], tw - blk.shape[1]
+            if ph or pw:
+                pad = [(0, ph), (0, pw)] + [(0, 0)] * (blk.ndim - 2)
+                blk = np.pad(blk, pad, mode="edge")
+            blocks.append(blk)
+    return blocks
 
 
 def _tiff_page_spec(
@@ -2527,8 +2689,12 @@ def _tiff_page_spec(
     predictor: int,
     photometric: "str | None",
     bilevel: bool,
+    tile: "tuple[int, int] | None" = None,
+    jpeg_quant: int = 1,
+    jpeg_subsample: "tuple[int, int]" = (1, 1),
+    jpeg_tables: bool = False,
 ) -> dict:
-    """Encode one page's strips and collect its IFD fields."""
+    """Encode one page's strips/tiles and collect its IFD fields."""
     arr = np.asarray(arr)
     if arr.dtype not in (np.dtype("uint8"), np.dtype("uint16")):
         raise ValueError(f"expected uint8/uint16, got {arr.dtype}")
@@ -2539,11 +2705,13 @@ def _tiff_page_spec(
     h, w, spp = arr.shape
     comp_tags = {
         "none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
-        "mh": 2, "g3": 3, "g3_2d": 3, "g4": 4,
+        "mh": 2, "g3": 3, "g3_2d": 3, "g4": 4, "jpeg": 7,
     }
     fax = ("mh", "g3", "g3_2d", "g4")
     if compression not in comp_tags or (compression in fax and not bilevel):
         raise ValueError(f"unsupported compression {compression!r}")
+    if compression == "jpeg" and bilevel:
+        raise ValueError("jpeg compression on a bilevel raster")
     if bilevel:
         if spp != 1 or arr.dtype != np.dtype("uint8"):
             raise ValueError("bilevel input must be (h, w) uint8")
@@ -2556,8 +2724,7 @@ def _tiff_page_spec(
         bits, photo = 1, 0
         rps = h if rows_per_strip is None else rows_per_strip
         strips = []
-        for y0 in range(0, h, rps):
-            rows = sample[y0 : y0 + rps]
+        for rows in _tiff_segment_blocks(sample, h, w, rps, tile):
             if compression == "g4":
                 strips.append(_g4_encode(rows))
             elif compression in ("g3", "g3_2d"):
@@ -2581,45 +2748,81 @@ def _tiff_page_spec(
         return {
             "w": w, "h": h, "spp": 1, "bits": bits, "photo": photo,
             "comp_tag": comp_tags[compression], "rps": rps, "strips": strips,
-            "predictor": predictor,
+            "predictor": predictor, "tile": tile, "jpegtables": None,
             "t4": {"g3": 0, "g3_2d": 1}.get(compression),
         }
     bits = 16 if arr.dtype == np.dtype("uint16") else 8
     photo = 2 if spp == 3 else 1
-    if photometric == "miniswhite":
+    if compression == "jpeg":
+        if bits != 8:
+            raise ValueError("jpeg TIFF: 8-bit samples only")
+        if predictor != 1:
+            raise ValueError("predictor with jpeg compression")
+        if photometric == "rgb":
+            if spp != 3:
+                raise ValueError("photometric 'rgb' needs 3 samples per pixel")
+            photo = 2  # stored-RGB components, no color transform
+        elif photometric is not None:
+            raise ValueError(f"unsupported photometric {photometric!r} for jpeg")
+        elif spp == 3:
+            photo = 6  # the JPEG stream carries YCbCr (TechNote 2 default)
+    elif photometric == "miniswhite":
         if spp != 1:
             raise ValueError("miniswhite is a grayscale photometric")
         photo = 0
         arr = ((65535 if bits == 16 else 255) - arr.astype("int64")).astype(arr.dtype)
     elif photometric is not None:
         raise ValueError(f"unsupported photometric {photometric!r}")
-    if predictor == 2:
-        d = arr.astype("int64")
-        d[:, 1:] -= arr[:, :-1].astype("int64")
-        arr = (d % (1 << bits)).astype(arr.dtype)
-    elif predictor != 1:
+    if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
     rps = h if rows_per_strip is None else rows_per_strip
-    sample = arr.astype(np.dtype(byteorder + "u2")) if bits == 16 else arr
+    blocks = _tiff_segment_blocks(arr, h, w, rps, tile)
     strips = []
-    for y0 in range(0, h, rps):
-        rows = sample[y0 : y0 + rps]
-        if compression == "packbits":
-            # the spec restarts the RLE at every row; the decoder only
-            # needs strip framing, but emit the canonical form
-            strips.append(b"".join(_packbits_encode(r.tobytes()) for r in rows))
-        elif compression == "lzw":
-            strips.append(_tiff_lzw_encode(rows.tobytes()))
-        elif compression == "deflate":
-            import zlib
-
-            strips.append(zlib.compress(rows.tobytes(), 6))
+    jpegtables = None
+    if compression == "jpeg":
+        streams = [
+            encode_jpeg(
+                blk[:, :, 0] if spp == 1 else blk,
+                quant=jpeg_quant,
+                subsample=jpeg_subsample if photo == 6 else (1, 1),
+                rgb_direct=photo == 2,
+            )
+            for blk in blocks
+        ]
+        if jpeg_tables:
+            split = [_jpeg_split_tables(s) for s in streams]
+            jpegtables = split[0][0]
+            if any(t != jpegtables for t, _ in split):
+                raise ValueError("JPEGTables differ across segments")
+            strips = [a for _, a in split]
         else:
-            strips.append(rows.tobytes())
+            strips = streams
+    else:
+        for blk in blocks:
+            if predictor == 2:
+                # horizontal differencing is per row WITHIN the segment
+                # (each tile restarts at its own left edge)
+                d = blk.astype("int64")
+                d[:, 1:] -= blk[:, :-1].astype("int64")
+                blk = (d % (1 << bits)).astype(arr.dtype)
+            rows = blk.astype(np.dtype(byteorder + "u2")) if bits == 16 else blk
+            if compression == "packbits":
+                # the spec restarts the RLE at every row; the decoder only
+                # needs segment framing, but emit the canonical form
+                strips.append(b"".join(_packbits_encode(r.tobytes()) for r in rows))
+            elif compression == "lzw":
+                strips.append(_tiff_lzw_encode(rows.tobytes()))
+            elif compression == "deflate":
+                import zlib
+
+                strips.append(zlib.compress(rows.tobytes(), 6))
+            else:
+                strips.append(rows.tobytes())
     return {
         "w": w, "h": h, "spp": spp, "bits": bits, "photo": photo,
         "comp_tag": comp_tags[compression], "rps": rps, "strips": strips,
-        "predictor": predictor, "t4": None,
+        "predictor": predictor, "tile": tile, "jpegtables": jpegtables,
+        "t4": None,
     }
 
 
@@ -2638,12 +2841,15 @@ def _tiff_chain(struct, byteorder, specs: "list[dict]") -> bytes:
     ifd_blobs = []
     ifd_off = first_ifd
     for pi, sp in enumerate(specs):
-        tag_list = (
-            [256, 257, 258, 259, 262, 273, 277, 278, 279]
-            + ([292] if sp["t4"] is not None else [])
-            + ([317] if sp["predictor"] == 2 else [])
+        tiled = sp.get("tile") is not None
+        jt = sp.get("jpegtables")
+        n_entries = (
+            (10 if tiled else 9)
+            + (1 if sp["t4"] is not None else 0)
+            + (1 if sp["predictor"] == 2 else 0)
+            + (1 if jt else 0)
         )
-        extra_off = ifd_off + 2 + 12 * len(tag_list) + 4
+        extra_off = ifd_off + 2 + 12 * n_entries + 4
         extra = b""
 
         def many(vals: list[int]) -> "tuple[int, int, bytes]":
@@ -2662,21 +2868,34 @@ def _tiff_chain(struct, byteorder, specs: "list[dict]") -> bytes:
         extra += so_extra
         sc_count, sc_val, sc_extra = many([len(s) for s in sp["strips"]])
         extra += sc_extra
+        # entries in ascending-tag order (TIFF 6.0 requires sorted IFDs)
         entries = [
             (256, 4, 1, sp["w"]),
             (257, 4, 1, sp["h"]),
             (258, 4, bps_count, bps_val),
             (259, 4, 1, sp["comp_tag"]),
             (262, 4, 1, sp["photo"]),
-            (273, 4, so_count, so_val),
-            (277, 4, 1, sp["spp"]),
-            (278, 4, 1, sp["rps"]),
-            (279, 4, sc_count, sc_val),
         ]
+        if not tiled:
+            entries.append((273, 4, so_count, so_val))
+        entries.append((277, 4, 1, sp["spp"]))
+        if not tiled:
+            entries.append((278, 4, 1, sp["rps"]))
+            entries.append((279, 4, sc_count, sc_val))
         if sp["t4"] is not None:
             entries.append((292, 4, 1, sp["t4"]))
         if sp["predictor"] == 2:
             entries.append((317, 4, 1, 2))
+        if tiled:
+            entries.append((322, 4, 1, sp["tile"][0]))
+            entries.append((323, 4, 1, sp["tile"][1]))
+            entries.append((324, 4, so_count, so_val))
+            entries.append((325, 4, sc_count, sc_val))
+        if jt:
+            jt_off = extra_off
+            extra_off += len(jt)
+            extra += jt
+            entries.append((347, 7, len(jt), jt_off))
         ifd_len = 2 + 12 * len(entries) + 4 + len(extra)
         next_ifd = ifd_off + ifd_len if pi + 1 < len(specs) else 0
         blob = struct.pack(byteorder + "H", len(entries))
@@ -4618,6 +4837,17 @@ _IMAGE_ENCODERS = {
     ),
     "tiff_lzw": (
         lambda a: encode_tiff(a, compression="lzw", predictor=2),
+        "image/tiff",
+    ),
+    "tiff_tiled": (
+        lambda a: encode_tiff(a, compression="lzw", predictor=2, tile=(16, 16)),
+        "image/tiff",
+    ),
+    # near-lossless at quant=1 like "jpeg"; shared tables in tag 347
+    "tiff_jpeg": (
+        lambda a: encode_tiff(
+            a, compression="jpeg", rows_per_strip=8, jpeg_tables=True
+        ),
         "image/tiff",
     ),
     "jpeg": (encode_jpeg, "image/jpeg"),  # near-lossless at quant=1

@@ -666,12 +666,15 @@ def test_tiff_decode_roundtrip_and_variants():
                 struct.pack_into("<I", buf, e + 8, value)
         return bytes(buf)
 
-    with _pytest.raises(ValueError, match="truncated TIFF strip"):
+    with _pytest.raises(ValueError, match="truncated TIFF segment"):
         multimodal.decode_image(patch(279, len(full) * 2))
     with _pytest.raises(ValueError, match="expected 117"):  # 9×13 gray
         multimodal.decode_image(patch(279, gray.size - 1))
-    with _pytest.raises(NotImplementedError, match="compression 7"):
-        multimodal.decode_image(patch(259, 7))  # JPEG-in-TIFF stays gated
+    with _pytest.raises(NotImplementedError, match="compression 6"):
+        multimodal.decode_image(patch(259, 6))  # old-style JPEG stays gated
+    with _pytest.raises(ValueError, match="marker|SOI"):
+        # new-style JPEG decodes now — raw gray bytes are not a JPEG stream
+        multimodal.decode_image(patch(259, 7))
     with _pytest.raises(NotImplementedError, match="planar"):
         multimodal.decode_image(
             full[:ifd_off]
@@ -994,6 +997,151 @@ def test_tiff_multipage_roundtrip_and_sampling():
         multimodal.probe_tiff(bytes(buf))
 
 
+def test_tiff_tiled_and_jpeg_in_tiff():
+    """Tiled TIFF (tags 322-325: a fixed across-then-down grid whose edge
+    tiles are stored FULL SIZE and cropped at placement) and new-style
+    JPEG-in-TIFF (compression 7) — complete per-segment streams or
+    abbreviated ones sharing a tag-347 JPEGTables stream — round-trip:
+    byte compressions and the per-tile predictor bit-exactly, all fax
+    codings on tiled bilevel rasters, flat-block JPEG exactly at quant=1,
+    stored-RGB photometric 2 without a color transform, and YCbCr
+    photometric 6 within the DCT bound. Framing violations raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(11)
+
+    # --- tiled byte compressions: bit-exact, equal to the strip form ---
+    for shape, dt, bo in (
+        ((40, 56), "uint8", "<"),
+        ((40, 56, 3), "uint8", "<"),
+        ((33, 49), "uint16", ">"),
+    ):
+        hi = 256 if dt == "uint8" else 65536
+        arr = rng.randint(0, hi, size=shape).astype(dt)
+        for comp in ("none", "lzw", "deflate", "packbits"):
+            for pred in (1, 2):
+                pay = multimodal.encode_tiff(
+                    arr, compression=comp, byteorder=bo, tile=(16, 32),
+                    predictor=pred,
+                )
+                out = multimodal.decode_image(pay)
+                assert out.dtype == arr.dtype and out.shape == arr.shape
+                assert (out == arr).all(), (shape, comp, pred)
+                strip = multimodal.decode_image(
+                    multimodal.encode_tiff(
+                        arr, compression=comp, byteorder=bo, rows_per_strip=7,
+                        predictor=pred,
+                    )
+                )
+                assert (out == strip).all()
+
+    # --- tiled bilevel: every fax coding + bit-packed forms ---
+    bl = (rng.randint(0, 2, size=(45, 70)) * 255).astype("uint8")
+    for comp in ("g4", "mh", "g3", "g3_2d", "none", "packbits", "lzw", "deflate"):
+        pay = multimodal.encode_tiff(bl, compression=comp, bilevel=True, tile=(16, 16))
+        assert (multimodal.decode_image(pay) == bl).all(), comp
+
+    # --- JPEG-in-TIFF: flat blocks are DC-only → exact at quant=1 ---
+    flat = np.kron(
+        rng.randint(16, 240, size=(3, 4)).astype("uint8"),
+        np.ones((16, 16), dtype="uint8"),
+    )  # 48x64 gray
+    for kw in (
+        {}, {"rows_per_strip": 16}, {"tile": (16, 32)},
+        {"jpeg_tables": True}, {"tile": (16, 16), "jpeg_tables": True},
+        {"rows_per_strip": 16, "jpeg_tables": True},
+    ):
+        pay = multimodal.encode_tiff(flat, compression="jpeg", **kw)
+        out = multimodal.decode_image(pay)
+        assert out.dtype == np.dtype("uint8") and (out == flat).all(), kw
+        meta = multimodal.probe_tiff(pay)
+        assert meta["pages"][0]["compression"] == 7
+
+    rgbflat = np.repeat(
+        np.repeat(rng.randint(16, 240, size=(3, 4, 3)).astype("uint8"), 16, axis=0),
+        16, axis=1,
+    )
+    # photometric 2 (stored RGB, no color transform): exact on flat blocks
+    pay = multimodal.encode_tiff(
+        rgbflat, compression="jpeg", photometric="rgb", tile=(32, 16),
+        jpeg_tables=True,
+    )
+    assert (multimodal.decode_image(pay) == rgbflat).all()
+    # photometric 6 (YCbCr): the JFIF float transform round-trips within ±2
+    for kw in ({}, {"jpeg_subsample": (2, 2), "rows_per_strip": 16}):
+        pay = multimodal.encode_tiff(rgbflat, compression="jpeg", **kw)
+        out = multimodal.decode_image(pay)
+        assert int(np.abs(out.astype(int) - rgbflat.astype(int)).max()) <= 2, kw
+
+    # abbreviated segments really are abbreviated: tables live in tag 347
+    full_stream = multimodal.encode_jpeg(flat, quant=1)
+    tables, abbrev = multimodal._jpeg_split_tables(full_stream)
+    assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in tables and b"\xff\xc4" in tables
+    assert b"\xff\xdb" not in abbrev and abbrev[:2] == b"\xff\xd8"
+    merged = multimodal._jpeg_abbrev_merge(tables, abbrev)
+    assert (multimodal.decode_image(merged) == flat).all()
+    with _pytest.raises(ValueError, match="SOI"):
+        multimodal._jpeg_abbrev_merge(tables[:-2], abbrev)
+    with _pytest.raises(ValueError, match="SOI"):
+        multimodal._jpeg_abbrev_merge(tables, abbrev[2:])
+    with _pytest.raises(ValueError, match="before SOS"):
+        multimodal._jpeg_split_tables(full_stream[:20])
+
+    # --- framing violations ---
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        multimodal.encode_tiff(flat, tile=(10, 16))
+    with _pytest.raises(ValueError, match="predictor with jpeg"):
+        multimodal.encode_tiff(flat, compression="jpeg", predictor=2)
+    with _pytest.raises(ValueError, match="'rgb' needs 3 samples"):
+        multimodal.encode_tiff(flat, compression="jpeg", photometric="rgb")
+    with _pytest.raises(ValueError, match="8-bit samples"):
+        multimodal.encode_tiff(
+            flat.astype("uint16") * 257, compression="jpeg"
+        )
+    with _pytest.raises(ValueError, match="full-resolution"):
+        multimodal.encode_jpeg(rgbflat, rgb_direct=True, subsample=(2, 2))
+
+    good = multimodal.encode_tiff(flat, compression="lzw", tile=(16, 16))
+    ifd_off = struct.unpack_from("<I", good, 4)[0]
+    (n_entries,) = struct.unpack_from("<H", good, ifd_off)
+
+    def patch(tag: int, value: "int | None" = None, new_tag: "int | None" = None):
+        buf = bytearray(good)
+        for k in range(n_entries):
+            e = ifd_off + 2 + 12 * k
+            if struct.unpack_from("<H", buf, e)[0] == tag:
+                if value is not None:
+                    struct.pack_into("<I", buf, e + 8, value)
+                if new_tag is not None:
+                    struct.pack_into("<H", buf, e, new_tag)
+        return bytes(buf)
+
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        multimodal._decode_tiff(patch(322, value=10))
+    with _pytest.raises(ValueError, match="12 tiles, expected 15"):
+        multimodal._decode_tiff(patch(256, value=80))  # 80x48 needs 5x3 tiles
+    with _pytest.raises(ValueError, match="both strip and tile"):
+        multimodal._decode_tiff(patch(324, new_tag=273))
+
+    # strip-JPEG whose stream decodes to the wrong segment shape
+    jp = multimodal.encode_tiff(flat, compression="jpeg")
+    jifd = struct.unpack_from("<I", jp, 4)[0]
+    (jn,) = struct.unpack_from("<H", jp, jifd)
+    buf = bytearray(jp)
+    for k in range(jn):
+        e = jifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, e)[0] == 257:
+            struct.pack_into("<I", buf, e + 8, flat.shape[0] - 8)
+    with _pytest.raises(ValueError, match="decodes to"):
+        multimodal._decode_tiff(bytes(buf))
+
+
 def test_tiff_page_sampling_over_spark(spark, emb):
     """Multi-page scanned-document table through the real mapInPandas
     path: every page's features match the rolled-raster replica, 1-in-k
@@ -1313,12 +1461,14 @@ def test_image_features_cross_format_parity(spark, emb):
         }
         for fmt in (
             "ppm", "png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw",
-            "jpeg", "jpeg_progressive",
+            "tiff_tiled", "jpeg", "jpeg_progressive", "tiff_jpeg",
         )
     }
     pixel_cols = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
     for vid, ref in by_fmt["ppm"].items():
-        for fmt in ("png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw"):
+        for fmt in (
+            "png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw", "tiff_tiled"
+        ):
             got = by_fmt[fmt][vid]
             assert [got[c] for c in pixel_cols] == [ref[c] for c in pixel_cols], fmt
             assert got["checksum"] != ref["checksum"]  # different container bytes
@@ -1333,6 +1483,15 @@ def test_image_features_cross_format_parity(spark, emb):
         p = by_fmt["jpeg_progressive"][vid]
         assert [p[c] for c in pixel_cols] == [j[c] for c in pixel_cols]
         assert p["checksum"] != j["checksum"]
+        # JPEG-in-TIFF: per-strip JPEG streams, same quant=1 near-lossless bound
+        tj = by_fmt["tiff_jpeg"][vid]
+        assert [tj[c] for c in ("width", "height", "channels")] == [
+            ref[c] for c in ("width", "height", "channels")
+        ]
+        assert (
+            tj["min_val"] >= ref["min_val"] - 3 and tj["max_val"] <= ref["max_val"] + 3
+        )
+        assert abs(tj["mean_val"] - ref["mean_val"]) < 1.0
 
 
 def test_y4m_video_decode_roundtrip_and_sampling():
