@@ -120,13 +120,15 @@ def decode_image(payload: bytes) -> "np.ndarray":
     LZW, Deflate, and PackBits strips; CCITT fax bilevel (T.6 Group 4,
     T.4 Group 3 1-D/2-D, and MH-RLE — the scanned-document codings);
     predictor 2;
-    palette/MinIsWhite (:func:`_decode_tiff`). Returns uint8 or uint16,
-    shape (h, w) for grayscale, (h, w, 3) for RGB.
+    palette/MinIsWhite (:func:`_decode_tiff`) — and lossless WebP
+    (RIFF/VP8L, :func:`_decode_webp`: all four transforms, color cache,
+    LZ77, meta prefix groups). Returns uint8 or uint16, shape (h, w)
+    for grayscale, (h, w, 3) for RGB.
 
     Formats genuinely needing an external codec (arithmetic-coded /
-    hierarchical JPEG, …) still raise ``NotImplementedError`` —
-    the pluggable-strategy gate, mirroring the reference's binary
-    override design (ref: pypdfocr/pypdfocr.py:314-324).
+    hierarchical JPEG, lossy VP8, …) still raise
+    ``NotImplementedError`` — the pluggable-strategy gate, mirroring the
+    reference's binary override design (ref: pypdfocr/pypdfocr.py:314-324).
     """
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
@@ -139,11 +141,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return _decode_gif(payload)
     if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        return _decode_webp(payload)
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise NotImplementedError(
             f"unsupported image magic {magic!r}: only PNM (P2/P3/P5/P6), "
-            "uncompressed BMP, GIF, baseline TIFF, PNG, and Huffman JPEG "
-            "decode without PIL/cv2 on the cluster"
+            "uncompressed BMP, GIF, baseline TIFF, PNG, Huffman JPEG, and "
+            "lossless WebP (VP8L) decode without PIL/cv2 on the cluster"
         )
     channels = 3 if magic in (b"P3", b"P6") else 1
     (w, h, maxval), data_off = _parse_pnm_header(payload, 3)
@@ -4808,6 +4812,1074 @@ def media_table(emb: DataFrame) -> DataFrame:
     return emb.mapInPandas(pack, MEDIA_SCHEMA)
 
 
+# --- WebP: RIFF container + VP8L lossless bitstream ------------------------
+#
+# VP8L (the WebP lossless coding, RFC 9649 §3-§5) is deflate-shaped:
+# LSB-first bit packing, canonical prefix codes read MSB-of-code first,
+# LZ77 back-references, plus four image transforms (predictor / color /
+# subtract-green / color-indexing), an LRU-less color cache, and optional
+# per-block "meta" prefix-code groups. Everything below is stdlib+numpy;
+# the encoder exists to build deterministic fixtures that exercise every
+# decode path (it is NOT a rate-optimized coder). Lossy VP8 stays behind
+# the codec gate — its boolean arithmetic coder + loop filter is a real
+# codec-library dependency.
+
+# Back-reference distance codes 1..120 name near offsets (dx, dy) rather
+# than linear distances. The RFC's 120-entry table is exactly the offsets
+# with dx in [-7, 8], dy in [0, 7] (dy == 0 only with dx >= 1), ordered by
+# squared euclidean length with ties broken by |dx| ascending then
+# positive-dx first — the generation rule below reproduces the published
+# table and the test pins its head literally against the RFC excerpt.
+_VP8L_DIST_MAP: "list[tuple[int, int]]" = sorted(
+    (
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if dy > 0 or dx >= 1
+    ),
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), -p[0]),
+)
+
+# code-length-code symbol order (RFC 9649 §5.2.2) — differs from deflate
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+class _Vp8lReader:
+    """LSB-first bit reader over a VP8L stream (same packing as deflate:
+    bits fill each byte from bit 0 up)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0  # bit offset
+
+    def bits(self, n: int) -> int:
+        end = self.pos + n
+        if end > 8 * len(self.buf):
+            raise ValueError("VP8L stream truncated")
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            v |= ((self.buf[p >> 3] >> (p & 7)) & 1) << i
+        self.pos = end
+        return v
+
+
+class _Vp8lWriter:
+    """LSB-first bit writer, inverse of :class:`_Vp8lReader`."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bit = 0
+
+    def bits(self, v: int, n: int) -> None:
+        if v < 0 or v >> n:
+            raise ValueError(f"value {v} does not fit in {n} bits")
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (v >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def code(self, code: int, length: int) -> None:
+        # prefix codes are emitted MSB-of-code first (deflate convention)
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+class _Vp8lPrefixCode:
+    """A canonical prefix code built from per-symbol code lengths.
+
+    Canonical assignment is deflate-style (codes count up within each
+    length, symbols in ascending order); decoding walks the stream one
+    bit at a time accumulating the code MSB-first. A code with exactly
+    one used symbol is the degenerate zero-bit code — decoding consumes
+    nothing (RFC 9649 simple codes with one symbol behave identically)."""
+
+    def __init__(self, lengths: "list[int]"):
+        used = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if not used:
+            raise ValueError("VP8L prefix code with no symbols")
+        self.single: "int | None" = used[0][0] if len(used) == 1 else None
+        self.table: "dict[tuple[int, int], int]" = {}
+        self.max_len = 0
+        if self.single is not None:
+            return
+        kraft = sum(1 << (15 - l) for _, l in used)
+        if kraft != 1 << 15:
+            raise ValueError(
+                f"VP8L prefix code is {'over' if kraft > 1 << 15 else 'under'}"
+                "-subscribed (Kraft sum != 1)"
+            )
+        self.max_len = max(l for _, l in used)
+        counts = [0] * (self.max_len + 1)
+        for _, l in used:
+            counts[l] += 1
+        next_code = [0] * (self.max_len + 1)
+        c = 0
+        for l in range(1, self.max_len + 1):
+            c = (c + counts[l - 1]) << 1
+            next_code[l] = c
+        encode: "dict[int, tuple[int, int]]" = {}
+        for s, l in used:  # ascending symbol order → canonical
+            encode[s] = (next_code[l], l)
+            self.table[(l, next_code[l])] = s
+            next_code[l] += 1
+        self.encode = encode
+
+    def decode(self, rd: _Vp8lReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | rd.bits(1)
+            length += 1
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+            if length > self.max_len:
+                raise ValueError("invalid VP8L prefix code in stream")
+
+    def emit(self, wr: _Vp8lWriter, sym: int) -> None:
+        if self.single is not None:
+            if sym != self.single:
+                raise ValueError(f"symbol {sym} not in single-symbol code")
+            return
+        code, length = self.encode[sym]
+        wr.code(code, length)
+
+
+def _vp8l_prefix_value(sym: int, rd: _Vp8lReader) -> int:
+    """LZ77 length/distance-code values use a shared prefix scheme
+    (RFC 9649 §4.2.2.1): symbols 0-3 are the values 1-4; above that each
+    symbol names a power-of-two bucket with (sym-2)>>1 extra bits."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + rd.bits(extra) + 1
+
+
+def _vp8l_prefix_sym(value: int) -> "tuple[int, int, int]":
+    """Inverse of :func:`_vp8l_prefix_value`: (symbol, extra_bits_value,
+    extra_bits_count) for a length/distance-code value >= 1."""
+    if value < 1:
+        raise ValueError("prefix-coded values start at 1")
+    if value <= 4:
+        return value - 1, 0, 0
+    u = value - 1
+    extra = u.bit_length() - 2
+    sym = 2 * extra + (u >> extra)
+    return sym, u & ((1 << extra) - 1), extra
+
+
+def _vp8l_read_prefix_code(rd: _Vp8lReader, alphabet: int) -> _Vp8lPrefixCode:
+    """One prefix code (RFC 9649 §5.2.2): either the 'simple' form (one
+    or two literal symbols) or the normal form — a 3-bit-per-entry
+    code-length code over 19 symbols, then per-symbol code lengths with
+    16 (copy previous non-zero ×3-6), 17 (zeros ×3-10), and 18 (zeros
+    ×11-138) repeats, optionally truncated by an explicit max_symbol."""
+    if rd.bits(1):  # simple code
+        n_syms = rd.bits(1) + 1
+        syms = [rd.bits(8) if rd.bits(1) else rd.bits(1)]
+        if n_syms == 2:
+            syms.append(rd.bits(8))
+        lengths = [0] * alphabet
+        for s in syms:
+            if s >= alphabet:
+                raise ValueError(f"VP8L simple-code symbol {s} out of alphabet")
+            if lengths[s]:
+                raise ValueError("VP8L simple code repeats a symbol")
+            lengths[s] = 1
+        return _Vp8lPrefixCode(lengths)
+    n_cl = 4 + rd.bits(4)
+    if n_cl > len(_VP8L_CLC_ORDER):
+        raise ValueError(f"VP8L declares {n_cl} code-length codes")
+    clc_lengths = [0] * 19
+    for i in range(n_cl):
+        clc_lengths[_VP8L_CLC_ORDER[i]] = rd.bits(3)
+    clc = _Vp8lPrefixCode(clc_lengths)
+    if rd.bits(1):  # explicit bound on the number of length entries read
+        length_nbits = 2 + 2 * rd.bits(3)
+        max_symbol = 2 + rd.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev_nz = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break  # remaining lengths stay zero
+        max_symbol -= 1
+        cl = clc.decode(rd)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_nz = cl
+            continue
+        if cl == 16:
+            repeat, fill = 3 + rd.bits(2), prev_nz
+        elif cl == 17:
+            repeat, fill = 3 + rd.bits(3), 0
+        else:
+            repeat, fill = 11 + rd.bits(7), 0
+        if sym + repeat > alphabet:
+            raise ValueError("VP8L code-length repeat overruns the alphabet")
+        for _ in range(repeat):
+            lengths[sym] = fill
+            sym += 1
+    return _Vp8lPrefixCode(lengths)
+
+
+def _vp8l_alphabets(cache_bits: int) -> "tuple[int, ...]":
+    """Alphabet sizes of the five codes in one group, in stream order:
+    green+length+cache, red, blue, alpha, distance."""
+    return (256 + 24 + ((1 << cache_bits) if cache_bits else 0), 256, 256, 256, 40)
+
+
+def _vp8l_decode_pixels(
+    rd: _Vp8lReader,
+    w: int,
+    h: int,
+    groups: "list[list[_Vp8lPrefixCode]]",
+    meta: "list[int] | None",
+    meta_bits: int,
+    cache_bits: int,
+) -> "list[int]":
+    """The LZ77 + color-cache pixel loop (RFC 9649 §4.2.2): green symbol
+    < 256 is a literal (red/blue/alpha codes follow), 256-279 a
+    back-reference length, >= 280 a color-cache hit. Every produced
+    pixel is inserted into the cache. Returns h*w ARGB ints."""
+    n = w * h
+    pixels: "list[int]" = [0] * n
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    meta_w = -(-w // (1 << meta_bits)) if meta is not None else 0
+    pos = 0
+    group = groups[0]
+    while pos < n:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            gi = meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            if gi >= len(groups):
+                raise ValueError(f"VP8L meta group {gi} out of range")
+            group = groups[gi]
+        g = group[0].decode(rd)
+        if g < 256:
+            r = group[1].decode(rd)
+            b = group[2].decode(rd)
+            a = group[3].decode(rd)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            pixels[pos] = px
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+            pos += 1
+        elif g < 280:
+            length = _vp8l_prefix_value(g - 256, rd)
+            dist_code = _vp8l_prefix_value(group[4].decode(rd), rd)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > pos:
+                raise ValueError("VP8L back-reference before image start")
+            if pos + length > n:
+                raise ValueError("VP8L back-reference overruns the image")
+            for _ in range(length):
+                px = pixels[pos - dist]
+                pixels[pos] = px
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            pixels[pos] = cache[g - 280]
+            pos += 1
+    return pixels
+
+
+def _vp8l_avg2(a: "tuple[int, ...]", b: "tuple[int, ...]") -> "tuple[int, ...]":
+    return tuple((x + y) >> 1 for x, y in zip(a, b))
+
+
+def _vp8l_predict(
+    mode: int,
+    L: "tuple[int, ...]",
+    T: "tuple[int, ...]",
+    TL: "tuple[int, ...]",
+    TR: "tuple[int, ...]",
+) -> "tuple[int, ...]":
+    """The 14 spatial predictors (RFC 9649 §4.2.2, channel-wise ARGB)."""
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:
+        # Select: pick whichever of T, L is closer (L1 over channels) to
+        # the gradient L + T - TL; ties go to T
+        d = sum(abs(lc - tlc) - abs(tc - tlc) for lc, tc, tlc in zip(L, T, TL))
+        return T if d <= 0 else L
+    if mode == 12:
+        return tuple(
+            min(255, max(0, lc + tc - tlc)) for lc, tc, tlc in zip(L, T, TL)
+        )
+    if mode == 13:
+        ave = _vp8l_avg2(L, T)
+        out = []
+        for ac, tlc in zip(ave, TL):
+            d = ac - tlc
+            half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc-toward-zero
+            out.append(min(255, max(0, ac + half)))
+        return tuple(out)
+    raise ValueError(f"VP8L predictor mode {mode}")
+
+
+def _vp8l_unpredict(
+    arr: "np.ndarray", modes: "np.ndarray", bits: int
+) -> "np.ndarray":
+    """Inverse predictor transform: residuals + prediction mod 256, pixel
+    by pixel since predictions read already-reconstructed neighbors.
+    Edge rules: (0,0) predicts ARGB black, the rest of row 0 predicts L,
+    column 0 predicts T, and TR in the last column wraps to the first
+    pixel of the SAME row (already decoded). Sequential by nature — the
+    crawl-scale raster path belongs in a codec library, this is the
+    feature-extraction path (same caveat as PNG Paeth)."""
+    h, w, _ = arr.shape
+    out = [[None] * w for _ in range(h)]
+    res = arr.astype("int64")
+    for y in range(h):
+        row = out[y]
+        above = out[y - 1] if y else None
+        for x in range(w):
+            if y == 0:
+                pred = (255, 0, 0, 0) if x == 0 else row[x - 1]
+            elif x == 0:
+                pred = above[0]
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                if mode > 13:
+                    raise ValueError(f"VP8L predictor mode {mode}")
+                tr = above[x + 1] if x + 1 < w else row[0]
+                pred = _vp8l_predict(
+                    mode, row[x - 1], above[x], above[x - 1], tr
+                )
+            px = res[y, x]
+            row[x] = tuple(int(px[c] + pred[c]) & 0xFF for c in range(4))
+    return np.array(out, dtype="uint8")
+
+
+def _vp8l_ct_delta(t: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """ColorTransformDelta: (int8)t * (int8)c >> 5, arithmetic shift."""
+    return (t.astype("int8").astype("int32") * c.astype("int8").astype("int32")) >> 5
+
+
+def _vp8l_uncolor(arr: "np.ndarray", cte: "np.ndarray", bits: int) -> "np.ndarray":
+    """Inverse color transform (RFC 9649 §4.2.3), fully vectorized: per
+    block the transform element packs green_to_red in its blue channel,
+    green_to_blue in green, red_to_blue in red; red is reconstructed
+    first and the red_to_blue delta uses the RECONSTRUCTED red."""
+    h, w, _ = arr.shape
+    by = np.arange(h) >> bits
+    bx = np.arange(w) >> bits
+    blk = cte[by][:, bx]  # (h, w, 4) ARGB transform elements
+    g = arr[:, :, 2].astype("int32")
+    red = (arr[:, :, 1].astype("int32") + _vp8l_ct_delta(blk[:, :, 3], g)) & 0xFF
+    blue = (
+        arr[:, :, 3].astype("int32")
+        + _vp8l_ct_delta(blk[:, :, 2], g)
+        + _vp8l_ct_delta(blk[:, :, 1], red)
+    ) & 0xFF
+    out = arr.copy()
+    out[:, :, 1] = red.astype("uint8")
+    out[:, :, 3] = blue.astype("uint8")
+    return out
+
+
+def _vp8l_decode_stream(
+    rd: _Vp8lReader, w: int, h: int, level0: bool
+) -> "np.ndarray":
+    """One entropy-coded image (RFC 9649 §5): transforms (level 0 only),
+    color-cache declaration, optional meta prefix-code image (level 0
+    only), prefix-code groups, then the pixel loop; inverse transforms
+    apply in reverse read order. Returns (h, w, 4) uint8 ARGB."""
+    transforms = []
+    if level0:
+        seen = set()
+        while rd.bits(1):
+            t = rd.bits(2)
+            if t in seen:
+                raise ValueError(f"VP8L transform {t} declared twice")
+            seen.add(t)
+            if t == 2:  # subtract green
+                transforms.append(("sub_green",))
+            elif t in (0, 1):  # predictor / color
+                bits = rd.bits(3) + 2
+                bw, bh = -(-w // (1 << bits)), -(-h // (1 << bits))
+                sub = _vp8l_decode_stream(rd, bw, bh, False)
+                transforms.append(("predictor" if t == 0 else "color", bits, sub))
+            else:  # color indexing, with pixel bundling below 17 colors
+                n_colors = rd.bits(8) + 1
+                pal = _vp8l_decode_stream(rd, n_colors, 1, False)
+                pal = np.cumsum(pal[0].astype("int64"), axis=0).astype("uint8")
+                wbits = 3 if n_colors <= 2 else 2 if n_colors <= 4 else (
+                    1 if n_colors <= 16 else 0
+                )
+                transforms.append(("palette", pal, wbits, w))
+                w = -(-w // (1 << wbits))
+    cache_bits = rd.bits(4) if rd.bits(1) else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"VP8L color-cache bits {cache_bits}")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and rd.bits(1):
+        meta_bits = rd.bits(3) + 2
+        mw, mh = -(-w // (1 << meta_bits)), -(-h // (1 << meta_bits))
+        meta_img = _vp8l_decode_stream(rd, mw, mh, False)
+        # group index lives in (red << 8) | green of each meta pixel
+        meta = [
+            (int(p[1]) << 8) | int(p[2]) for p in meta_img.reshape(-1, 4)
+        ]
+        n_groups = max(meta) + 1
+    sizes = _vp8l_alphabets(cache_bits)
+    groups = [
+        [_vp8l_read_prefix_code(rd, s) for s in sizes] for _ in range(n_groups)
+    ]
+    pixels = _vp8l_decode_pixels(rd, w, h, groups, meta, meta_bits, cache_bits)
+    arr = np.array(pixels, dtype="uint32")
+    arr = np.stack(
+        [(arr >> 24) & 0xFF, (arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF],
+        axis=1,
+    ).astype("uint8").reshape(h, w, 4)
+    for tr in reversed(transforms):
+        if tr[0] == "sub_green":
+            g = arr[:, :, 2].astype("int32")
+            arr = arr.copy()
+            arr[:, :, 1] = ((arr[:, :, 1] + g) & 0xFF).astype("uint8")
+            arr[:, :, 3] = ((arr[:, :, 3] + g) & 0xFF).astype("uint8")
+        elif tr[0] == "predictor":
+            arr = _vp8l_unpredict(arr, tr[2][:, :, 2], tr[1])
+        elif tr[0] == "color":
+            arr = _vp8l_uncolor(arr, tr[2], tr[1])
+        else:  # palette: unbundle indices, then look up
+            pal, wbits, full_w = tr[1], tr[2], tr[3]
+            idx = arr[:, :, 2].astype("int64")  # packed indices, green
+            if wbits:
+                per = 1 << wbits
+                bpp = 8 >> wbits
+                mask = (1 << bpp) - 1
+                cols = np.arange(full_w)
+                idx = (
+                    idx[:, cols // per] >> (bpp * (cols % per))
+                ) & mask
+            else:
+                idx = idx[:, :full_w]
+            if int(idx.max()) >= pal.shape[0]:
+                raise ValueError("VP8L palette index out of range")
+            arr = pal[idx]
+    return arr
+
+
+def _decode_vp8l(data: bytes) -> "np.ndarray":
+    """VP8L chunk payload → (h, w, 4) uint8 ARGB."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    rd = _Vp8lReader(data)
+    rd.bits(8)
+    w = rd.bits(14) + 1
+    h = rd.bits(14) + 1
+    rd.bits(1)  # alpha-is-used hint
+    version = rd.bits(3)
+    if version:
+        raise ValueError(f"VP8L version {version}: only 0 is defined")
+    return _vp8l_decode_stream(rd, w, h, True)
+
+
+def _webp_chunks(payload: bytes) -> "list[tuple[str, bytes]]":
+    """Walk the RIFF container: returns [(fourcc, chunk_payload), ...].
+    Odd-sized chunks carry a pad byte (RIFF rule); strict framing."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) payload")
+    (total,) = struct.unpack_from("<I", payload, 4)
+    if total + 8 != len(payload):
+        raise ValueError(
+            f"RIFF declares {total + 8} bytes, payload has {len(payload)}"
+        )
+    chunks = []
+    pos = 12
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated RIFF chunk header")
+        fourcc = payload[pos : pos + 4].decode("latin-1")
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        chunks.append((fourcc, bytes(body)))
+        pos += 8 + size + (size & 1)
+    return chunks
+
+
+def _decode_webp(payload: bytes) -> "np.ndarray":
+    """WebP container decode: VP8L (lossless) decodes in full; lossy VP8
+    and animation remain behind the codec gate (the VP8 boolean
+    arithmetic decoder + reconstruction filter is a genuine codec-library
+    dependency). Returns RGB (alpha dropped, like PNG RGBA)."""
+    chunks = _webp_chunks(payload)
+    kinds = [c[0] for c in chunks]
+    if "ANIM" in kinds or "ANMF" in kinds:
+        raise NotImplementedError("animated WebP: still images only")
+    for fourcc, body in chunks:
+        if fourcc == "VP8L":
+            argb = _decode_vp8l(body)
+            return np.ascontiguousarray(argb[:, :, 1:4])
+        if fourcc == "VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) needs a codec library; only VP8L "
+                "lossless decodes in-process"
+            )
+    raise ValueError(f"WebP container without an image chunk: {kinds}")
+
+
+def probe_webp(payload: bytes) -> dict:
+    """Header-only WebP probe (no pixel decode): container layout, codec,
+    dimensions, alpha/animation flags. Lossy VP8 dimensions come from
+    the uncompressed frame header (3-byte frame tag + 0x9D012A start
+    code + two le16 fields), so even gated payloads probe."""
+    import struct
+
+    chunks = _webp_chunks(payload)
+    kinds = [c[0] for c in chunks]
+    info: dict = {
+        "container": "webp",
+        "chunks": kinds,
+        "animated": "ANIM" in kinds or "ANMF" in kinds,
+        "extended": kinds[0] == "VP8X" if kinds else False,
+    }
+    for fourcc, body in chunks:
+        if fourcc == "VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X header")
+            flags = body[0]
+            info["has_alpha"] = bool(flags & 0x10)
+            info["canvas_width"] = 1 + int.from_bytes(body[4:7], "little")
+            info["canvas_height"] = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == "VP8L":
+            rd = _Vp8lReader(body)
+            if rd.bits(8) != 0x2F:
+                raise ValueError("VP8L signature byte missing")
+            info["codec"] = "vp8l"
+            info["width"] = rd.bits(14) + 1
+            info["height"] = rd.bits(14) + 1
+            info.setdefault("has_alpha", bool(rd.bits(1)))
+        elif fourcc == "VP8 ":
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 frame header start code missing")
+            info["codec"] = "vp8"
+            (wraw,) = struct.unpack_from("<H", body, 6)
+            (hraw,) = struct.unpack_from("<H", body, 8)
+            info["width"] = wraw & 0x3FFF
+            info["height"] = hraw & 0x3FFF
+            info.setdefault("has_alpha", "ALPH" in kinds)
+    if "codec" not in info:
+        raise ValueError(f"WebP container without an image chunk: {kinds}")
+    return info
+
+
+def _vp8l_huff_lengths(counts: "dict[int, int]", max_len: int) -> "dict[int, int]":
+    """Length-limited Huffman code lengths via package-merge: optimal
+    under the depth bound and Kraft-complete by construction (asserted).
+    Zero-count alphabets collapse to the single symbol 0 (the degenerate
+    zero-bit code both ends special-case)."""
+    syms = sorted(s for s, c in counts.items() if c > 0)
+    if not syms:
+        return {0: 1}
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    if len(syms) > (1 << max_len):
+        raise ValueError(f"{len(syms)} symbols cannot fit {max_len}-bit codes")
+    leaves = sorted((counts[s], (s,)) for s in syms)
+    prev: "list[tuple[int, tuple[int, ...]]]" = []
+    for _ in range(max_len):
+        items = list(leaves)
+        for i in range(0, len(prev) - 1, 2):
+            items.append((prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1]))
+        items.sort()
+        prev = items
+    lengths = {s: 0 for s in syms}
+    for _, pack in prev[: 2 * len(syms) - 2]:
+        for s in pack:
+            lengths[s] += 1
+    kraft = sum(1 << (max_len - l) for l in lengths.values())
+    if kraft != 1 << max_len or max(lengths.values()) > max_len:
+        raise ValueError("package-merge produced an invalid code")  # unreachable
+    return lengths
+
+
+def _vp8l_write_prefix_code(
+    wr: _Vp8lWriter, lengths: "dict[int, int]", alphabet: int
+) -> _Vp8lPrefixCode:
+    """Serialize one prefix code (inverse of
+    :func:`_vp8l_read_prefix_code`) and return the code for emitting
+    symbols. Uses the simple two-symbol form when legal; otherwise the
+    code-length code with 17/18 zero-runs and 16 repeats — so fixture
+    streams exercise every decoder branch."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and all(s <= 255 for s in syms):
+        wr.bits(1, 1)  # simple
+        wr.bits(len(syms) - 1, 1)
+        s0 = syms[0]
+        if s0 <= 1:
+            wr.bits(0, 1)
+            wr.bits(s0, 1)
+        else:
+            wr.bits(1, 1)
+            wr.bits(s0, 8)
+        if len(syms) == 2:
+            wr.bits(syms[1], 8)
+        full = [0] * alphabet
+        for s in syms:
+            full[s] = 1
+        return _Vp8lPrefixCode(full)
+    wr.bits(0, 1)
+    arr = [lengths.get(s, 0) for s in range(alphabet)]
+    tokens: "list[tuple[int, int, int]]" = []  # (clc symbol, extra, extra bits)
+    i = 0
+    while i < alphabet:
+        v = arr[i]
+        run = 1
+        while i + run < alphabet and arr[i + run] == v:
+            run += 1
+        i += run
+        if v == 0:
+            while run:
+                if run >= 11:
+                    take = min(138, run)
+                    tokens.append((18, take - 11, 7))
+                elif run >= 3:
+                    take = run
+                    tokens.append((17, take - 3, 3))
+                else:
+                    take = 1
+                    tokens.append((0, 0, 0))
+                run -= take
+        else:
+            tokens.append((v, 0, 0))
+            run -= 1
+            while run:
+                if run >= 3:
+                    take = min(6, run)
+                    tokens.append((16, take - 3, 2))
+                else:
+                    take = 1
+                    tokens.append((v, 0, 0))
+                run -= take
+    hist: "dict[int, int]" = {}
+    for s, _, _ in tokens:
+        hist[s] = hist.get(s, 0) + 1
+    clc_lengths = _vp8l_huff_lengths(hist, 7)
+    if len(clc_lengths) == 1:
+        # a lone code-length symbol would be an under-subscribed 1-bit
+        # code; declare a never-emitted sibling to complete it
+        only = next(iter(clc_lengths))
+        clc_lengths = {only: 1, (18 if only != 18 else 17): 1}
+    posmap = {s: i for i, s in enumerate(_VP8L_CLC_ORDER)}
+    n_cl = max(4, 1 + max(posmap[s] for s in clc_lengths))
+    wr.bits(n_cl - 4, 4)
+    for k in range(n_cl):
+        wr.bits(clc_lengths.get(_VP8L_CLC_ORDER[k], 0), 3)
+    wr.bits(0, 1)  # lengths for the whole alphabet follow (no max_symbol)
+    full19 = [0] * 19
+    for s, l in clc_lengths.items():
+        full19[s] = l
+    clc = _Vp8lPrefixCode(full19)
+    for s, extra, n_extra in tokens:
+        clc.emit(wr, s)
+        if n_extra:
+            wr.bits(extra, n_extra)
+    return _Vp8lPrefixCode(arr)
+
+
+def _vp8l_tokenize(
+    pixels: "list[int]", w: int, cache_bits: int, lz77: bool
+) -> "list[tuple]":
+    """Greedy LZ77 + color-cache tokenizer over ARGB ints. Back-reference
+    candidates are the near offsets real encoders favor (left run,
+    above-row runs) so the neighborhood distance codes get exercised;
+    anything else would encode via literals anyway. Tokens:
+    ("lit", pos, px) / ("copy", pos, length, dist_code) /
+    ("cache", pos, index)."""
+    n = len(pixels)
+    rev: "dict[int, int]" = {}
+    for ci, (dx, dy) in enumerate(_VP8L_DIST_MAP):
+        d = dy * w + dx
+        if d >= 1 and d not in rev:
+            rev[d] = ci + 1
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def insert(px: int) -> None:
+        if cache is not None:
+            cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+
+    tokens: "list[tuple]" = []
+    pos = 0
+    while pos < n:
+        best_len = best_d = 0
+        if lz77:
+            for d in (1, w - 1, w, w + 1, 2 * w):
+                if 1 <= d <= pos:
+                    l = 0
+                    while pos + l < n and l < 4096 and pixels[pos + l] == pixels[pos + l - d]:
+                        l += 1
+                    if l > best_len:
+                        best_len, best_d = l, d
+        if best_len >= 3:
+            tokens.append(("copy", pos, best_len, rev.get(best_d, best_d + 120)))
+            for i in range(pos, pos + best_len):
+                insert(pixels[i])
+            pos += best_len
+            continue
+        px = pixels[pos]
+        if cache is not None:
+            k = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift
+            if cache[k] == px:
+                tokens.append(("cache", pos, k))
+                pos += 1
+                continue
+        tokens.append(("lit", pos, px))
+        insert(px)
+        pos += 1
+    return tokens
+
+
+def _vp8l_write_stream(
+    wr: _Vp8lWriter,
+    pixels: "list[int]",
+    w: int,
+    h: int,
+    level0: bool,
+    cache_bits: int = 0,
+    lz77: bool = True,
+    meta_bits: "int | None" = None,
+    n_meta: int = 2,
+) -> None:
+    """Write one entropy-coded image (cache declaration, optional meta
+    prefix-code image at level 0, per-group prefix codes, pixel stream).
+    Transform declarations, when any, are the level-0 caller's job and
+    precede this. Inverse of :func:`_vp8l_decode_stream`."""
+    if cache_bits:
+        wr.bits(1, 1)
+        wr.bits(cache_bits, 4)
+    else:
+        wr.bits(0, 1)
+    meta = None
+    meta_w = 0
+    n_groups = 1
+    if level0:
+        if meta_bits:
+            if not 2 <= meta_bits <= 9:
+                raise ValueError(f"meta_bits {meta_bits} out of range 2-9")
+            wr.bits(1, 1)
+            wr.bits(meta_bits - 2, 3)
+            meta_w = -(-w // (1 << meta_bits))
+            meta_h = -(-h // (1 << meta_bits))
+            meta = [
+                ((bx + by) % n_meta)
+                for by in range(meta_h)
+                for bx in range(meta_w)
+            ]
+            meta_px = [0xFF000000 | (g << 8) for g in meta]
+            _vp8l_write_stream(wr, meta_px, meta_w, meta_h, False, 0, False)
+            n_groups = n_meta
+        else:
+            wr.bits(0, 1)
+    tokens = _vp8l_tokenize(pixels, w, cache_bits, lz77)
+
+    def group_of(pos: int) -> int:
+        if meta is None:
+            return 0
+        y, x = divmod(pos, w)
+        return meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+
+    hists = [[{} for _ in range(5)] for _ in range(n_groups)]
+
+    def bump(g: int, ch: int, sym: int) -> None:
+        hists[g][ch][sym] = hists[g][ch].get(sym, 0) + 1
+
+    for tok in tokens:
+        g = group_of(tok[1])
+        if tok[0] == "lit":
+            px = tok[2]
+            bump(g, 0, (px >> 8) & 0xFF)
+            bump(g, 1, (px >> 16) & 0xFF)
+            bump(g, 2, px & 0xFF)
+            bump(g, 3, (px >> 24) & 0xFF)
+        elif tok[0] == "copy":
+            bump(g, 0, 256 + _vp8l_prefix_sym(tok[2])[0])
+            bump(g, 4, _vp8l_prefix_sym(tok[3])[0])
+        else:
+            bump(g, 0, 280 + tok[2])
+    sizes = _vp8l_alphabets(cache_bits)
+    codes = [
+        [
+            _vp8l_write_prefix_code(
+                wr, _vp8l_huff_lengths(hists[g][ch], 15), sizes[ch]
+            )
+            for ch in range(5)
+        ]
+        for g in range(n_groups)
+    ]
+    for tok in tokens:
+        grp = codes[group_of(tok[1])]
+        if tok[0] == "lit":
+            px = tok[2]
+            grp[0].emit(wr, (px >> 8) & 0xFF)
+            grp[1].emit(wr, (px >> 16) & 0xFF)
+            grp[2].emit(wr, px & 0xFF)
+            grp[3].emit(wr, (px >> 24) & 0xFF)
+        elif tok[0] == "copy":
+            sym, extra, n_extra = _vp8l_prefix_sym(tok[2])
+            grp[0].emit(wr, 256 + sym)
+            if n_extra:
+                wr.bits(extra, n_extra)
+            sym, extra, n_extra = _vp8l_prefix_sym(tok[3])
+            grp[4].emit(wr, sym)
+            if n_extra:
+                wr.bits(extra, n_extra)
+        else:
+            grp[0].emit(wr, 280 + tok[2])
+
+
+def _vp8l_forward_predict(
+    arr: "np.ndarray", modes: "np.ndarray", bits: int
+) -> "np.ndarray":
+    """Forward predictor transform: residual = pixel - prediction mod
+    256, predictions from ORIGINAL neighbors (the decoder reconstructs
+    them progressively, so they agree). Same edge rules as the inverse."""
+    h, w, _ = arr.shape
+    src = [[tuple(int(v) for v in arr[y, x]) for x in range(w)] for y in range(h)]
+    out = np.zeros_like(arr)
+    for y in range(h):
+        for x in range(w):
+            if y == 0:
+                pred = (255, 0, 0, 0) if x == 0 else src[0][x - 1]
+            elif x == 0:
+                pred = src[y - 1][0]
+            else:
+                tr = src[y - 1][x + 1] if x + 1 < w else src[y][0]
+                pred = _vp8l_predict(
+                    int(modes[y >> bits, x >> bits]),
+                    src[y][x - 1], src[y - 1][x], src[y - 1][x - 1], tr,
+                )
+            out[y, x] = [(src[y][x][c] - pred[c]) & 0xFF for c in range(4)]
+    return out
+
+
+def _argb_ints(arr: "np.ndarray") -> "list[int]":
+    """(h, w, 4) uint8 ARGB → row-major list of packed uint32 pixels."""
+    v = (
+        (arr[:, :, 0].astype("uint32") << 24)
+        | (arr[:, :, 1].astype("uint32") << 16)
+        | (arr[:, :, 2].astype("uint32") << 8)
+        | arr[:, :, 3].astype("uint32")
+    )
+    return [int(x) for x in v.reshape(-1)]
+
+
+def encode_webp(
+    arr: "np.ndarray",
+    *,
+    lz77: bool = True,
+    cache_bits: int = 0,
+    subtract_green: bool = False,
+    predictor: "int | str | None" = None,
+    color_transform: "tuple | list | None" = None,
+    palette: bool = False,
+    meta_bits: "int | None" = None,
+    n_meta: int = 2,
+    transform_bits: int = 3,
+    extended: bool = False,
+) -> bytes:
+    """Deterministic lossless WebP (VP8L) encoder for round-trip tests —
+    inverse of :func:`_decode_webp`, not a rate-optimized coder.
+
+    Every decoder path is reachable by flag: LZ77 back-references
+    (``lz77``), a color cache (``cache_bits`` 1-11), the subtract-green
+    transform, the spatial predictor (``predictor`` = mode 0-13 or
+    ``"cycle"`` to vary the mode per block), the color transform
+    (``color_transform`` = one ``(green_to_red, green_to_blue,
+    red_to_blue)`` int8 triple or a list cycled across blocks),
+    color-indexing with pixel bundling (``palette``, <= 256 distinct
+    colors), and per-block meta prefix-code groups (``meta_bits``).
+    ``palette`` is mutually exclusive with the pixel transforms — real
+    encoders never stack them and the fixture stays unambiguous.
+    ``extended=True`` wraps the stream in a VP8X container. Input is
+    uint8 (h, w) gray (stored as replicated RGB — VP8L has no gray mode)
+    or (h, w, 3) RGB; alpha is always 255."""
+    import struct
+
+    a = np.asarray(arr)
+    if a.dtype != np.dtype("uint8"):
+        raise ValueError(f"expected uint8, got {a.dtype}")
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w) or (h, w, 3), got {a.shape}")
+    h, w = a.shape[:2]
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError(f"VP8L dimensions {w}x{h} out of 14-bit range")
+    if palette and (subtract_green or predictor is not None or color_transform):
+        raise ValueError("palette does not combine with pixel transforms")
+    if not 2 <= transform_bits <= 9:
+        raise ValueError(f"transform_bits {transform_bits} out of range 2-9")
+    px = np.concatenate([np.full((h, w, 1), 255, "uint8"), a], axis=2)
+    wr = _Vp8lWriter()
+    wr.bits(0x2F, 8)
+    wr.bits(w - 1, 14)
+    wr.bits(h - 1, 14)
+    wr.bits(0, 1)  # no alpha in use
+    wr.bits(0, 3)  # version
+    cur_w = w
+    if subtract_green:
+        wr.bits(1, 1)
+        wr.bits(2, 2)
+        g = px[:, :, 2].astype("int32")
+        px = px.copy()
+        px[:, :, 1] = ((px[:, :, 1] - g) & 0xFF).astype("uint8")
+        px[:, :, 3] = ((px[:, :, 3] - g) & 0xFF).astype("uint8")
+    if color_transform is not None:
+        wr.bits(1, 1)
+        wr.bits(1, 2)
+        wr.bits(transform_bits - 2, 3)
+        bw = -(-cur_w // (1 << transform_bits))
+        bh = -(-h // (1 << transform_bits))
+        ctes = (
+            [tuple(color_transform)]
+            if isinstance(color_transform[0], int)
+            else [tuple(c) for c in color_transform]
+        )
+        cte = np.zeros((bh, bw, 4), dtype="uint8")
+        for by in range(bh):
+            for bx in range(bw):
+                g2r, g2b, r2b = ctes[(bx + by) % len(ctes)]
+                cte[by, bx] = (255, r2b & 0xFF, g2b & 0xFF, g2r & 0xFF)
+        _vp8l_write_stream(wr, _argb_ints(cte), bw, bh, False, 0, False)
+        blk = cte[np.arange(h) >> transform_bits][:, np.arange(cur_w) >> transform_bits]
+        g = px[:, :, 2].astype("int32")
+        red0 = px[:, :, 1].astype("int32")
+        res_red = (red0 - _vp8l_ct_delta(blk[:, :, 3], g)) & 0xFF
+        res_blue = (
+            px[:, :, 3].astype("int32")
+            - _vp8l_ct_delta(blk[:, :, 2], g)
+            - _vp8l_ct_delta(blk[:, :, 1], red0)
+        ) & 0xFF
+        px = px.copy()
+        px[:, :, 1] = res_red.astype("uint8")
+        px[:, :, 3] = res_blue.astype("uint8")
+    if predictor is not None:
+        wr.bits(1, 1)
+        wr.bits(0, 2)
+        wr.bits(transform_bits - 2, 3)
+        bw = -(-cur_w // (1 << transform_bits))
+        bh = -(-h // (1 << transform_bits))
+        if predictor == "cycle":
+            modes = np.fromfunction(
+                lambda by, bx: (bx + by) % 14, (bh, bw), dtype=int
+            ).astype("int64")
+        else:
+            if not 0 <= int(predictor) <= 13:
+                raise ValueError(f"predictor mode {predictor}")
+            modes = np.full((bh, bw), int(predictor), dtype="int64")
+        sub = np.zeros((bh, bw, 4), dtype="uint8")
+        sub[:, :, 0] = 255
+        sub[:, :, 2] = modes.astype("uint8")
+        _vp8l_write_stream(wr, _argb_ints(sub), bw, bh, False, 0, False)
+        px = _vp8l_forward_predict(px, modes, transform_bits)
+    if palette:
+        wr.bits(1, 1)
+        wr.bits(3, 2)
+        flat = _argb_ints(px)
+        colors = sorted(set(flat))
+        if len(colors) > 256:
+            raise ValueError(f"{len(colors)} distinct colors exceed the palette")
+        wr.bits(len(colors) - 1, 8)
+        deltas = []
+        prev = 0
+        for c in colors:
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= (((c >> sh) - (prev >> sh)) & 0xFF) << sh
+            deltas.append(d)
+            prev = c
+        _vp8l_write_stream(wr, deltas, len(colors), 1, False, 0, False)
+        lookup = {c: i for i, c in enumerate(colors)}
+        idx = np.array([lookup[p] for p in flat], dtype="int64").reshape(h, cur_w)
+        n = len(colors)
+        wbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        if wbits:
+            per = 1 << wbits
+            bpp = 8 >> wbits
+            packed_w = -(-cur_w // per)
+            packed = np.zeros((h, packed_w), dtype="int64")
+            for x in range(cur_w):
+                packed[:, x // per] |= idx[:, x] << (bpp * (x % per))
+            idx = packed
+            cur_w = packed_w
+        px = np.zeros((h, cur_w, 4), dtype="uint8")
+        px[:, :, 0] = 255
+        px[:, :, 2] = idx.astype("uint8")
+    wr.bits(0, 1)  # end of transforms
+    _vp8l_write_stream(
+        wr, _argb_ints(px), cur_w, h, True, cache_bits, lz77, meta_bits, n_meta
+    )
+    chunks: "list[tuple[str, bytes]]" = []
+    if extended:
+        chunks.append(
+            (
+                "VP8X",
+                bytes([0, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"),
+            )
+        )
+    chunks.append(("VP8L", wr.bytes()))
+    body = b"".join(
+        cc.encode("latin-1")
+        + struct.pack("<I", len(b))
+        + b
+        + (b"\x00" if len(b) & 1 else b"")
+        for cc, b in chunks
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
 IMAGE_FEATURE_SCHEMA = StructType(
     [
         StructField("vec_id", LongType(), False),
@@ -4853,6 +5925,12 @@ _IMAGE_ENCODERS = {
     "jpeg": (encode_jpeg, "image/jpeg"),  # near-lossless at quant=1
     # same quantized coefficients as "jpeg" → decodes bit-identically
     "jpeg_progressive": (encode_jpeg_progressive, "image/jpeg"),
+    # lossless VP8L with a production-ish feature mix (cache + LZ77 +
+    # subtract-green) — joins the bit-exact parity set
+    "webp": (
+        lambda a: encode_webp(a, cache_bits=6, subtract_green=True),
+        "image/webp",
+    ),
 }
 
 

@@ -316,7 +316,10 @@ def test_pnm_decode_roundtrip_and_variants():
     with _pytest.raises(ValueError, match="expected"):
         multimodal.decode_image(b"P5\n3 2\n255\n" + bytes(range(7)))  # trailing junk
     with _pytest.raises(NotImplementedError, match="magic"):
-        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP still gated")
+        multimodal.decode_image(b"RIFF\x10\x00\x00\x00AVI not an image")
+    with _pytest.raises(ValueError, match="RIFF declares"):
+        # WebP dispatches to the VP8L decoder now — strict framing applies
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP no longer gated")
 
 
 def test_bmp_decode_roundtrip_and_variants():
@@ -1461,13 +1464,14 @@ def test_image_features_cross_format_parity(spark, emb):
         }
         for fmt in (
             "ppm", "png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw",
-            "tiff_tiled", "jpeg", "jpeg_progressive", "tiff_jpeg",
+            "tiff_tiled", "jpeg", "jpeg_progressive", "tiff_jpeg", "webp",
         )
     }
     pixel_cols = ["width", "height", "channels", "min_val", "max_val", "mean_val"]
     for vid, ref in by_fmt["ppm"].items():
         for fmt in (
-            "png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw", "tiff_tiled"
+            "png", "bmp", "gif", "tiff", "tiff_packbits", "tiff_lzw",
+            "tiff_tiled", "webp",
         ):
             got = by_fmt[fmt][vid]
             assert [got[c] for c in pixel_cols] == [ref[c] for c in pixel_cols], fmt
@@ -1492,6 +1496,166 @@ def test_image_features_cross_format_parity(spark, emb):
             tj["min_val"] >= ref["min_val"] - 3 and tj["max_val"] <= ref["max_val"] + 3
         )
         assert abs(tj["mean_val"] - ref["mean_val"]) < 1.0
+
+
+def test_webp_vp8l_roundtrip():
+    """Lossless WebP (VP8L): every decoder path round-trips bit-exactly
+    through the fixture encoder — literals, LZ77 back-references over
+    the neighborhood distance codes, the color cache at both bit-width
+    extremes, all four transforms (subtract-green, all 14 predictor
+    modes, the color transform with per-block elements, color-indexing
+    at every pixel-bundling width), meta prefix-code groups, and their
+    combinations. VP8L is lossless by construction, so equality is
+    exact everywhere."""
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(23)
+    arr = rng.randint(0, 256, size=(21, 19, 3)).astype("uint8")
+    tiled = np.kron(
+        rng.randint(0, 256, size=(4, 3, 3)).astype("uint8"),
+        np.ones((6, 7, 1), dtype="uint8"),
+    )
+
+    for kw in (
+        {"lz77": False},
+        {},
+        {"cache_bits": 1},
+        {"cache_bits": 11},
+        {"subtract_green": True},
+        {"meta_bits": 2, "n_meta": 3},
+        {"subtract_green": True, "cache_bits": 6, "meta_bits": 3},
+    ):
+        for img in (arr, tiled):
+            pay = multimodal.encode_webp(img, **kw)
+            out = multimodal.decode_image(pay)
+            assert out.dtype == np.dtype("uint8") and out.shape == img.shape
+            assert (out == img).all(), kw
+
+    # every predictor mode, plus per-block cycling, plus stacked combos
+    grad = (
+        np.arange(21)[:, None, None] * 7 + np.arange(19)[None, :, None] * 3
+        + np.arange(3)[None, None, :]
+    ).astype("uint8")
+    for mode in list(range(14)) + ["cycle"]:
+        for img in (arr, grad):
+            pay = multimodal.encode_webp(img, predictor=mode, transform_bits=2)
+            assert (multimodal.decode_image(pay) == img).all(), mode
+    for ct in ((-50, 30, -100), [(-50, 30, -100), (20, -20, 90)]):
+        pay = multimodal.encode_webp(arr, color_transform=ct, transform_bits=2)
+        assert (multimodal.decode_image(pay) == arr).all(), ct
+    pay = multimodal.encode_webp(
+        arr, subtract_green=True, color_transform=(10, -10, 5),
+        predictor="cycle", cache_bits=4, meta_bits=2,
+    )
+    assert (multimodal.decode_image(pay) == arr).all()
+
+    # palette at every bundling width (8/4/2/1 pixels per green byte),
+    # odd widths so edge bundles carry partial pixels
+    for ncol in (2, 3, 4, 5, 16, 17, 256):
+        base = rng.randint(0, 256, size=(ncol, 3)).astype("uint8")
+        img = base[rng.randint(0, ncol, size=(9, 13))]
+        pay = multimodal.encode_webp(img, palette=True)
+        assert (multimodal.decode_image(pay) == img).all(), ncol
+
+    # constant and two-valued images drive the simple prefix-code form
+    flat = np.full((8, 9, 3), 77, dtype="uint8")
+    two = np.where(rng.rand(8, 9, 3) < 0.5, 10, 200).astype("uint8")
+    for img in (flat, two):
+        for lz in (False, True):
+            pay = multimodal.encode_webp(img, lz77=lz)
+            assert (multimodal.decode_image(pay) == img).all()
+
+    # gray input stores as replicated RGB (VP8L has no gray mode)
+    g = rng.randint(0, 256, size=(11, 9)).astype("uint8")
+    out = multimodal.decode_image(multimodal.encode_webp(g))
+    assert out.shape == (11, 9, 3) and (out == g[:, :, None]).all()
+
+    # length/distance prefix scheme is self-inverse across the range
+    class _OneShot:
+        def __init__(self, v, n):
+            self.v, self.n = v, n
+
+        def bits(self, n):
+            assert n == self.n
+            return self.v
+
+    for v in list(range(1, 700)) + [4095, 4096, 120000]:
+        sym, extra, n_extra = multimodal._vp8l_prefix_sym(v)
+        assert multimodal._vp8l_prefix_value(sym, _OneShot(extra, n_extra)) == v
+
+
+def test_webp_distance_map_and_gates():
+    """The 120-entry near-offset table matches the RFC 9649 layout: the
+    generation rule's output is pinned literally against the published
+    table's head, and the structural invariants (domain, uniqueness,
+    euclidean ordering) hold for the whole table. Container gates:
+    lossy VP8 and animation raise, probes stay header-only, framing
+    violations raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    m = multimodal._VP8L_DIST_MAP
+    assert len(m) == 120 and len(set(m)) == 120
+    assert m[:24] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    ]
+    for dx, dy in m:
+        assert -7 <= dx <= 8 and 0 <= dy <= 7 and (dy > 0 or dx >= 1)
+    d2 = [dx * dx + dy * dy for dx, dy in m]
+    assert d2 == sorted(d2)
+
+    # lossy VP8: probe reads the uncompressed frame header, decode gates
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48)
+    body = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    pay = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    meta = multimodal.probe_webp(pay)
+    assert meta["codec"] == "vp8" and (meta["width"], meta["height"]) == (64, 48)
+    with _pytest.raises(NotImplementedError, match="lossy WebP"):
+        multimodal.decode_image(pay)
+
+    good = multimodal.encode_webp(
+        np.zeros((4, 4, 3), dtype="uint8"), lz77=False
+    )
+    meta = multimodal.probe_webp(good)
+    assert meta["codec"] == "vp8l" and (meta["width"], meta["height"]) == (4, 4)
+    assert not meta["animated"] and not meta["has_alpha"]
+
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    body = anim + good[12:]
+    pay = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert multimodal.probe_webp(pay)["animated"]
+    with _pytest.raises(NotImplementedError, match="animated"):
+        multimodal.decode_image(pay)
+
+    with _pytest.raises(ValueError, match="declares"):
+        multimodal.decode_image(good[:-1])
+    with _pytest.raises(ValueError, match="truncated RIFF chunk"):
+        bad = bytearray(good)
+        struct.pack_into("<I", bad, 16, len(good))  # VP8L chunk overruns
+        multimodal._decode_webp(bytes(bad))
+    with _pytest.raises(ValueError, match="signature"):
+        bad = bytearray(good)
+        bad[20] = 0x30
+        struct.pack_into("<I", bad, 4, len(bad) - 8)
+        multimodal._decode_webp(bytes(bad))
+    with _pytest.raises(ValueError, match="version"):
+        bad = bytearray(good)
+        bad[20 + 4] |= 0x20  # bit 37 of the VP8L payload = version LSB
+        multimodal._decode_webp(bytes(bad))
+    with _pytest.raises(ValueError, match="image chunk"):
+        multimodal.probe_webp(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+    with _pytest.raises(ValueError, match="does not combine"):
+        multimodal.encode_webp(
+            np.zeros((4, 4, 3), dtype="uint8"), palette=True, predictor=1
+        )
 
 
 def test_y4m_video_decode_roundtrip_and_sampling():
