@@ -3553,9 +3553,13 @@ def encode_y4m(frames: "list[np.ndarray]", colorspace: str = "mono") -> bytes:
 # entropy codec, so a window of samples is a byte slice. G.711 μ-law /
 # A-law companding (the telephony WAVs real crawls contain) is a pure
 # per-byte expansion formula, so it decodes here too — still one byte
-# per sample frame, so window slicing is unchanged. Compressed codecs
-# (MP3, ADPCM) stay behind the pluggable NotImplementedError gate —
-# those genuinely need an audio library.
+# per sample frame, so window slicing is unchanged. IMA and Microsoft
+# ADPCM (format tags 0x0011/0x0002) decode as well: their fixed-size
+# blocks are SELF-CONTAINED by design (each restates the predictor
+# state), so windows slice at block granularity and the decode
+# vectorizes across blocks. Entropy-coded codecs (MP3, AAC) stay behind
+# the pluggable NotImplementedError gate — those genuinely need an
+# audio library.
 
 # WAVE format tags (public RIFF/MMREG registry): 1 = integer PCM,
 # 3 = IEEE float, 6/7 = G.711 A-law/μ-law, 0xFFFE = EXTENSIBLE (real
@@ -3563,6 +3567,125 @@ def encode_y4m(frames: "list[np.ndarray]", colorspace: str = "mono") -> bytes:
 # little-endian).
 _WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 0x0001, 0x0003, 0xFFFE
 _WAV_ALAW, _WAV_ULAW = 0x0006, 0x0007
+_WAV_MS_ADPCM, _WAV_IMA_ADPCM = 0x0002, 0x0011
+
+# IMA/DVI ADPCM quantizer tables (the published IMA reference tables,
+# reproduced everywhere ADPCM is implemented). The step table is 89
+# entries from 7 to 32767, each ~1.1x the previous — the test asserts
+# the growth bound and endpoints; the index table is the 4-bit
+# magnitude-to-step-adjustment map.
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+
+# Microsoft ADPCM: the 7 standard predictor coefficient pairs and the
+# 16-entry delta adaptation table (WAVEFORMAT_ADPCM registry values).
+_MS_ADPCM_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_ADPCM_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+_MS_ADPCM_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+     230, 230, 230],
+    dtype=np.int64,
+)
+
+
+def _decode_ima_blocks(raw: bytes, ch: int, block: int) -> "np.ndarray":
+    """IMA/DVI ADPCM (WAV format tag 0x0011) → (n, ch) int16-range
+    samples. Every block is self-contained (4-byte per-channel header:
+    int16 predictor — emitted as the block's first sample — plus a step
+    index), so the decode vectorizes ACROSS blocks: the only sequential
+    loop is the samples-per-block recurrence, each step a whole
+    (n_blocks, ch) numpy update. Body nibbles are low-first within each
+    byte, interleaved in 4-byte groups per channel."""
+    if len(raw) % block:
+        raise ValueError("IMA ADPCM data is not whole blocks")
+    data = np.frombuffer(raw, dtype="u1").reshape(-1, block).astype(np.int64)
+    nb = data.shape[0]
+    head = data[:, : 4 * ch].reshape(nb, ch, 4)
+    pred = ((head[:, :, 0] | (head[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+    idx = head[:, :, 2]
+    if (idx > 88).any():
+        raise ValueError("IMA ADPCM step index out of range")
+    groups = data[:, 4 * ch :].reshape(nb, -1, ch, 4)
+    nib = np.stack([groups & 0xF, groups >> 4], axis=4)  # low nibble first
+    nib = nib.reshape(nb, groups.shape[1], ch, 8)
+    nib = nib.transpose(0, 2, 1, 3).reshape(nb, ch, -1)
+    spb = nib.shape[2] + 1
+    out = np.empty((nb, ch, spb), dtype=np.int64)
+    out[:, :, 0] = pred
+    for s in range(spb - 1):
+        n = nib[:, :, s]
+        step = _IMA_STEP_TABLE[idx]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_TABLE[n & 7], 0, 88)
+        out[:, :, s + 1] = pred
+    return out.transpose(0, 2, 1).reshape(-1, ch)
+
+
+def _decode_ms_blocks(
+    raw: bytes, ch: int, block: int, coefs: "tuple[np.ndarray, np.ndarray]"
+) -> "np.ndarray":
+    """Microsoft ADPCM (WAV format tag 0x0002) → (n, ch) int16-range
+    samples, vectorized across self-contained blocks like
+    :func:`_decode_ima_blocks`. Per-channel block header: predictor
+    index, initial delta, and the two seed samples (emitted oldest
+    first); body nibbles are high-first, alternating channels. The
+    predictor is ((s1*c1 + s2*c2) >> 8) + code*delta with arithmetic
+    shift, delta adapting by the 16-entry table with a floor of 16."""
+    coef1, coef2 = coefs
+    if len(raw) % block:
+        raise ValueError("MS ADPCM data is not whole blocks")
+    data = np.frombuffer(raw, dtype="u1").reshape(-1, block).astype(np.int64)
+    nb = data.shape[0]
+    bpred = data[:, :ch]
+    if (bpred >= len(coef1)).any():
+        raise ValueError("MS ADPCM predictor index out of range")
+
+    def le16(off: int) -> "np.ndarray":
+        v = data[:, off : off + 2 * ch].reshape(nb, ch, 2)
+        return ((v[:, :, 0] | (v[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+
+    delta = le16(ch)
+    s1 = le16(3 * ch)
+    s2 = le16(5 * ch)
+    body = data[:, 7 * ch :]
+    nib = np.stack([body >> 4, body & 0xF], axis=2).reshape(nb, -1)  # high first
+    nib = nib.reshape(nb, -1, ch).transpose(0, 2, 1)
+    n_codes = nib.shape[2]
+    out = np.empty((nb, ch, n_codes + 2), dtype=np.int64)
+    out[:, :, 0] = s2
+    out[:, :, 1] = s1
+    c1 = coef1[bpred]
+    c2 = coef2[bpred]
+    for s in range(n_codes):
+        code = nib[:, :, s]
+        signed = (code ^ 8) - 8
+        pred = np.clip(
+            ((s1 * c1 + s2 * c2) >> 8) + signed * delta, -32768, 32767
+        )
+        out[:, :, s + 2] = pred
+        s2 = s1
+        s1 = pred
+        delta = np.maximum(16, (_MS_ADPCM_ADAPT[code] * delta) >> 8)
+    return out.transpose(0, 2, 1).reshape(-1, ch)
 
 
 def _g711_expand(codes: "np.ndarray", law: str) -> "np.ndarray":
@@ -3619,6 +3742,7 @@ def _parse_wav_header(payload: bytes):
         )
     fmt = None
     data = None
+    fact = None
     pos = 12
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
@@ -3636,14 +3760,22 @@ def _parse_wav_header(payload: bytes):
                 # SubFormat GUID starts at byte 24 of the chunk; its
                 # first two bytes are the wrapped format tag
                 (tag,) = struct.unpack_from("<H", buf, body + 24)
-            if tag not in (_WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_ULAW):
+            if tag not in (
+                _WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_ULAW,
+                _WAV_IMA_ADPCM, _WAV_MS_ADPCM,
+            ):
                 raise NotImplementedError(
                     f"WAV format tag 0x{tag:04X}: only integer PCM, IEEE "
-                    "float, and G.711 A-law/μ-law decode without an audio "
-                    "library"
+                    "float, G.711 A-law/μ-law, and IMA/MS ADPCM decode "
+                    "without an audio library"
                 )
             if channels == 0 or rate == 0:
                 raise ValueError("WAV fmt chunk has zero channels or sample rate")
+            if tag in (_WAV_IMA_ADPCM, _WAV_MS_ADPCM):
+                fmt = _parse_wav_adpcm_fmt(buf, body, size, tag, channels, rate,
+                                           block, bits)
+                pos = body + size + (size & 1)
+                continue
             allowed = {
                 _WAV_PCM: (8, 16, 24, 32),
                 _WAV_FLOAT: (32, 64),
@@ -3661,6 +3793,9 @@ def _parse_wav_header(payload: bytes):
                 )
             fmt = {"tag": tag, "channels": channels, "rate": rate, "bits": bits,
                    "block": block}
+        elif cid == b"fact":
+            if size >= 4:
+                (fact,) = struct.unpack_from("<I", buf, body)
         elif cid == b"data":
             if body + size > len(buf):
                 raise ValueError(
@@ -3672,8 +3807,74 @@ def _parse_wav_header(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     if data[1] % fmt["block"]:
-        raise ValueError("WAV data length is not a whole number of sample frames")
+        raise ValueError(
+            "WAV data length is not a whole number of "
+            + ("blocks" if "spb" in fmt else "sample frames")
+        )
+    if fact is not None and "spb" in fmt:
+        n_max = (data[1] // fmt["block"]) * fmt["spb"]
+        if not 0 < fact <= n_max:
+            raise ValueError(
+                f"WAV fact count {fact} outside the decoded range 1..{n_max}"
+            )
+        fmt["fact"] = fact
     return fmt, data[0], data[1]
+
+
+def _parse_wav_adpcm_fmt(
+    buf: bytes, body: int, size: int, tag: int, channels: int, rate: int,
+    block: int, bits: int,
+) -> dict:
+    """The ADPCM fmt-chunk extension: cbSize, samplesPerBlock, and (MS)
+    the predictor coefficient table. The declared samplesPerBlock must
+    match what the block layout actually holds — a mismatch means the
+    header lies about the framing and every window offset would shift."""
+    import struct
+
+    if bits != 4:
+        raise NotImplementedError(
+            f"{bits}-bit ADPCM: only the standard 4-bit codes decode"
+        )
+    name = "IMA" if tag == _WAV_IMA_ADPCM else "MS"
+    if size < 20:
+        raise ValueError(f"{name} ADPCM fmt chunk is {size} bytes, needs >= 20")
+    (cb,) = struct.unpack_from("<H", buf, body + 16)
+    if cb < 2 or size < 18 + cb:
+        raise ValueError(f"{name} ADPCM cbSize {cb} too small for samplesPerBlock")
+    (spb,) = struct.unpack_from("<H", buf, body + 18)
+    fmt = {"tag": tag, "channels": channels, "rate": rate, "bits": 4,
+           "block": block, "spb": spb}
+    if tag == _WAV_IMA_ADPCM:
+        body_bytes = block - 4 * channels
+        if body_bytes <= 0 or body_bytes % (4 * channels):
+            raise ValueError(
+                f"IMA ADPCM block align {block} is not headers plus whole "
+                f"4-byte groups for {channels} channel(s)"
+            )
+        expect = body_bytes * 2 // channels + 1
+    else:
+        if cb < 4 + 4 * 7 or size < 18 + 4 + 4 * 7:
+            raise ValueError("MS ADPCM fmt chunk lacks the coefficient table")
+        (n_coefs,) = struct.unpack_from("<H", buf, body + 20)
+        if n_coefs < 7:
+            raise ValueError(f"MS ADPCM declares {n_coefs} coefficient pairs, needs >= 7")
+        pairs = struct.unpack_from(f"<{2 * n_coefs}h", buf, body + 22)
+        coef1 = np.array(pairs[0::2], dtype=np.int64)
+        coef2 = np.array(pairs[1::2], dtype=np.int64)
+        if (coef1[:7] != _MS_ADPCM_COEF1).any() or (coef2[:7] != _MS_ADPCM_COEF2).any():
+            raise ValueError("MS ADPCM coefficient table alters the 7 standard pairs")
+        fmt["coefs"] = (coef1, coef2)
+        body_bytes = block - 7 * channels
+        if body_bytes <= 0 or (body_bytes * 2) % channels:
+            raise ValueError(
+                f"MS ADPCM block align {block} does not frame {channels} channel(s)"
+            )
+        expect = body_bytes * 2 // channels + 2
+    if spb != expect:
+        raise ValueError(
+            f"{name} ADPCM declares {spb} samples/block, layout holds {expect}"
+        )
+    return fmt
 
 
 def probe_audio(payload: bytes) -> dict:
@@ -3685,6 +3886,8 @@ def probe_audio(payload: bytes) -> dict:
         return probe_flac(buf)
     afmt, _, dlen = _parse_audio_header(buf)
     n = dlen // afmt["block"]
+    if "spb" in afmt:  # ADPCM: block units hold spb samples, fact trims
+        n = afmt.get("fact", n * afmt["spb"])
     container = "wav" if buf[:4] == b"RIFF" else (
         "au" if buf[:4] == b".snd" else "aiff"
     )
@@ -3717,24 +3920,42 @@ def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
     if buf[:4] == b"fLaC":
         return decode_flac(buf)
     afmt, off, dlen = _parse_audio_header(buf)
-    return _frames_to_array(buf[off : off + dlen], afmt), afmt["rate"]
+    arr = _frames_to_array(buf[off : off + dlen], afmt)
+    if "fact" in afmt:
+        # ADPCM blocks are fixed-size; the fact chunk carries the true
+        # sample count so the final block's padding trims off
+        arr = arr[: afmt["fact"]]
+    return arr, afmt["rate"]
 
 
 def encode_wav(
-    samples: "np.ndarray", sample_rate: int, bits: int = 16, law: "str | None" = None
+    samples: "np.ndarray",
+    sample_rate: int,
+    bits: int = 16,
+    law: "str | None" = None,
+    adpcm: "str | None" = None,
+    block_align: "int | None" = None,
 ) -> bytes:
     """Minimal WAV encoder for round-trip tests: ``samples`` is (n,) or
     (n, channels) with dtype matching ``bits`` — uint8 (8), int16 (16),
     int32 (24: low three bytes kept, or 32), float32/float64 (IEEE float
     tags); ``law`` of ``"alaw"``/``"ulaw"`` G.711-compresses int16
-    linear input instead. The deterministic spec-literal replica
-    :func:`decode_audio` is tested against — not a production encoder."""
+    linear input instead; ``adpcm`` of ``"ima"``/``"ms"`` writes 4-bit
+    block-coded ADPCM (int16 linear in, the one genuinely LOSSY audio
+    path — decode is within a quantizer step, not bit-exact), with a
+    ``fact`` chunk trimming the final block's padding. The deterministic
+    spec-literal replica :func:`decode_audio` is tested against — not a
+    production encoder."""
     import struct
 
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr.reshape(-1, 1)
     n, ch = arr.shape
+    if adpcm is not None:
+        return _encode_wav_adpcm(
+            arr.astype("int64"), int(sample_rate), adpcm, block_align
+        )
     if law is not None:
         tag = _WAV_ALAW if law == "alaw" else _WAV_ULAW
         bits = 8
@@ -3766,6 +3987,125 @@ def encode_wav(
     fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, sample_rate * block, block, bits)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _encode_wav_adpcm(
+    arr: "np.ndarray", rate: int, kind: str, block_align: "int | None"
+) -> bytes:
+    """The ADPCM half of :func:`encode_wav`: block the int16 signal,
+    run the quantizer with the DECODER's own state update (encoder and
+    decoder stay in lockstep, so reconstruction error is exactly one
+    quantizer truncation per sample), pad the last block by repeating
+    the final sample, and record the true count in a ``fact`` chunk."""
+    import struct
+
+    n, ch = arr.shape
+    if n < 2:
+        raise ValueError("ADPCM needs at least two samples")
+    if kind == "ima":
+        block = block_align if block_align is not None else 4 * ch * 16
+        body = block - 4 * ch
+        if body <= 0 or body % (4 * ch):
+            raise ValueError(f"IMA block align {block} invalid for {ch} channel(s)")
+        spb = body * 2 // ch + 1
+    elif kind == "ms":
+        block = block_align if block_align is not None else 70 * ch
+        body = block - 7 * ch
+        if body <= 0 or (body * 2) % ch:
+            raise ValueError(f"MS block align {block} invalid for {ch} channel(s)")
+        spb = body * 2 // ch + 2
+    else:
+        raise ValueError(f"adpcm must be 'ima' or 'ms', got {kind!r}")
+    n_blocks = -(-n // spb)
+    padded = np.vstack([arr, np.repeat(arr[-1:], n_blocks * spb - n, axis=0)])
+    clamp = lambda v: max(-32768, min(32767, v))  # noqa: E731
+    blocks = []
+    if kind == "ima":
+        idx = [0] * ch  # step index carries across blocks (header restates it)
+        for b in range(n_blocks):
+            x = padded[b * spb : (b + 1) * spb]
+            head = b""
+            nibs = [[] for _ in range(ch)]
+            for c in range(ch):
+                pred = int(x[0, c])
+                head += struct.pack("<hBB", pred, idx[c], 0)
+                for s in x[1:, c]:
+                    step = int(_IMA_STEP_TABLE[idx[c]])
+                    diff = int(s) - pred
+                    code = 8 if diff < 0 else 0
+                    diff = abs(diff)
+                    if diff >= step:
+                        code |= 4
+                        diff -= step
+                    if diff >= step >> 1:
+                        code |= 2
+                        diff -= step >> 1
+                    if diff >= step >> 2:
+                        code |= 1
+                    d = (step >> 3) + (step >> 2 if code & 1 else 0) + (
+                        step >> 1 if code & 2 else 0
+                    ) + (step if code & 4 else 0)
+                    pred = clamp(pred - d if code & 8 else pred + d)
+                    idx[c] = min(88, max(0, idx[c] + int(_IMA_INDEX_TABLE[code & 7])))
+                    nibs[c].append(code)
+            data = bytearray(head)
+            for g in range((spb - 1) // 8):
+                for c in range(ch):
+                    eight = nibs[c][8 * g : 8 * g + 8]
+                    for k in range(0, 8, 2):
+                        data.append(eight[k] | (eight[k + 1] << 4))
+            blocks.append(bytes(data))
+    else:
+        for b in range(n_blocks):
+            x = padded[b * spb : (b + 1) * spb]
+            s2 = [int(x[0, c]) for c in range(ch)]
+            s1 = [int(x[1, c]) for c in range(ch)]
+            delta = [
+                max(16, int(np.mean(np.abs(np.diff(x[:, c]))) / 4) or 16)
+                for c in range(ch)
+            ]
+            head = bytes([0] * ch)  # predictor pair 0: coefs (256, 0)
+            head += b"".join(struct.pack("<h", d) for d in delta)
+            head += b"".join(struct.pack("<h", v) for v in s1)
+            head += b"".join(struct.pack("<h", v) for v in s2)
+            codes = []
+            for s in range(2, spb):
+                for c in range(ch):
+                    pred = (s1[c] * 256 + s2[c] * 0) >> 8
+                    err = int(x[s, c]) - pred
+                    q = err // delta[c] if err >= 0 else -((-err) // delta[c])
+                    q = max(-8, min(7, q))
+                    recon = clamp(pred + q * delta[c])
+                    codes.append(q & 0xF)
+                    s2[c], s1[c] = s1[c], recon
+                    delta[c] = max(
+                        16, (int(_MS_ADPCM_ADAPT[q & 0xF]) * delta[c]) >> 8
+                    )
+            data = bytearray(head)
+            for k in range(0, len(codes), 2):
+                data.append((codes[k] << 4) | codes[k + 1])
+            blocks.append(bytes(data))
+    raw = b"".join(blocks)
+    if len(raw) != n_blocks * block:
+        raise ValueError("ADPCM encoder framed the blocks wrong")  # unreachable
+    if kind == "ima":
+        ext = struct.pack("<HH", 2, spb)
+        tag = _WAV_IMA_ADPCM
+    else:
+        pairs = b"".join(
+            struct.pack("<hh", int(a), int(b2))
+            for a, b2 in zip(_MS_ADPCM_COEF1, _MS_ADPCM_COEF2)
+        )
+        ext = struct.pack("<HHH", 4 + len(pairs), spb, 7) + pairs
+        tag = _WAV_MS_ADPCM
+    byte_rate = rate * block // spb
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, byte_rate, block, 4) + ext
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n)
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw + (
+        b"\x00" if len(raw) & 1 else b""
+    )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
@@ -3935,11 +4275,16 @@ def _parse_audio_header(payload: bytes):
 
 
 def _afmt_from_wav(fmt: dict) -> dict:
-    codec = {_WAV_FLOAT: "float", _WAV_ALAW: "alaw", _WAV_ULAW: "ulaw"}.get(
-        fmt["tag"], "pcm_u8" if fmt["bits"] == 8 else "pcm"
-    )
-    return {"codec": codec, "endian": "<", "channels": fmt["channels"],
-            "rate": fmt["rate"], "bits": fmt["bits"], "block": fmt["block"]}
+    codec = {
+        _WAV_FLOAT: "float", _WAV_ALAW: "alaw", _WAV_ULAW: "ulaw",
+        _WAV_IMA_ADPCM: "ima_adpcm", _WAV_MS_ADPCM: "ms_adpcm",
+    }.get(fmt["tag"], "pcm_u8" if fmt["bits"] == 8 else "pcm")
+    out = {"codec": codec, "endian": "<", "channels": fmt["channels"],
+           "rate": fmt["rate"], "bits": fmt["bits"], "block": fmt["block"]}
+    for k in ("spb", "coefs", "fact"):
+        if k in fmt:
+            out[k] = fmt[k]
+    return out
 
 
 def _frames_to_array(raw: bytes, f: dict) -> "np.ndarray":
@@ -3951,6 +4296,12 @@ def _frames_to_array(raw: bytes, f: dict) -> "np.ndarray":
     bits), so replicas can assert equality."""
     bits, ch, e = f["bits"], f["channels"], f["endian"]
     codec = f["codec"]
+    if codec == "ima_adpcm":
+        arr = _decode_ima_blocks(raw, ch, f["block"]).astype("float64") / 32768.0
+        return arr
+    if codec == "ms_adpcm":
+        arr = _decode_ms_blocks(raw, ch, f["block"], f["coefs"])
+        return arr.astype("float64") / 32768.0
     if codec in ("alaw", "ulaw"):
         arr = _g711_expand(np.frombuffer(raw, dtype="u1"), codec).astype("float64") / 32768.0
     elif codec == "float":
@@ -4596,6 +4947,7 @@ AUDIO_WINDOW_SCHEMA = StructType(
 def audio_media_table(
     emb: DataFrame, sample_rate: int = 8000, repeat: int = 16,
     law: "str | None" = None, container: str = "wav",
+    adpcm: "str | None" = None,
 ) -> DataFrame:
     """Deterministic synthetic audio media table derived from the
     embeddings table: each vector's float32 values scale to int16 PCM
@@ -4604,9 +4956,12 @@ def audio_media_table(
     ``"alaw"``/``"ulaw"`` writes the same waveform G.711-companded (the
     telephony container shape), quantized to segment midpoints by
     construction; ``container`` picks "wav", "au", or "aiff" around the
-    identical frames."""
+    identical frames; ``adpcm`` of "ima"/"ms" writes the block-coded
+    WAV form instead (the one lossy audio path)."""
     if container not in ("wav", "au", "aiff"):
         raise ValueError(f"unsupported container {container!r}")
+    if adpcm is not None and (container != "wav" or law is not None):
+        raise ValueError("adpcm is a WAV-only coding and excludes law")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4616,7 +4971,9 @@ def audio_media_table(
                 pcm = np.clip(np.round(f * 16384.0), -32768, 32767).astype("<i2")
                 frames = np.tile(pcm, repeat)
                 if container == "wav":
-                    payloads.append(encode_wav(frames, sample_rate, law=law))
+                    payloads.append(
+                        encode_wav(frames, sample_rate, law=law, adpcm=adpcm)
+                    )
                 elif container == "au":
                     payloads.append(
                         encode_au(frames, sample_rate, encoding=law or "pcm16")

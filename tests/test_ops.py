@@ -1498,6 +1498,152 @@ def test_image_features_cross_format_parity(spark, emb):
         assert abs(tj["mean_val"] - ref["mean_val"]) < 1.0
 
 
+def test_adpcm_wav_decode_and_roundtrip():
+    """IMA/DVI and Microsoft ADPCM WAV: the block-vectorized decoders
+    match a per-sample scalar replica EXACTLY on random bitstreams
+    (arbitrary nibbles and headers, not just encoder output), the lossy
+    encoder round-trips within the quantizer envelope, the fact chunk
+    trims final-block padding to the true sample count, and the table
+    invariants hold (89-step table from 7 to 32767 growing ~1.1x, the
+    published MS coefficient pairs). Framing violations raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    st = multimodal._IMA_STEP_TABLE
+    assert len(st) == 89 and st[0] == 7 and st[-1] == 32767
+    r = st[1:].astype("float64") / st[:-1]
+    assert (r >= 1.04).all() and (r <= 1.15).all() and (np.diff(st) > 0).all()
+    assert multimodal._IMA_INDEX_TABLE.tolist() == [-1, -1, -1, -1, 2, 4, 6, 8]
+    assert multimodal._MS_ADPCM_COEF1.tolist() == [256, 512, 0, 192, 240, 460, 392]
+    assert multimodal._MS_ADPCM_COEF2.tolist() == [0, -256, 0, 64, 0, -208, -232]
+    adapt = multimodal._MS_ADPCM_ADAPT
+    assert len(adapt) == 16 and adapt[0] == 230 and adapt[8] == 768
+    assert (adapt[1:8] == adapt[15:8:-1]).all()  # magnitude-symmetric
+
+    rng = np.random.RandomState(31)
+    clamp = lambda v: max(-32768, min(32767, v))  # noqa: E731
+
+    def ima_scalar(block: bytes, ch: int):
+        out = [[] for _ in range(ch)]
+        preds, idxs = [], []
+        for c in range(ch):
+            p, i, _ = struct.unpack_from("<hBB", block, 4 * c)
+            preds.append(p)
+            idxs.append(i)
+            out[c].append(p)
+        body = block[4 * ch :]
+        for g in range(len(body) // (4 * ch)):
+            for c in range(ch):
+                for byte in body[(g * ch + c) * 4 : (g * ch + c) * 4 + 4]:
+                    for n in (byte & 0xF, byte >> 4):
+                        step = int(st[idxs[c]])
+                        d = step >> 3
+                        if n & 1:
+                            d += step >> 2
+                        if n & 2:
+                            d += step >> 1
+                        if n & 4:
+                            d += step
+                        preds[c] = clamp(preds[c] + (-d if n & 8 else d))
+                        idxs[c] = min(88, max(0, idxs[c] + int(
+                            multimodal._IMA_INDEX_TABLE[n & 7])))
+                        out[c].append(preds[c])
+        return np.array(out).T
+
+    def ms_scalar(block: bytes, ch: int):
+        bp = list(block[:ch])
+        delta = [struct.unpack_from("<h", block, ch + 2 * c)[0] for c in range(ch)]
+        s1 = [struct.unpack_from("<h", block, 3 * ch + 2 * c)[0] for c in range(ch)]
+        s2 = [struct.unpack_from("<h", block, 5 * ch + 2 * c)[0] for c in range(ch)]
+        out = [[s2[c], s1[c]] for c in range(ch)]
+        nibs = []
+        for byte in block[7 * ch :]:
+            nibs += [byte >> 4, byte & 0xF]
+        c1 = [int(multimodal._MS_ADPCM_COEF1[b]) for b in bp]
+        c2 = [int(multimodal._MS_ADPCM_COEF2[b]) for b in bp]
+        for k, n in enumerate(nibs):
+            c = k % ch
+            signed = (n ^ 8) - 8
+            pred = clamp(((s1[c] * c1[c] + s2[c] * c2[c]) >> 8) + signed * delta[c])
+            out[c].append(pred)
+            s2[c], s1[c] = s1[c], pred
+            delta[c] = max(16, (int(adapt[n]) * delta[c]) >> 8)
+        return np.array(out).T
+
+    # random bitstreams (not encoder output) pin vectorized == scalar
+    for ch in (1, 2):
+        blk = 4 * ch * 5
+        blocks = []
+        for _ in range(7):
+            b = bytearray(rng.randint(0, 256, size=blk).astype("uint8").tobytes())
+            for c in range(ch):
+                b[4 * c + 2] = rng.randint(0, 89)  # valid step index
+                b[4 * c + 3] = 0
+            blocks.append(bytes(b))
+        got = multimodal._decode_ima_blocks(b"".join(blocks), ch, blk)
+        ref = np.vstack([ima_scalar(b, ch) for b in blocks])
+        assert (got == ref).all(), ("ima", ch)
+
+        blk = 7 * ch + 8 * ch
+        blocks = []
+        for _ in range(7):
+            b = bytearray(rng.randint(0, 256, size=blk).astype("uint8").tobytes())
+            for c in range(ch):
+                b[c] = rng.randint(0, 7)  # valid predictor pair
+            blocks.append(bytes(b))
+        coefs = (multimodal._MS_ADPCM_COEF1, multimodal._MS_ADPCM_COEF2)
+        got = multimodal._decode_ms_blocks(b"".join(blocks), ch, blk, coefs)
+        ref = np.vstack([ms_scalar(b, ch) for b in blocks])
+        assert (got == ref).all(), ("ms", ch)
+
+    # encoder round-trip: lossy but inside the quantizer envelope,
+    # fact-trimmed to the exact input length (481 is no block multiple)
+    t = np.arange(481)
+    sig = np.clip(
+        8000 * np.sin(t / 17.0) + 2500 * np.sin(t / 5.1) + rng.randn(481) * 150,
+        -32768, 32767,
+    ).astype("int64")
+    for kind in ("ima", "ms"):
+        for ch in (1, 2):
+            x = np.stack([sig, np.roll(sig, 53)], axis=1)[:, :ch]
+            pay = multimodal.encode_wav(x.astype("int16"), 8000, adpcm=kind)
+            out, rate = multimodal.decode_audio(pay)
+            assert rate == 8000 and out.shape == x.shape
+            err = out * 32768.0 - x
+            assert float(np.sqrt((err ** 2).mean())) < 400.0, (kind, ch)
+            assert float(np.corrcoef(out[:, 0], x[:, 0])[0, 1]) > 0.995
+            meta = multimodal.probe_audio(pay)
+            assert meta["encoding"] == f"{kind}_adpcm"
+            assert meta["n_samples"] == 481 and meta["bits"] == 4
+
+    # windowed feature path: window unit = one self-contained block
+    pay = multimodal.encode_wav(sig.astype("int16"), 8000, adpcm="ima")
+
+    # framing violations
+    def patch(payload: bytes, off: int, fmt: str, *vals):
+        buf = bytearray(payload)
+        struct.pack_into(fmt, buf, off, *vals)
+        return bytes(buf)
+
+    with _pytest.raises(ValueError, match="samples/block"):
+        multimodal.decode_audio(patch(pay, 38, "<H", 999))  # spb lies
+    with _pytest.raises(ValueError, match="fact count"):
+        multimodal.decode_audio(patch(pay, 48, "<I", 10 ** 6))
+    with _pytest.raises(ValueError, match="step index"):
+        bad = bytearray(pay)
+        bad[bad.index(b"data") + 8 + 2] = 99
+        multimodal.decode_audio(bytes(bad))
+    with _pytest.raises(ValueError, match="coefficient table"):
+        ms = multimodal.encode_wav(sig.astype("int16"), 8000, adpcm="ms")
+        multimodal.decode_audio(patch(ms, 42, "<h", 999))  # coef1[0]
+    with _pytest.raises(NotImplementedError, match="4-bit"):
+        multimodal.decode_audio(patch(pay, 34, "<H", 2))  # bits field
+
+
 def test_webp_vp8l_roundtrip():
     """Lossless WebP (VP8L): every decoder path round-trips bit-exactly
     through the fixture encoder — literals, LZ77 back-references over
@@ -1841,11 +1987,16 @@ def test_wav_audio_decode_roundtrip_and_gates():
         assert rate == 8000
         assert np.array_equal(x, lin.reshape(-1, 2).astype("float64") / 32768.0)
 
-    # gates + framing
-    for tag in (0x0002, 0x0011, 0x0055):  # MS-ADPCM, IMA-ADPCM, MP3
+    # gates + framing: entropy-coded tags stay gated; ADPCM decodes now,
+    # but a PCM payload relabeled as ADPCM hits the 4-bit layout gate
+    bad = bytearray(pay)
+    struct.pack_into("<H", bad, 20, 0x0055)  # MP3
+    with _pytest.raises(NotImplementedError, match="format tag"):
+        multimodal.decode_audio(bytes(bad))
+    for tag in (0x0002, 0x0011):  # MS-ADPCM, IMA-ADPCM over 16-bit frames
         bad = bytearray(pay)
         struct.pack_into("<H", bad, 20, tag)
-        with _pytest.raises(NotImplementedError, match="format tag"):
+        with _pytest.raises(NotImplementedError, match="4-bit"):
             multimodal.decode_audio(bytes(bad))
     # G.711 declared at a non-8-bit layout is structurally wrong → gated
     bad = bytearray(pay)
@@ -1921,6 +2072,38 @@ def test_audio_window_sampling_over_spark(spark, emb):
                 assert r["peak"] == float(np.abs(mono).max())
                 assert r["mean_val"] == float(mono.mean())
                 assert r["checksum"] == hashlib.md5(seg.tobytes()).hexdigest()
+
+    # ADPCM through the SAME Spark path: the window unit becomes one
+    # self-contained block (skip-unsampled still holds — no other block
+    # is decoded), features match the deterministic encoder replica
+    for kind in ("ima", "ms"):
+        adp = multimodal.audio_media_table(
+            sample, sample_rate=8000, repeat=4, adpcm=kind
+        )
+        got = {
+            (r["vec_id"], r["window_no"]): r
+            for r in multimodal.sample_audio_windows(
+                adp, window=2, every_k=2
+            ).collect()
+        }
+        for row in sample.collect():
+            f = np.asarray(row["embedding"], dtype="<f4").astype("float64")
+            pcm = np.clip(np.round(f * 16384.0), -32768, 32767).astype("<i2")
+            pay = multimodal.encode_wav(np.tile(pcm, 4), 8000, adpcm=kind)
+            fmt, off, dlen = multimodal._parse_audio_header(pay)
+            spb, block = fmt["spb"], fmt["block"]
+            n_blocks = dlen // block
+            full = multimodal._frames_to_array(pay[off : off + dlen], fmt)
+            n_windows = -(-n_blocks // 2)
+            wns = sorted(wn for vid, wn in got if vid == row["vec_id"])
+            assert wns == list(range(0, n_windows, 2))
+            for wn in wns:
+                r = got[(row["vec_id"], wn)]
+                seg = pay[off + wn * 2 * block : off + min(dlen, (wn + 1) * 2 * block)]
+                mono = full[wn * 2 * spb : (wn + 1) * 2 * spb, 0]
+                assert r["n_samples"] == mono.size and r["n_windows"] == n_windows
+                assert r["rms"] == float(np.sqrt(np.mean(mono * mono)))
+                assert r["checksum"] == hashlib.md5(seg).hexdigest()
 
 
 def test_au_aiff_decode_roundtrip():
