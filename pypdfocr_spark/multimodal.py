@@ -3457,10 +3457,223 @@ def _y4m_frames(payload: bytes):
 def probe_video(payload: bytes) -> dict:
     """Container metadata + frame count from a header walk (no pixel is
     decoded): the cheap path a sampling planner uses before deciding
-    which frames to pay for."""
-    w, h, cs, _ = _parse_y4m_header(payload)
-    n_frames = sum(1 for _ in _y4m_frames(payload))
-    return {"width": w, "height": h, "colorspace": cs, "n_frames": n_frames}
+    which frames to pay for. Y4M probes (and decodes) in full;
+    MP4/ISO-BMFF and AVI probe header-only — at crawl scale the typing /
+    duration / dimensions pass runs over everything while the
+    codec-backed decode only runs where a sampler asked for pixels."""
+    buf = bytes(payload)
+    if buf[4:8] == b"ftyp":
+        return _probe_mp4(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return _probe_avi(buf)
+    w, h, cs, _ = _parse_y4m_header(buf)
+    n_frames = sum(1 for _ in _y4m_frames(buf))
+    return {"container": "y4m", "width": w, "height": h, "colorspace": cs,
+            "n_frames": n_frames}
+
+
+def _probe_mp4(buf: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) box walk: ftyp brand, mvhd timescale/duration,
+    per-track tkhd dimensions and hdlr handler types. Pure container
+    arithmetic — the sample data (H.264/AAC/…) is never touched; decode
+    stays behind the codec gate."""
+    import struct
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            kind = buf[pos + 4 : pos + 8].decode("latin-1")
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                raise ValueError(f"MP4 box {kind!r} overruns its container")
+            yield kind, body, pos + size
+            pos += size
+
+    info: dict = {"container": "mp4", "tracks": []}
+    for kind, body, end in boxes(0, len(buf)):
+        if kind == "ftyp":
+            info["brand"] = buf[body : body + 4].decode("latin-1")
+        elif kind == "moov":
+            for k2, b2, e2 in boxes(body, end):
+                if k2 == "mvhd":
+                    ver = buf[b2]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", buf, b2 + 20)
+                    else:
+                        ts, dur = struct.unpack_from(">II", buf, b2 + 12)
+                    if ts == 0:
+                        raise ValueError("MP4 mvhd timescale is zero")
+                    info["timescale"] = ts
+                    info["duration_sec"] = dur / ts
+                elif k2 == "trak":
+                    trk: dict = {}
+                    for k3, b3, e3 in boxes(b2, e2):
+                        if k3 == "tkhd":
+                            ver = buf[b3]
+                            off = b3 + (88 if ver == 1 else 76)
+                            wfix, hfix = struct.unpack_from(">II", buf, off)
+                            trk["width"] = wfix / 65536.0
+                            trk["height"] = hfix / 65536.0
+                        elif k3 == "mdia":
+                            for k4, b4, _e4 in boxes(b3, e3):
+                                if k4 == "hdlr":
+                                    trk["handler"] = buf[b4 + 8 : b4 + 12].decode(
+                                        "latin-1"
+                                    )
+                    info["tracks"].append(trk)
+    if "timescale" not in info:
+        raise ValueError("MP4 without a moov/mvhd box")
+    vids = [t for t in info["tracks"] if t.get("handler") == "vide"]
+    if vids:
+        info["width"] = int(vids[0]["width"])
+        info["height"] = int(vids[0]["height"])
+    return info
+
+
+def _probe_avi(buf: bytes) -> dict:
+    """AVI (RIFF) probe from the avih main header: frame timing, frame
+    count, and dimensions — header-only, the stream data stays coded."""
+    import struct
+
+    (total,) = struct.unpack_from("<I", buf, 4)
+    if total + 8 != len(buf):
+        raise ValueError(f"RIFF declares {total + 8} bytes, payload has {len(buf)}")
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if cid == b"LIST" and buf[body : body + 4] == b"hdrl":
+            pos = body + 4
+            continue
+        if cid == b"avih":
+            if size < 40:
+                raise ValueError(f"AVI avih chunk is {size} bytes, needs >= 40")
+            (us_per_frame, _maxbps, _pad, _flags, n_frames, _init, streams,
+             _bufsz, w, h) = struct.unpack_from("<10I", buf, body)
+            return {
+                "container": "avi",
+                "width": w,
+                "height": h,
+                "n_frames": n_frames,
+                "n_streams": streams,
+                "fps": 1e6 / us_per_frame if us_per_frame else None,
+                "duration_sec": n_frames * us_per_frame / 1e6,
+            }
+        pos = body + size + (size & 1)
+    raise ValueError("AVI without an avih header")
+
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3): bitrates
+# in kbit/s by (version-group, layer), sample rates by version. A probe
+# walks frame headers only — the filterbank/Huffman payload is never
+# touched, so MP3 typing, duration, and VBR detection are exact without
+# an audio codec.
+_MPEG_BITRATES = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MPEG_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+               25: (11025, 12000, 8000)}
+
+
+def _mp3_frame_header(buf: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``; returns (frame_len,
+    info dict) or None if the 4 bytes are not a valid header."""
+    if pos + 4 > len(buf):
+        return None
+    b0, b1, b2, b3 = buf[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}.get((b1 >> 3) & 3)
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 3)
+    if version is None or layer is None:
+        return None
+    br_idx = b2 >> 4
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format and reserved stay unprobed
+    group = 1 if version == 1 else 2
+    bitrate = _MPEG_BITRATES[(group, layer)][br_idx] * 1000
+    rate = _MPEG_RATES[version][sr_idx]
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 3
+    if layer == 1:
+        samples = 384
+        frame_len = (12 * bitrate // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or version == 1) else 576
+        frame_len = samples // 8 * bitrate // rate + padding
+    return frame_len, {
+        "version": {1: "1", 2: "2", 25: "2.5"}[version],
+        "layer": layer,
+        "bitrate_kbps": bitrate // 1000,
+        "sample_rate": rate,
+        "channels": 1 if mode == 3 else 2,
+        "samples_per_frame": samples,
+    }
+
+
+def _probe_mp3(buf: bytes) -> dict:
+    """MPEG audio (MP3) probe: skip an ID3v2 tag (syncsafe size), then
+    walk every frame header — frame sizes are header arithmetic, so the
+    count, exact duration, and CBR-vs-VBR verdict come out without
+    decoding a single granule."""
+    pos = 0
+    if buf[:3] == b"ID3":
+        if len(buf) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for b in buf[6:10]:
+            if b & 0x80:
+                raise ValueError("ID3v2 size bytes must be syncsafe (bit 7 clear)")
+            size = (size << 7) | b
+        pos = 10 + size + (10 if buf[5] & 0x10 else 0)  # footer flag
+    first = _mp3_frame_header(buf, pos)
+    if first is None:
+        raise ValueError(f"no MPEG audio frame sync at byte {pos}")
+    n_frames = 0
+    seconds = 0.0
+    bitrates = set()
+    info = first[1]
+    while pos + 4 <= len(buf):
+        got = _mp3_frame_header(buf, pos)
+        if got is None:
+            if buf[pos : pos + 3] == b"TAG":  # trailing ID3v1 block
+                pos += 128
+                continue
+            raise ValueError(f"MPEG frame sync lost at byte {pos}")
+        frame_len, h = got
+        if (h["sample_rate"], h["layer"]) != (info["sample_rate"], info["layer"]):
+            raise ValueError("MPEG stream changes sample rate or layer mid-file")
+        bitrates.add(h["bitrate_kbps"])
+        n_frames += 1
+        seconds += h["samples_per_frame"] / h["sample_rate"]
+        pos += frame_len
+    return {
+        "container": "mp3",
+        "encoding": f"mpeg{info['version']}_layer{info['layer']}",
+        "sample_rate": info["sample_rate"],
+        "channels": info["channels"],
+        "n_frames": n_frames,
+        "n_samples": n_frames * info["samples_per_frame"],
+        "duration_sec": seconds,
+        "vbr": len(bitrates) > 1,
+        "bitrate_kbps": (
+            info["bitrate_kbps"] if len(bitrates) == 1
+            else round(sum(bitrates) / len(bitrates))
+        ),
+    }
 
 
 def _y4m_frame_to_array(buf: bytes, w: int, h: int, sub) -> "np.ndarray":
@@ -3884,6 +4097,10 @@ def probe_audio(payload: bytes) -> dict:
     buf = bytes(payload)
     if buf[:4] == b"fLaC":
         return probe_flac(buf)
+    if buf[:3] == b"ID3" or (
+        len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+    ):
+        return _probe_mp3(buf)
     afmt, _, dlen = _parse_audio_header(buf)
     n = dlen // afmt["block"]
     if "spb" in afmt:  # ADPCM: block units hold spb samples, fact trims
@@ -3919,6 +4136,13 @@ def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
     buf = bytes(payload)
     if buf[:4] == b"fLaC":
         return decode_flac(buf)
+    if buf[:3] == b"ID3" or (
+        len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+    ):
+        raise NotImplementedError(
+            "MPEG audio (MP3) sample decode needs an audio library; "
+            "probe_audio covers typing, duration, and VBR detection"
+        )
     afmt, off, dlen = _parse_audio_header(buf)
     arr = _frames_to_array(buf[off : off + dlen], afmt)
     if "fact" in afmt:

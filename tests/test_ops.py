@@ -1498,6 +1498,104 @@ def test_image_features_cross_format_parity(spark, emb):
         assert abs(tj["mean_val"] - ref["mean_val"]) < 1.0
 
 
+def test_media_probe_only_formats():
+    """Entropy-coded media probes header-only — the crawl-scale typing /
+    duration pass that runs over everything while decode stays behind
+    the codec gate: MP3 (ID3v2 skip, frame-header walk with exact frame
+    count, duration, and VBR verdict), MP4/ISO-BMFF (box walk incl.
+    largesize and to-end boxes, mvhd duration, video track dims), and
+    AVI (avih main header). Framing violations raise; decode gates name
+    the probe."""
+    import struct
+
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    # --- MP3: V1 L3 128k/44100 stereo, alternating padding bit ---
+    def mp3_frame(br_idx: int, padding: int) -> bytes:
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (padding << 1), 0x00])
+        br = multimodal._MPEG_BITRATES[(1, 3)][br_idx] * 1000
+        return hdr + b"\x00" * (144 * br // 44100 + padding - 4)
+
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 5]) + b"\x00" * 133  # size 133
+    frames = b"".join(mp3_frame(9, k & 1) for k in range(6))
+    pay = id3 + frames + b"TAG" + b"\x00" * 125
+    meta = multimodal.probe_audio(pay)
+    assert meta["container"] == "mp3"
+    assert meta["encoding"] == "mpeg1_layer3" and meta["sample_rate"] == 44100
+    assert meta["n_frames"] == 6 and meta["channels"] == 2
+    assert not meta["vbr"] and meta["bitrate_kbps"] == 128
+    assert abs(meta["duration_sec"] - 6 * 1152 / 44100.0) < 1e-12
+    vbr = b"".join(mp3_frame(i, 0) for i in (9, 11, 13, 9))
+    meta = multimodal.probe_audio(vbr)
+    assert meta["vbr"] and meta["n_frames"] == 4
+    with _pytest.raises(NotImplementedError, match="probe_audio covers"):
+        multimodal.decode_audio(pay)
+    with _pytest.raises(ValueError, match="sync lost"):
+        multimodal.probe_audio(frames + b"\x12\x34\x56\x78")
+    with _pytest.raises(ValueError, match="syncsafe"):
+        multimodal.probe_audio(b"ID3\x04\x00\x00" + bytes([0, 0, 0x80, 0]) + frames)
+
+    # --- MP4: ftyp (largesize) + moov/mvhd + video trak + free (size 0)
+    def box(kind: bytes, body: bytes, large: bool = False) -> bytes:
+        if large:
+            return struct.pack(">I", 1) + kind + struct.pack(">Q", 16 + len(body)) + body
+        return struct.pack(">I", 8 + len(body)) + kind + body
+
+    mvhd = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", 1000, 5500)
+    mvhd += b"\x00" * 80
+    tkhd = b"\x00\x00\x00\x00" + b"\x00" * 72 + struct.pack(
+        ">II", 640 << 16, 360 << 16
+    )
+    hdlr = b"\x00" * 8 + b"vide" + b"\x00" * 12
+    trak = box(b"tkhd", tkhd) + box(b"mdia", box(b"hdlr", hdlr))
+    moov = box(b"mvhd", mvhd) + box(b"trak", trak)
+    pay = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2", large=True)
+        + box(b"moov", moov)
+        + struct.pack(">I", 0) + b"free" + b"\x00" * 6  # size 0 = to end
+    )
+    meta = multimodal.probe_video(pay)
+    assert meta["container"] == "mp4" and meta["brand"] == "isom"
+    assert meta["duration_sec"] == 5.5 and meta["timescale"] == 1000
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["tracks"][0]["handler"] == "vide"
+    # v1 (64-bit) mvhd
+    mvhd1 = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">IQ", 600, 1200)
+    meta = multimodal.probe_video(
+        box(b"ftyp", b"mp42") + box(b"moov", box(b"mvhd", mvhd1 + b"\x00" * 80))
+    )
+    assert meta["duration_sec"] == 2.0
+    with _pytest.raises(ValueError, match="overruns"):
+        bad = bytearray(pay)
+        # moov starts right after the 32-byte largesize ftyp box
+        struct.pack_into(">I", bad, 32, 1 << 30)  # moov size lies
+        multimodal.probe_video(bytes(bad))
+    with _pytest.raises(ValueError, match="mvhd"):
+        multimodal.probe_video(box(b"ftyp", b"mp42") + box(b"moov", b""))
+
+    # --- AVI: avih main header inside LIST hdrl ---
+    avih = struct.pack(
+        "<10I", 33367, 0, 0, 0, 240, 0, 2, 0, 320, 240
+    ) + b"\x00" * 16
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    pay = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = multimodal.probe_video(pay)
+    assert meta["container"] == "avi" and meta["n_frames"] == 240
+    assert (meta["width"], meta["height"]) == (320, 240)
+    assert abs(meta["fps"] - 1e6 / 33367) < 1e-9
+    assert meta["n_streams"] == 2
+    with _pytest.raises(ValueError, match="avih"):
+        multimodal.probe_video(
+            b"RIFF" + struct.pack("<I", 4) + b"AVI "
+        )
+    # decode of coded containers stays gated
+    with _pytest.raises(NotImplementedError, match="video"):
+        multimodal.decode_video_frames(pay)
+
+
 def test_adpcm_wav_decode_and_roundtrip():
     """IMA/DVI and Microsoft ADPCM WAV: the block-vectorized decoders
     match a per-sample scalar replica EXACTLY on random bitstreams
@@ -1821,7 +1919,8 @@ def test_y4m_video_decode_roundtrip_and_sampling():
     frames = [rng.randint(0, 256, size=(6, 8), dtype=np.uint8) for _ in range(5)]
     pay = multimodal.encode_y4m(frames, "mono")
     meta = multimodal.probe_video(pay)
-    assert meta == {"width": 8, "height": 6, "colorspace": "mono", "n_frames": 5}
+    assert meta == {"container": "y4m", "width": 8, "height": 6,
+                    "colorspace": "mono", "n_frames": 5}
     dec = multimodal.decode_video_frames(pay)
     assert [i for i, _ in dec] == list(range(5))
     for (_, d), f in zip(dec, frames):
@@ -2003,8 +2102,11 @@ def test_wav_audio_decode_roundtrip_and_gates():
     struct.pack_into("<H", bad, 20, 0x0007)  # μ-law tag, but 16-bit frames
     with _pytest.raises(NotImplementedError, match="not a decodable layout"):
         multimodal.decode_audio(bytes(bad))
-    with _pytest.raises(NotImplementedError, match="only WAV"):
+    # ID3-tagged payloads now route to the MP3 gate, which names the probe
+    with _pytest.raises(NotImplementedError, match="probe_audio covers"):
         multimodal.decode_audio(b"ID3\x04" + b"\x00" * 40)
+    with _pytest.raises(NotImplementedError, match="only WAV"):
+        multimodal.decode_audio(b"\x00garbage" + b"\x00" * 40)
     with _pytest.raises(ValueError, match="truncated WAV data"):
         multimodal.decode_audio(pay[:-7])
 
