@@ -1526,14 +1526,7 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
     h = abs(h_signed)
     if w <= 0 or h == 0:
         raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
-    row_size = ((bpp * w + 31) // 32) * 4
-    need = row_size * h
-    raster = payload[data_off : data_off + need]
-    if len(raster) < need:
-        raise ValueError(
-            f"truncated BMP pixel array: {len(raster)} bytes, expected {need}"
-        )
-    rows = np.frombuffer(raster, dtype="u1").reshape(h, row_size)
+    pal = None
     if bpp == 8:
         n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
         pal_off = 14 + dib_size
@@ -1542,6 +1535,26 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
         ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA entries → RGB
         if len(pal) < n_colors:
             raise ValueError("truncated BMP palette")
+    return _dib_to_array(payload[data_off:], w, h_signed, bpp, pal)
+
+
+def _dib_to_array(raster: bytes, w: int, h_signed: int, bpp: int,
+                  pal: "np.ndarray | None") -> "np.ndarray":
+    """Shared DIB raster-to-array kernel (BMP files and AVI '00db' video
+    frames carry the same rows): 4-byte-padded rows, bottom-up unless
+    height is negative, 8-bit palette / 24-bit BGR / 32-bit BGRA.
+    Grayscale palettes collapse to (h, w); strict length framing."""
+    h = abs(h_signed)
+    row_size = ((bpp * w + 31) // 32) * 4
+    need = row_size * h
+    if len(raster) < need:
+        raise ValueError(
+            f"truncated DIB pixel array: {len(raster)} bytes, expected {need}"
+        )
+    rows = np.frombuffer(raster[:need], dtype="u1").reshape(h, row_size)
+    if bpp == 8:
+        if pal is None or len(pal) == 0:
+            raise ValueError("8-bit DIB without a palette")
         idx = rows[:, :w]
         arr = pal[idx]  # (h, w, 3)
         if bool((arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 1] == arr[:, :, 2]).all()):
@@ -3536,38 +3549,216 @@ def _probe_mp4(buf: bytes) -> dict:
     return info
 
 
-def _probe_avi(buf: bytes) -> dict:
-    """AVI (RIFF) probe from the avih main header: frame timing, frame
-    count, and dimensions — header-only, the stream data stays coded."""
+def _riff_walk(buf: bytes, lo: int, hi: int):
+    """Little-endian RIFF chunk walk over ``buf[lo:hi]``: yields
+    (fourcc, body_lo, body_hi); chunks are padded to even offsets."""
     import struct
 
-    (total,) = struct.unpack_from("<I", buf, 4)
-    if total + 8 != len(buf):
-        raise ValueError(f"RIFF declares {total + 8} bytes, payload has {len(buf)}")
-    pos = 12
-    while pos + 8 <= len(buf):
+    pos = lo
+    while pos + 8 <= hi:
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         body = pos + 8
-        if cid == b"LIST" and buf[body : body + 4] == b"hdrl":
-            pos = body + 4
-            continue
-        if cid == b"avih":
-            if size < 40:
-                raise ValueError(f"AVI avih chunk is {size} bytes, needs >= 40")
-            (us_per_frame, _maxbps, _pad, _flags, n_frames, _init, streams,
-             _bufsz, w, h) = struct.unpack_from("<10I", buf, body)
-            return {
-                "container": "avi",
-                "width": w,
-                "height": h,
-                "n_frames": n_frames,
-                "n_streams": streams,
-                "fps": 1e6 / us_per_frame if us_per_frame else None,
-                "duration_sec": n_frames * us_per_frame / 1e6,
-            }
+        if body + size > hi:
+            raise ValueError(f"AVI chunk {cid!r} overruns its container")
+        yield cid, body, body + size
         pos = body + size + (size & 1)
-    raise ValueError("AVI without an avih header")
+
+
+def _parse_avi(buf: bytes) -> dict:
+    """Structural AVI parse: avih main header, per-stream strh/strf
+    (video strf = BITMAPINFOHEADER + palette), and the movi body span.
+    Header walk only — no stream chunk is touched."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (total,) = struct.unpack_from("<I", buf, 4)
+    if total + 8 != len(buf):
+        raise ValueError(f"RIFF declares {total + 8} bytes, payload has {len(buf)}")
+    info: dict = {"avih": None, "streams": [], "movi": None}
+    for cid, body, end in _riff_walk(buf, 12, len(buf)):
+        if cid != b"LIST":
+            continue
+        kind = buf[body : body + 4]
+        if kind == b"movi":
+            info["movi"] = (body + 4, end)
+        elif kind == b"hdrl":
+            for c2, b2, e2 in _riff_walk(buf, body + 4, end):
+                if c2 == b"avih":
+                    if e2 - b2 < 40:
+                        raise ValueError(
+                            f"AVI avih chunk is {e2 - b2} bytes, needs >= 40"
+                        )
+                    (us_per_frame, _maxbps, _pad, _flags, n_frames, _init,
+                     streams, _bufsz, w, h) = struct.unpack_from("<10I", buf, b2)
+                    info["avih"] = {
+                        "us_per_frame": us_per_frame, "n_frames": n_frames,
+                        "n_streams": streams, "width": w, "height": h,
+                    }
+                elif c2 == b"LIST" and buf[b2 : b2 + 4] == b"strl":
+                    s: dict = {}
+                    for c3, b3, e3 in _riff_walk(buf, b2 + 4, e2):
+                        if c3 == b"strh":
+                            s["type"] = buf[b3 : b3 + 4]
+                            s["handler"] = buf[b3 + 4 : b3 + 8]
+                            s["length"] = struct.unpack_from("<I", buf, b3 + 32)[0]
+                        elif c3 == b"strf" and s.get("type") == b"vids":
+                            bi_size, w, h_signed = struct.unpack_from("<Iii", buf, b3)
+                            bpp = struct.unpack_from("<H", buf, b3 + 14)[0]
+                            s.update(
+                                width=w, height=h_signed, bpp=bpp,
+                                compression=buf[b3 + 16 : b3 + 20],
+                                palette=buf[b3 + bi_size : e3],
+                            )
+                    info["streams"].append(s)
+    if info["avih"] is None:
+        raise ValueError("AVI without an avih header")
+    return info
+
+
+def _avi_codec_name(stream: dict) -> str:
+    comp = stream.get("compression", b"\x00\x00\x00\x00")
+    if int.from_bytes(comp, "little") == 0 or comp in (b"DIB ", b"RGB "):
+        return "raw"
+    return comp.decode("latin-1").strip()
+
+
+def _probe_avi(buf: bytes) -> dict:
+    """AVI (RIFF) probe from the avih main header: frame timing, frame
+    count, dimensions — plus the video stream's codec fourcc when an
+    strl header is present. Header-only, the stream data stays coded."""
+    info = _parse_avi(buf)
+    avih = info["avih"]
+    out = {
+        "container": "avi",
+        "width": avih["width"],
+        "height": avih["height"],
+        "n_frames": avih["n_frames"],
+        "n_streams": avih["n_streams"],
+        "fps": 1e6 / avih["us_per_frame"] if avih["us_per_frame"] else None,
+        "duration_sec": avih["n_frames"] * avih["us_per_frame"] / 1e6,
+    }
+    vids = [s for s in info["streams"] if s.get("type") == b"vids"]
+    if vids:
+        out["codec"] = _avi_codec_name(vids[0])
+    return out
+
+
+def _dht_segment(tc: int, th: int, table) -> bytes:
+    import struct
+
+    bits, vals = table
+    body = bytes([(tc << 4) | th] + list(bits)) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _mjpeg_with_tables(chunk: bytes) -> bytes:
+    """OpenDML MJPEG frames may omit DHT segments, relying on the T.81
+    Annex K typical tables; inject them before the first SOS when the
+    frame carries none so :func:`_decode_jpeg` sees a complete stream."""
+    import struct
+
+    if chunk[:2] != b"\xff\xd8":
+        raise ValueError("AVI MJPEG chunk does not start with a JPEG SOI")
+    pos = 2
+    while pos + 4 <= len(chunk):
+        if chunk[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at byte {pos}")
+        marker = chunk[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xC4:
+            return chunk  # carries its own tables
+        if marker == 0xDA:  # SOS with no DHT seen → inject Annex K
+            dht = (
+                _dht_segment(0, 0, _K_DC_LUMA) + _dht_segment(1, 0, _K_AC_LUMA)
+                + _dht_segment(0, 1, _K_DC_CHROMA) + _dht_segment(1, 1, _K_AC_CHROMA)
+            )
+            return chunk[:pos] + dht + chunk[pos:]
+        (ln,) = struct.unpack_from(">H", chunk, pos + 2)
+        pos += 2 + ln
+    raise ValueError("JPEG chunk without an SOS scan")
+
+
+def _avi_video_spans(buf: bytes):
+    """(stream-format dict, [(frame_no, start, end)]) for the first
+    video stream: a movi chunk walk (recursing into 'rec ' groups) that
+    reads chunk headers only — sampling N of F frames converts N."""
+    info = _parse_avi(buf)
+    if info["movi"] is None:
+        raise ValueError("AVI without a movi list")
+    vidx = next(
+        (i for i, s in enumerate(info["streams"]) if s.get("type") == b"vids"), None
+    )
+    if vidx is None:
+        raise ValueError("AVI without a video (vids) stream")
+    prefix = b"%02d" % vidx
+    spans: "list[tuple[int, int]]" = []
+
+    def walk(lo: int, hi: int) -> None:
+        for cid, body, end in _riff_walk(buf, lo, hi):
+            if cid == b"LIST" and buf[body : body + 4] == b"rec ":
+                walk(body + 4, end)
+            elif cid[:2] == prefix and cid[2:] in (b"dc", b"db"):
+                spans.append((body, end))
+
+    walk(*info["movi"])
+    return info["streams"][vidx], [(i, s, e) for i, (s, e) in enumerate(spans)]
+
+
+def _avi_frame_decoder(stream: dict):
+    """Per-frame decode closure for a parsed AVI video stream: MJPEG
+    chunks route through the in-repo JPEG decoder (with the Annex-K DHT
+    fixup), BI_RGB chunks through the shared DIB kernel. Every other
+    fourcc is a real codec dependency and stays gated."""
+    codec = _avi_codec_name(stream)
+    if codec in ("MJPG", "mjpg", "dmb1"):
+        def dec(buf: bytes, start: int, end: int) -> "np.ndarray":
+            if end == start:
+                raise ValueError(
+                    "zero-length AVI frame chunk (dropped-frame placeholder)"
+                )
+            return _decode_jpeg(_mjpeg_with_tables(bytes(buf[start:end])))
+        return dec
+    if codec == "raw":
+        w, hs, bpp = stream["width"], stream["height"], stream["bpp"]
+        pal = None
+        if bpp == 8:
+            pal_bytes = stream.get("palette", b"")
+            pal = np.frombuffer(pal_bytes, dtype="u1")
+            pal = pal[: len(pal) // 4 * 4].reshape(-1, 4)[:, :3][:, ::-1]
+
+        def dec(buf: bytes, start: int, end: int) -> "np.ndarray":
+            if end == start:
+                raise ValueError(
+                    "zero-length AVI frame chunk (dropped-frame placeholder)"
+                )
+            return _dib_to_array(bytes(buf[start:end]), w, hs, bpp, pal)
+        return dec
+    raise NotImplementedError(
+        f"AVI video codec {codec!r}: only MJPEG and uncompressed DIB frames "
+        "decode without a codec library; probe_video covers container typing"
+    )
+
+
+def _video_spans(buf: bytes):
+    """Container dispatch for frame access: ([(frame_no, start, end)],
+    per-frame decode fn). Y4M and AVI (MJPEG / raw DIB) decode; ISO-BMFF
+    sample data is codec-coded and stays behind the gate."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        stream, spans = _avi_video_spans(buf)
+        return spans, _avi_frame_decoder(stream)
+    if buf[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "ISO-BMFF (MP4) video sample data is codec-coded (H.264/HEVC/…) "
+            "and needs ffmpeg; probe_video covers container typing"
+        )
+    w, h, cs, _ = _parse_y4m_header(buf)
+    sub, _ = _y4m_layout(w, h, cs)
+    spans = list(_y4m_frames(buf))
+    return spans, lambda b, s, e: _y4m_frame_to_array(b[s:e], w, h, sub)
 
 
 # MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3): bitrates
@@ -3705,20 +3896,19 @@ def _y4m_frame_to_array(buf: bytes, w: int, h: int, sub) -> "np.ndarray":
 def decode_video_frames(
     payload: bytes, indices: "list[int] | None" = None
 ) -> "list[tuple[int, np.ndarray]]":
-    """Decode selected frames of a Y4M payload to uint8 arrays — pure
-    stdlib+numpy. ``indices=None`` decodes every frame; otherwise only
-    the requested frame numbers are converted (the walk skips the
-    others' bytes entirely — sampling 1-in-100 frames costs ~1/100th)."""
-    w, h, cs, _ = _parse_y4m_header(payload)
-    sub, _ = _y4m_layout(w, h, cs)
-    want = None if indices is None else set(indices)
-    out = []
+    """Decode selected frames of a Y4M or AVI (MJPEG / uncompressed DIB)
+    payload to uint8 arrays — pure stdlib+numpy. ``indices=None`` decodes
+    every frame; otherwise only the requested frame numbers are converted
+    (the walk reads frame/chunk headers only for the rest — sampling
+    1-in-100 frames costs ~1/100th of the decode)."""
     buf = bytes(payload)
-    for i, start, end in _y4m_frames(payload):
-        if want is not None and i not in want:
-            continue
-        out.append((i, _y4m_frame_to_array(buf[start:end], w, h, sub)))
-    return out
+    spans, dec = _video_spans(buf)
+    want = None if indices is None else set(indices)
+    return [
+        (i, dec(buf, start, end))
+        for i, start, end in spans
+        if want is None or i in want
+    ]
 
 
 def encode_y4m(frames: "list[np.ndarray]", colorspace: str = "mono") -> bytes:
@@ -3757,6 +3947,102 @@ def encode_y4m(frames: "list[np.ndarray]", colorspace: str = "mono") -> bytes:
         for plane in (y, cb, cr):
             out += np.clip(np.round(plane), 0, 255).astype("uint8").tobytes()
     return bytes(out)
+
+
+def _strip_jpeg_dht(chunk: bytes) -> bytes:
+    """Remove every pre-SOS DHT segment from a JPEG stream — builds the
+    table-less MJPEG frames OpenDML files carry, so the Annex-K fixup in
+    :func:`_mjpeg_with_tables` has a deterministic fixture."""
+    import struct
+
+    out = bytearray(chunk[:2])
+    pos = 2
+    while pos + 4 <= len(chunk):
+        marker = chunk[pos + 1]
+        if marker == 0xDA:
+            out += chunk[pos:]
+            return bytes(out)
+        (ln,) = struct.unpack_from(">H", chunk, pos + 2)
+        if marker != 0xC4:
+            out += chunk[pos : pos + 2 + ln]
+        pos += 2 + ln
+    raise ValueError("JPEG stream without an SOS scan")
+
+
+def encode_avi(
+    frames: "list[np.ndarray]",
+    fps: int = 25,
+    codec: str = "mjpeg",
+    quant: int = 1,
+    omit_dht: bool = False,
+) -> bytes:
+    """Minimal AVI writer for round-trip tests: same-shape uint8 frames
+    (gray (h, w) or RGB (h, w, 3)) as an MJPEG ('00dc' chunks, each a
+    full JPEG from :func:`encode_jpeg`; ``omit_dht=True`` strips the
+    Huffman tables the OpenDML way) or uncompressed BI_RGB DIB stream
+    ('00db' chunks, bottom-up 4-byte-padded rows, 8-bit grayscale palette
+    or 24-bit BGR). Writes RIFF/hdrl(avih + strl)/movi/idx1 — a fixture
+    builder exercising every branch of the AVI decode path, not a
+    production muxer."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    shape = frames[0].shape
+    if any(f.shape != shape or f.dtype != np.uint8 for f in frames):
+        raise ValueError("all frames must be uint8 and the same shape")
+    h, w = shape[:2]
+    color = len(shape) == 3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    palette = b""
+    if codec == "mjpeg":
+        fourcc, handler, ckid, bpp = b"MJPG", b"MJPG", b"00dc", 24
+        payloads = [encode_jpeg(f, quant=quant) for f in frames]
+        if omit_dht:
+            payloads = [_strip_jpeg_dht(p) for p in payloads]
+    elif codec == "raw":
+        fourcc, handler, ckid = b"\x00\x00\x00\x00", b"DIB ", b"00db"
+        bpp = 24 if color else 8
+        if not color:
+            palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        row_size = ((bpp * w + 31) // 32) * 4
+        payloads = []
+        for f in frames:
+            rows = f[:, :, ::-1] if color else f  # RGB → BGR storage
+            raster = bytearray()
+            for r in rows[::-1]:  # bottom-up
+                rb = r.tobytes()
+                raster += rb + b"\x00" * (row_size - len(rb))
+            payloads.append(bytes(raster))
+    else:
+        raise ValueError(f"codec must be 'mjpeg' or 'raw', got {codec!r}")
+
+    strh = (
+        b"vids" + handler + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        len(frames), max(map(len, payloads)),
+                                        0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, bpp, fourcc,
+                       len(payloads[0]), 0, 0, len(palette) // 4, 0) + palette
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    avih = struct.pack("<10I", 10**6 // fps, 0, 0, 0x10, len(frames), 0, 1,
+                       max(map(len, payloads)), w, h) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for p in payloads:
+        # dwChunkOffset counts from the 'movi' fourcc, i.e. the ckid position
+        idx += ckid + struct.pack("<III", 0x10, len(movi_body), len(p))
+        movi_body += chunk(ckid, p)
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", bytes(movi_body)) + chunk(
+        b"idx1", bytes(idx)
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 # --- audio: WAV (RIFF/WAVE) container -------------------------------------
@@ -5335,9 +5621,10 @@ def sample_video_frames(
     is probed, frames ``0, every_k, 2*every_k, …`` (at most
     ``max_frames``) are decoded, and each sampled frame yields one row —
     dims, min/max, float64-accumulated mean, md5 of the frame's raw
-    plane bytes (content, not container). Unsampled frames are never
-    converted. Same mapInPandas plumbing as the stills — an ffmpeg-backed
-    decoder for compressed containers plugs in behind the same schema."""
+    frame bytes (content, not container). Unsampled frames are never
+    converted. Y4M and AVI (MJPEG / raw DIB) decode in-process through
+    :func:`_video_spans`; an ffmpeg-backed decoder for codec-coded
+    containers plugs in behind the same schema."""
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
     import hashlib
@@ -5347,14 +5634,12 @@ def sample_video_frames(
             rows = []
             for vid, payload in zip(pdf["vec_id"], pdf["media"]):
                 buf = bytes(payload)
-                w, h, cs, _ = _parse_y4m_header(buf)
-                sub, _ = _y4m_layout(w, h, cs)
-                spans = list(_y4m_frames(buf))
+                spans, dec = _video_spans(buf)
                 picked = spans[::every_k]
                 if max_frames is not None:
                     picked = picked[:max_frames]
                 for i, start, end in picked:
-                    img = _y4m_frame_to_array(buf[start:end], w, h, sub)
+                    img = dec(buf, start, end)
                     ch = 1 if img.ndim == 2 else img.shape[2]
                     flat = img.reshape(-1)
                     rows.append(

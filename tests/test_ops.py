@@ -382,7 +382,7 @@ def test_bmp_decode_roundtrip_and_variants():
 
     # strict framing + gates
     full = multimodal.encode_bmp(np.zeros((4, 4, 3), dtype="uint8"))
-    with _pytest.raises(ValueError, match="truncated BMP pixel"):
+    with _pytest.raises(ValueError, match="truncated DIB pixel"):
         multimodal.decode_image(full[:-1])
     rle = bytearray(full)
     struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
@@ -1591,9 +1591,137 @@ def test_media_probe_only_formats():
         multimodal.probe_video(
             b"RIFF" + struct.pack("<I", 4) + b"AVI "
         )
-    # decode of coded containers stays gated
-    with _pytest.raises(NotImplementedError, match="video"):
+    # an AVI with headers but no movi data is structurally undecodable
+    with _pytest.raises(ValueError, match="movi"):
         multimodal.decode_video_frames(pay)
+
+
+def test_avi_video_decode_roundtrip_and_sampling(spark, emb):
+    """AVI frame decode through the in-repo codecs: uncompressed DIB
+    streams (24-bit BGR and 8-bit grayscale palette) round-trip exactly;
+    MJPEG streams of flat 8x8 blocks at quant=1 round-trip exactly, both
+    with per-frame DHT segments and with the table-less OpenDML form
+    (the Annex-K injection path); frame-index sampling decodes only the
+    requested chunks; the same payloads run through sample_video_frames
+    over the real mapInPandas path; unknown codec fourccs stay gated and
+    MP4 decode names the probe."""
+    import hashlib
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    rng = np.random.RandomState(11)
+
+    # raw 24-bit RGB: byte-exact round trip incl. row padding (w=5)
+    frames = [rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(4)]
+    pay = multimodal.encode_avi(frames, codec="raw", fps=10)
+    meta = multimodal.probe_video(pay)
+    assert meta["container"] == "avi" and meta["codec"] == "raw"
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (5, 6, 4)
+    assert meta["fps"] == 10.0
+    dec = multimodal.decode_video_frames(pay)
+    assert [i for i, _ in dec] == [0, 1, 2, 3]
+    for (_, d), f in zip(dec, frames):
+        assert d.dtype == np.uint8 and np.array_equal(d, f)
+
+    # raw 8-bit grayscale palette collapses back to (h, w)
+    gframes = [rng.randint(0, 256, size=(4, 7), dtype=np.uint8) for _ in range(3)]
+    gpay = multimodal.encode_avi(gframes, codec="raw")
+    for (_, d), f in zip(multimodal.decode_video_frames(gpay), gframes):
+        assert d.shape == (4, 7) and np.array_equal(d, f)
+
+    # MJPEG flat 8x8 blocks at quant=1: DC-only spectra decode exactly;
+    # the DHT-stripped OpenDML form decodes identically via Annex-K
+    base = rng.randint(0, 256, size=(2, 3), dtype=np.uint8)
+    flat = np.kron(base, np.ones((8, 8), dtype=np.uint8))
+    mframes = [np.roll(flat, 8 * k, axis=1) for k in range(3)]
+    mpay = multimodal.encode_avi(mframes, codec="mjpeg", quant=1)
+    assert multimodal.probe_video(mpay)["codec"] == "MJPG"
+    for (_, d), f in zip(multimodal.decode_video_frames(mpay), mframes):
+        assert np.array_equal(d, f)
+    nodht = multimodal.encode_avi(mframes, codec="mjpeg", quant=1, omit_dht=True)
+    assert len(nodht) < len(mpay)  # the tables really were stripped
+    for (_, d), f in zip(multimodal.decode_video_frames(nodht), mframes):
+        assert np.array_equal(d, f)
+
+    # skip-sampling decodes only the requested chunk indices
+    sel = multimodal.decode_video_frames(mpay, indices=[0, 2])
+    assert [i for i, _ in sel] == [0, 2]
+    assert np.array_equal(sel[1][1], mframes[2])
+
+    # sample_video_frames over Spark: AVI payloads (one raw, one MJPEG
+    # table-less) built per-row from the embeddings fixture
+    sample = emb.limit(2).collect()
+    payloads = []
+    for k, row in enumerate(sample):
+        f = np.asarray(row["embedding"], dtype="<f4")
+        u8 = np.clip(f * 64.0 + 128.0, 0, 255).astype("uint8")
+        base = np.zeros((6, 8), dtype="uint8")
+        base.reshape(-1)[: min(u8.size, 48)] = u8[:48]
+        vframes = [np.roll(base, j, axis=0) for j in range(4)]
+        codec = "raw" if k == 0 else "mjpeg"
+        payloads.append(
+            (int(row["vec_id"]),
+             multimodal.encode_avi(vframes, codec=codec, omit_dht=(k == 1)),
+             vframes)
+        )
+    media = spark.createDataFrame(
+        [(vid, bytearray(p), "video/avi", len(p)) for vid, p, _ in payloads],
+        "vec_id long, media binary, media_type string, n_bytes long",
+    )
+    rows = multimodal.sample_video_frames(media, every_k=2).collect()
+    by_key = {(r["vec_id"], r["frame_no"]): r for r in rows}
+    assert len(rows) == 2 * 2  # frames 0 and 2 of each payload
+    for vid, p, vframes in payloads:
+        spans, dec_fn = multimodal._video_spans(p)
+        for j in (0, 2):
+            got = by_key[(vid, j)]
+            frame = dec_fn(p, spans[j][1], spans[j][2])
+            assert np.array_equal(frame, vframes[j]) or (
+                # MJPEG is lossy on non-flat content; dims still hold
+                frame.shape == vframes[j].shape
+            )
+            assert (got["width"], got["height"]) == (8, 6)
+            assert got["n_frames"] == 4
+            assert got["min_val"] == int(frame.min())
+            assert got["max_val"] == int(frame.max())
+            assert abs(got["mean_val"] - frame.astype("float64").mean()) < 1e-12
+            assert got["checksum"] == hashlib.md5(
+                bytes(p)[spans[j][1] : spans[j][2]]
+            ).hexdigest()
+
+    # gates + framing
+    coded = bytearray(pay)
+    off = pay.index(b"strf") + 8 + 16  # biCompression field of the strf
+    coded[off : off + 4] = b"cvid"
+    with _pytest.raises(NotImplementedError, match="codec 'cvid'"):
+        multimodal.decode_video_frames(bytes(coded))
+    with _pytest.raises(NotImplementedError, match="probe_video covers"):
+        multimodal.decode_video_frames(
+            struct.pack(">I", 16) + b"ftypmp42\x00\x00\x00\x00"
+        )
+    lying = bytearray(mpay)
+    movi_at = mpay.index(b"movi")
+    struct.pack_into("<I", lying, movi_at + 4 + 4, 1 << 30)  # first chunk size lies
+    with _pytest.raises(ValueError, match="overruns"):
+        multimodal.decode_video_frames(bytes(lying))
+    # a zero-length dc chunk is a dropped-frame placeholder
+    dropped = multimodal.encode_avi(mframes[:1], codec="mjpeg")
+    cut = bytearray(dropped)
+    p0 = dropped.index(b"00dc")
+    n0 = struct.unpack_from("<I", dropped, p0 + 4)[0]
+    del cut[p0 + 8 : p0 + 8 + n0 + (n0 & 1)]
+    struct.pack_into("<I", cut, p0 + 4, 0)
+    # re-true every enclosing size: the movi LIST and the RIFF header
+    m0 = dropped.index(b"movi")
+    lsz = struct.unpack_from("<I", dropped, m0 - 4)[0]
+    struct.pack_into("<I", cut, m0 - 4, lsz - n0 - (n0 & 1))
+    struct.pack_into("<I", cut, 4, len(cut) - 8)
+    with _pytest.raises(ValueError, match="dropped-frame"):
+        multimodal.decode_video_frames(bytes(cut))
 
 
 def test_adpcm_wav_decode_and_roundtrip():
@@ -1952,9 +2080,10 @@ def test_y4m_video_decode_roundtrip_and_sampling():
     )
     assert (d2 == d).all()
 
-    # gates + framing
+    # gates + framing (AVI now has its own decode path; an unknown
+    # container still lands on the Y4M gate)
     with _pytest.raises(NotImplementedError, match="only the Y4M"):
-        multimodal.decode_video_frames(b"RIFF\x00\x00\x00\x00AVI LIST")
+        multimodal.decode_video_frames(b"\x1aEdml matroska-ish garbage\n")
     with _pytest.raises(NotImplementedError, match="C420p10"):
         multimodal.decode_video_frames(pay.replace(b"Cmono", b"C420p10"))
     with _pytest.raises(NotImplementedError, match="interlaced"):
