@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -100,6 +101,82 @@ def _parse_pnm_header(payload: bytes, n_fields: int) -> tuple[list[int], int]:
     if payload[i : i + 2] == b"\r\n":
         return fields, i + 2  # CRLF counts as one separator
     return fields, i + 1  # exactly ONE whitespace byte separates header and raster
+
+
+def probe_image(payload: bytes) -> dict:
+    """Header-only image typing across every supported raster format —
+    width/height/bit depth without decoding a pixel (for PNG/JPEG/BMP/
+    PNM directly; GIF/TIFF/WebP delegate to their existing probes and
+    are normalized to the same keys). The cheap first pass over an
+    image column, like :func:`probe_audio` / :func:`probe_video`."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        if buf[12:16] != b"IHDR":
+            raise ValueError("PNG without a leading IHDR chunk")
+        w, h = struct.unpack_from(">II", buf, 16)
+        depth, color_type, _comp, _filt, interlace = buf[24:29]
+        return {
+            "container": "png", "width": w, "height": h, "bits": depth,
+            "channels": {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[color_type],
+            "paletted": color_type == 3, "interlaced": interlace == 1,
+        }
+    if buf[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError(f"JPEG marker expected at byte {pos}")
+            marker = buf[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                prec, h, w, ncomp = struct.unpack_from(">BHHB", buf, pos + 4)
+                return {
+                    "container": "jpeg", "width": w, "height": h,
+                    "bits": prec, "channels": ncomp,
+                    "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                    "arithmetic": marker >= 0xC9,
+                }
+            (ln,) = struct.unpack_from(">H", buf, pos + 2)
+            pos += 2 + ln
+        raise ValueError("JPEG without an SOF frame header")
+    if buf[:2] == b"BM":
+        w, h_signed = struct.unpack_from("<ii", buf, 18)
+        bpp = struct.unpack_from("<H", buf, 28)[0]
+        compression = struct.unpack_from("<I", buf, 30)[0]
+        return {
+            "container": "bmp", "width": w, "height": abs(h_signed),
+            "bits": bpp if bpp <= 8 else 8,
+            "channels": 1 if bpp <= 8 else bpp // 8,
+            "compressed": compression != 0,
+        }
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        out = probe_gif(buf)
+        out["container"] = "gif"
+        return out
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        t = probe_tiff(buf)
+        page = t["pages"][0]
+        return {
+            "container": "tiff", "width": page["width"],
+            "height": page["height"], "bits": page["bits"],
+            "compression": page["compression"], "n_pages": t["n_pages"],
+        }
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        return probe_webp(buf)
+    if buf[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        (w, h, maxval), _ = _parse_pnm_header(buf, 3)
+        return {
+            "container": "pnm", "width": w, "height": h,
+            "bits": 16 if maxval > 255 else 8,
+            "channels": 3 if buf[:2] in (b"P3", b"P6") else 1,
+        }
+    raise NotImplementedError(
+        f"unsupported image magic {buf[:4]!r}: probe_image covers PNG, "
+        "JPEG, BMP, GIF, TIFF, WebP, and PNM"
+    )
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
@@ -3477,12 +3554,35 @@ def probe_video(payload: bytes) -> dict:
     buf = bytes(payload)
     if buf[4:8] == b"ftyp":
         return _probe_mp4(buf)
+    if buf[:4] == b"\x1a\x45\xdf\xa3":
+        return _probe_mkv(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         return _probe_avi(buf)
     w, h, cs, _ = _parse_y4m_header(buf)
     n_frames = sum(1 for _ in _y4m_frames(buf))
     return {"container": "y4m", "width": w, "height": h, "colorspace": cs,
             "n_frames": n_frames}
+
+
+def _mp4_boxes(buf: bytes, lo: int, hi: int):
+    """ISO-BMFF box walk over ``buf[lo:hi]``: yields (fourcc, body_lo,
+    box_end), honoring 64-bit largesize and size-0 to-end boxes."""
+    import struct
+
+    pos = lo
+    while pos + 8 <= hi:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        kind = buf[pos + 4 : pos + 8].decode("latin-1")
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = hi - pos
+        if size < body - pos or pos + size > hi:
+            raise ValueError(f"MP4 box {kind!r} overruns its container")
+        yield kind, body, pos + size
+        pos += size
 
 
 def _probe_mp4(buf: bytes) -> dict:
@@ -3493,20 +3593,7 @@ def _probe_mp4(buf: bytes) -> dict:
     import struct
 
     def boxes(lo: int, hi: int):
-        pos = lo
-        while pos + 8 <= hi:
-            (size,) = struct.unpack_from(">I", buf, pos)
-            kind = buf[pos + 4 : pos + 8].decode("latin-1")
-            body = pos + 8
-            if size == 1:  # 64-bit largesize
-                (size,) = struct.unpack_from(">Q", buf, pos + 8)
-                body = pos + 16
-            elif size == 0:  # to end of enclosing box
-                size = hi - pos
-            if size < body - pos or pos + size > hi:
-                raise ValueError(f"MP4 box {kind!r} overruns its container")
-            yield kind, body, pos + size
-            pos += size
+        return _mp4_boxes(buf, lo, hi)
 
     info: dict = {"container": "mp4", "tracks": []}
     for kind, body, end in boxes(0, len(buf)):
@@ -3547,6 +3634,277 @@ def _probe_mp4(buf: bytes) -> dict:
         info["width"] = int(vids[0]["width"])
         info["height"] = int(vids[0]["height"])
     return info
+
+
+class _BitReader:
+    """MSB-first bit reader with unsigned/signed Exp-Golomb — the H.264
+    RBSP primitive (ITU-T H.264 §9.1)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("SPS bitstream exhausted")
+            out = (out << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("Exp-Golomb run too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k & 1 else -(k // 2)
+
+
+_H264_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def _parse_h264_sps(nal: bytes) -> dict:
+    """Coded dimensions from an H.264 sequence parameter set: strip
+    emulation-prevention bytes, walk the RBSP fields up to the frame
+    cropping window, and apply the 4:2:0 crop-unit arithmetic
+    (H.264 §7.3.2.1.1 / §7.4.2.1.1). Pixel decode stays gated — this is
+    the header math a sampling planner needs for true coded dims."""
+    if not nal or nal[0] & 0x1F != 7:
+        raise ValueError("not an H.264 SPS NAL unit")
+    rbsp = bytearray()
+    i = 1
+    while i < len(nal):  # strip 00 00 03 emulation prevention
+        if i + 2 < len(nal) and nal[i] == nal[i + 1] == 0 and nal[i + 2] == 3:
+            rbsp += nal[i : i + 2]
+            i += 3
+        else:
+            rbsp.append(nal[i])
+            i += 1
+    r = _BitReader(bytes(rbsp))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in _H264_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            raise NotImplementedError(
+                "H.264 SPS with scaling matrices: dimension parse stops at "
+                "the scaling-list syntax"
+            )
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pw_mbs = r.ue() + 1
+    ph_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    width = pw_mbs * 16
+    height = (2 - frame_mbs_only) * ph_units * 16
+    if r.u(1):  # frame_cropping_flag
+        left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
+        # SubWidthC/SubHeightC crop units (§7.4.2.1.1, Table 6-1)
+        cux = {0: 1, 1: 2, 2: 2, 3: 1}[chroma_format_idc]
+        cuy = {0: 1, 1: 2, 2: 1, 3: 1}[chroma_format_idc] * (2 - frame_mbs_only)
+        width -= (left + right) * cux
+        height -= (top + bottom) * cuy
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": bool(frame_mbs_only),
+    }
+
+
+def mp4_sample_index(payload: bytes, handler: str = "vide") -> dict:
+    """Per-sample byte index of an MP4 track from the stbl sample tables
+    — the unit of work a distributed frame sampler ships to executors:
+    every sample's absolute byte offset and size (stsc chunk runs ×
+    stco/co64 chunk offsets × stsz sizes), sync flag (stss; absent =
+    every sample is sync), and decode timestamp in seconds (stts runs
+    over the mdhd timescale). The stsd entry contributes the codec
+    fourcc, and an avcC configuration record yields true coded
+    dimensions via the SPS parse — all container arithmetic, no sample
+    byte is ever touched. With this index, sampling 1-in-N keyframes of
+    a 100 TB corpus reads only the moov boxes plus the selected byte
+    ranges."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+
+    def children(lo, hi):
+        return list(_mp4_boxes(buf, lo, hi))
+
+    def find(boxes, kind):
+        for k, b, e in boxes:
+            if k == kind:
+                return b, e
+        return None
+
+    moov = find(children(0, len(buf)), "moov")
+    if moov is None:
+        raise ValueError("MP4 without a moov box")
+    for k, b, e in children(*moov):
+        if k != "trak":
+            continue
+        trak = children(b, e)
+        mdia = find(trak, "mdia")
+        if mdia is None:
+            continue
+        mdia_boxes = children(*mdia)
+        hd = find(mdia_boxes, "hdlr")
+        if hd is None or buf[hd[0] + 8 : hd[0] + 12].decode("latin-1") != handler:
+            continue
+        mh = find(mdia_boxes, "mdhd")
+        if mh is None:
+            raise ValueError("MP4 track without an mdhd box")
+        ver = buf[mh[0]]
+        timescale = struct.unpack_from(">I", buf, mh[0] + (20 if ver == 1 else 12))[0]
+        if timescale == 0:
+            raise ValueError("MP4 mdhd timescale is zero")
+        minf = find(mdia_boxes, "minf")
+        stbl = minf and find(children(*minf), "stbl")
+        if not stbl:
+            raise ValueError("MP4 track without an stbl box")
+        tables = {k2: (b2, e2) for k2, b2, e2 in children(*stbl)}
+
+        for need in ("stsd", "stts", "stsz", "stsc"):
+            if need not in tables:
+                raise ValueError(f"MP4 stbl without an {need} box")
+        if "stco" not in tables and "co64" not in tables:
+            raise ValueError("MP4 stbl without an stco/co64 box")
+
+        # stsd → codec fourcc (+ avcC coded dims when present)
+        sb, se_ = tables["stsd"]
+        n_entries = struct.unpack_from(">I", buf, sb + 4)[0]
+        if n_entries < 1:
+            raise ValueError("MP4 stsd with no sample entries")
+        entry_lo = sb + 8
+        codec = buf[entry_lo + 4 : entry_lo + 8].decode("latin-1")
+        out: dict = {"codec": codec, "timescale": timescale}
+        if handler == "vide":
+            w, h = struct.unpack_from(">HH", buf, entry_lo + 8 + 24)
+            out["width"], out["height"] = w, h
+            # VisualSampleEntry fixed part is 78 bytes; then child boxes
+            (entry_size,) = struct.unpack_from(">I", buf, entry_lo)
+            ext = find(
+                children(entry_lo + 8 + 78, entry_lo + entry_size), "avcC"
+            )
+            if ext is not None:
+                alo = ext[0]
+                n_sps = buf[alo + 5] & 0x1F
+                if n_sps:
+                    (sps_len,) = struct.unpack_from(">H", buf, alo + 6)
+                    sps = _parse_h264_sps(buf[alo + 8 : alo + 8 + sps_len])
+                    out["sps"] = sps
+                    out["width"], out["height"] = sps["width"], sps["height"]
+
+        # stsz → per-sample sizes
+        zb = tables["stsz"][0]
+        uniform, n_samples = struct.unpack_from(">II", buf, zb + 4)
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(struct.unpack_from(f">{n_samples}I", buf, zb + 12))
+
+        # stts → per-sample decode times (in timescale units)
+        tb = tables["stts"][0]
+        (n_tt,) = struct.unpack_from(">I", buf, tb + 4)
+        dts = []
+        t = 0
+        for i in range(n_tt):
+            cnt, delta = struct.unpack_from(">II", buf, tb + 8 + 8 * i)
+            for _ in range(cnt):
+                dts.append(t)
+                t += delta
+        if len(dts) != n_samples:
+            raise ValueError(
+                f"stts covers {len(dts)} samples, stsz declares {n_samples}"
+            )
+
+        # stss → sync set (absent = all sync)
+        if "stss" in tables:
+            yb = tables["stss"][0]
+            (n_sync,) = struct.unpack_from(">I", buf, yb + 4)
+            sync = set(struct.unpack_from(f">{n_sync}I", buf, yb + 8))
+        else:
+            sync = None
+
+        # stsc runs × stco/co64 → absolute per-sample offsets
+        cb = tables["stsc"][0]
+        (n_runs,) = struct.unpack_from(">I", buf, cb + 4)
+        runs = [
+            struct.unpack_from(">III", buf, cb + 8 + 12 * i)[:2]
+            for i in range(n_runs)
+        ]
+        if "co64" in tables:
+            ob = tables["co64"][0]
+            (n_chunks,) = struct.unpack_from(">I", buf, ob + 4)
+            chunk_offs = struct.unpack_from(f">{n_chunks}Q", buf, ob + 8)
+        else:
+            ob = tables["stco"][0]
+            (n_chunks,) = struct.unpack_from(">I", buf, ob + 4)
+            chunk_offs = struct.unpack_from(f">{n_chunks}I", buf, ob + 8)
+        per_chunk = []
+        for i, (first, spc) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < n_runs else n_chunks
+            per_chunk += [spc] * (last - first + 1)
+        if len(per_chunk) != n_chunks:
+            raise ValueError(
+                f"stsc runs cover {len(per_chunk)} chunks, stco has {n_chunks}"
+            )
+        samples = []
+        s = 0
+        for ci, coff in enumerate(chunk_offs):
+            pos = coff
+            for _ in range(per_chunk[ci]):
+                if s >= n_samples:
+                    raise ValueError("stsc maps more samples than stsz declares")
+                samples.append(
+                    {
+                        "offset": int(pos),
+                        "size": sizes[s],
+                        "sync": sync is None or (s + 1) in sync,
+                        "dts_sec": dts[s] / timescale,
+                    }
+                )
+                pos += sizes[s]
+                s += 1
+        if s != n_samples:
+            raise ValueError(f"stsc maps {s} samples, stsz declares {n_samples}")
+        out["n_samples"] = n_samples
+        out["duration_sec"] = t / timescale
+        out["samples"] = samples
+        return out
+    raise ValueError(f"MP4 without a {handler!r} track")
 
 
 def _riff_walk(buf: bytes, lo: int, hi: int):
@@ -3753,7 +4111,13 @@ def _video_spans(buf: bytes):
     if buf[4:8] == b"ftyp":
         raise NotImplementedError(
             "ISO-BMFF (MP4) video sample data is codec-coded (H.264/HEVC/…) "
-            "and needs ffmpeg; probe_video covers container typing"
+            "and needs ffmpeg; probe_video covers container typing and "
+            "mp4_sample_index maps every sample's byte range"
+        )
+    if buf[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(
+            "Matroska/WebM block data is codec-coded (VP8/VP9/AV1/…) and "
+            "needs ffmpeg; probe_video covers container typing"
         )
     w, h, cs, _ = _parse_y4m_header(buf)
     sub, _ = _y4m_layout(w, h, cs)
@@ -3865,6 +4229,276 @@ def _probe_mp3(buf: bytes) -> dict:
             else round(sum(bitrates) / len(bitrates))
         ),
     }
+
+
+# AAC ADTS sampling-frequency table (ISO/IEC 13818-7 / 14496-3) and the
+# two-bit profile names. Like MP3, frame sizes are header arithmetic, so
+# the probe is exact without touching a spectral coefficient.
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 0, 0, 0, 0)
+_ADTS_PROFILES = ("aac_main", "aac_lc", "aac_ssr", "aac_ltp")
+
+
+def _is_adts(buf: bytes) -> bool:
+    # 12-bit syncword + layer bits 00 (reserved in MPEG audio, so this
+    # cleanly discriminates ADTS from an MP3 frame sync)
+    return len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xF6) == 0xF0
+
+
+def _probe_adts(buf: bytes) -> dict:
+    """ADTS (AAC) probe: walk every frame header — 13-bit frame_length
+    covers the header itself, each raw data block is 1024 samples —
+    for exact count/duration without an AAC decoder."""
+    import struct
+
+    pos = 0
+    n_frames = 0
+    n_samples = 0
+    first = None
+    while pos + 7 <= len(buf):
+        if not _is_adts(buf[pos : pos + 2]):
+            raise ValueError(f"ADTS frame sync lost at byte {pos}")
+        b = buf[pos : pos + 7]
+        profile = (b[2] >> 6) & 3
+        sr_idx = (b[2] >> 2) & 0xF
+        rate = _ADTS_RATES[sr_idx]
+        if rate == 0:
+            raise ValueError(f"ADTS reserved sampling_frequency_index {sr_idx}")
+        channels = ((b[2] & 1) << 2) | (b[3] >> 6)
+        frame_len = ((b[3] & 3) << 11) | (b[4] << 3) | (b[5] >> 5)
+        blocks = (b[6] & 3) + 1
+        if frame_len < 7:
+            raise ValueError(f"ADTS frame_length {frame_len} shorter than its header")
+        head = (profile, rate, channels)
+        if first is None:
+            first = head
+        elif head != first:
+            raise ValueError("ADTS stream changes profile/rate/channels mid-file")
+        n_frames += 1
+        n_samples += 1024 * blocks
+        pos += frame_len
+    if first is None:
+        raise ValueError("no ADTS frame in payload")
+    if pos != len(buf):
+        raise ValueError(f"trailing bytes after the last ADTS frame at {pos}")
+    return {
+        "container": "adts",
+        "encoding": _ADTS_PROFILES[first[0]],
+        "sample_rate": first[1],
+        "channels": first[2],
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_sec": n_samples / first[1],
+    }
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: non-reflected CRC-32, poly 0x04C11DB7, init/xorout
+    0 — table-driven over numpy (RFC 3533 §6)."""
+    global _OGG_CRC_TABLE
+    try:
+        table = _OGG_CRC_TABLE
+    except NameError:
+        t = np.zeros(256, dtype=np.uint32)
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            t[i] = r
+        table = _OGG_CRC_TABLE = t
+    crc = np.uint32(0)
+    for byte in data:
+        crc = np.uint32(
+            (int(crc) << 8) & 0xFFFFFFFF
+        ) ^ table[(int(crc) >> 24) ^ byte]
+    return int(crc)
+
+
+def _probe_ogg(buf: bytes) -> dict:
+    """Ogg probe: walk every page (CRC-verified), read the BOS
+    identification header (Vorbis or Opus), and take duration from the
+    last page's granule position — Vorbis granules are PCM samples at
+    the stream rate, Opus granules are 48 kHz samples minus pre-skip."""
+    import struct
+
+    pos = 0
+    codec = None
+    rate = channels = None
+    pre_skip = 0
+    last_granule = 0
+    n_pages = 0
+    while pos < len(buf):
+        if buf[pos : pos + 4] != b"OggS":
+            raise ValueError(f"Ogg page capture lost at byte {pos}")
+        if buf[pos + 4] != 0:
+            raise ValueError(f"Ogg stream structure version {buf[pos + 4]}")
+        header_type = buf[pos + 5]
+        (granule,) = struct.unpack_from("<q", buf, pos + 6)
+        (crc_stored,) = struct.unpack_from("<I", buf, pos + 22)
+        nsegs = buf[pos + 26]
+        seg_table = buf[pos + 27 : pos + 27 + nsegs]
+        body_len = sum(seg_table)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > len(buf):
+            raise ValueError(f"truncated Ogg page at byte {pos}")
+        page = bytearray(buf[pos:page_end])
+        page[22:26] = b"\x00" * 4
+        if _ogg_crc(bytes(page)) != crc_stored:
+            raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+        body = buf[pos + 27 + nsegs : page_end]
+        if header_type & 0x02:  # BOS: identification header
+            if body[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                channels = body[11]
+                (rate,) = struct.unpack_from("<I", body, 12)
+            elif body[:8] == b"OpusHead":
+                codec = "opus"
+                channels = body[9]
+                (pre_skip,) = struct.unpack_from("<H", body, 10)
+                rate = 48000  # Opus granules always count at 48 kHz
+            else:
+                raise NotImplementedError(
+                    f"Ogg BOS packet {bytes(body[:8])!r}: only Vorbis and "
+                    "Opus identification headers probe"
+                )
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        n_pages += 1
+        pos = page_end
+    if codec is None:
+        raise ValueError("Ogg payload without a BOS page")
+    if rate == 0:
+        raise ValueError("Ogg identification header declares a zero sample rate")
+    n_samples = max(0, last_granule - pre_skip)
+    return {
+        "container": "ogg",
+        "encoding": codec,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_pages": n_pages,
+        "n_samples": n_samples,
+        "duration_sec": n_samples / rate,
+    }
+
+
+# --- Matroska / WebM: EBML header walk ------------------------------------
+
+def _ebml_vint(buf: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at ``pos``: returns (value, end).
+    IDs keep the length-marker bit, sizes strip it; an all-ones size is
+    'unknown' and returns None."""
+    if pos >= len(buf):
+        raise ValueError(f"EBML varint past end at byte {pos}")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError(f"EBML varint with >8 length bytes at {pos}")
+    length = 9 - first.bit_length()
+    if pos + length > len(buf):
+        raise ValueError(f"truncated EBML varint at byte {pos}")
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    unknown = (first & ((1 << (8 - length)) - 1)) == (1 << (8 - length)) - 1
+    for i in range(1, length):
+        b = buf[pos + i]
+        val = (val << 8) | b
+        unknown = unknown and b == 0xFF
+    if not keep_marker and unknown:
+        return None, pos + length
+    return val, pos + length
+
+
+def _ebml_children(buf: bytes, lo: int, hi: int):
+    """Yield (element_id, body_lo, body_hi) over an EBML master body;
+    unknown-size elements extend to the container end."""
+    pos = lo
+    while pos < hi:
+        eid, pos = _ebml_vint(buf, pos, keep_marker=True)
+        size, pos = _ebml_vint(buf, pos, keep_marker=False)
+        end = hi if size is None else pos + size
+        if end > hi:
+            raise ValueError(f"EBML element 0x{eid:X} overruns its container")
+        yield eid, pos, end
+        pos = end
+
+
+def _ebml_uint(buf: bytes, lo: int, hi: int) -> int:
+    return int.from_bytes(buf[lo:hi], "big")
+
+
+def _ebml_float(buf: bytes, lo: int, hi: int) -> float:
+    import struct
+
+    n = hi - lo
+    if n == 4:
+        return struct.unpack(">f", buf[lo:hi])[0]
+    if n == 8:
+        return struct.unpack(">d", buf[lo:hi])[0]
+    raise ValueError(f"EBML float of {n} bytes (must be 4 or 8)")
+
+
+def _probe_mkv(buf: bytes) -> dict:
+    """Matroska / WebM probe: EBML header DocType, Segment Info
+    (TimestampScale × Duration), and per-track type / codec ID / video
+    dims / audio rate+channels — a pure header walk; Cluster payloads
+    (the coded frames) are never entered."""
+    if buf[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML (Matroska/WebM) payload")
+    doctype = "matroska"
+    info: dict = {"container": None, "tracks": []}
+    scale_ns = 1_000_000  # TimestampScale default
+    duration_ticks = None
+    for eid, lo, hi in _ebml_children(buf, 0, len(buf)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for e2, l2, h2 in _ebml_children(buf, lo, hi):
+                if e2 == 0x4282:  # DocType
+                    doctype = buf[l2:h2].decode("latin-1").rstrip("\x00")
+        elif eid == 0x18538067:  # Segment
+            for e2, l2, h2 in _ebml_children(buf, lo, hi):
+                if e2 == 0x1549A966:  # Info
+                    for e3, l3, h3 in _ebml_children(buf, l2, h2):
+                        if e3 == 0x2AD7B1:
+                            scale_ns = _ebml_uint(buf, l3, h3)
+                        elif e3 == 0x4489:
+                            duration_ticks = _ebml_float(buf, l3, h3)
+                elif e2 == 0x1654AE6B:  # Tracks
+                    for e3, l3, h3 in _ebml_children(buf, l2, h2):
+                        if e3 != 0xAE:  # TrackEntry
+                            continue
+                        trk: dict = {}
+                        for e4, l4, h4 in _ebml_children(buf, l3, h3):
+                            if e4 == 0x83:
+                                trk["type"] = {1: "video", 2: "audio"}.get(
+                                    _ebml_uint(buf, l4, h4),
+                                    str(_ebml_uint(buf, l4, h4)),
+                                )
+                            elif e4 == 0x86:
+                                trk["codec"] = buf[l4:h4].decode(
+                                    "latin-1"
+                                ).rstrip("\x00")
+                            elif e4 == 0xE0:  # Video
+                                for e5, l5, h5 in _ebml_children(buf, l4, h4):
+                                    if e5 == 0xB0:
+                                        trk["width"] = _ebml_uint(buf, l5, h5)
+                                    elif e5 == 0xBA:
+                                        trk["height"] = _ebml_uint(buf, l5, h5)
+                            elif e4 == 0xE1:  # Audio
+                                for e5, l5, h5 in _ebml_children(buf, l4, h4):
+                                    if e5 == 0xB5:
+                                        trk["sample_rate"] = _ebml_float(
+                                            buf, l5, h5
+                                        )
+                                    elif e5 == 0x9F:
+                                        trk["channels"] = _ebml_uint(buf, l5, h5)
+                        info["tracks"].append(trk)
+    info["container"] = "webm" if doctype == "webm" else "matroska"
+    if duration_ticks is not None:
+        info["duration_sec"] = duration_ticks * scale_ns / 1e9
+    vids = [t for t in info["tracks"] if t.get("type") == "video"]
+    if vids and "width" in vids[0]:
+        info["width"] = vids[0]["width"]
+        info["height"] = vids[0]["height"]
+    if not info["tracks"]:
+        raise ValueError("Matroska payload without a Tracks element")
+    return info
 
 
 def _y4m_frame_to_array(buf: bytes, w: int, h: int, sub) -> "np.ndarray":
@@ -4043,6 +4677,335 @@ def encode_avi(
         b"idx1", bytes(idx)
     )
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+class _BitWriter:
+    """MSB-first bit writer with Exp-Golomb — inverse of
+    :class:`_BitReader`, for building SPS fixtures."""
+
+    def __init__(self):
+        self.bits: "list[int]" = []
+
+    def u(self, v: int, n: int) -> None:
+        self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def ue(self, v: int) -> None:
+        s = bin(v + 1)[2:]
+        self.u(0, len(s) - 1)
+        for c in s:
+            self.bits.append(int(c))
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def encode_h264_sps(width: int, height: int, profile_idc: int = 100) -> bytes:
+    """Build a syntactically valid H.264 SPS NAL (with emulation-
+    prevention escaping) whose crop window yields exactly (width,
+    height) — the fixture for :func:`_parse_h264_sps`; no picture data
+    exists behind it."""
+    if width % 2 or height % 2:
+        raise ValueError("4:2:0 crop units need even dimensions")
+    pw_mbs = -(-width // 16)
+    ph_units = -(-height // 16)
+    w = _BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint flags
+    w.u(31, 8)  # level_idc
+    w.ue(0)  # seq_parameter_set_id
+    if profile_idc in _H264_HIGH_PROFILES:
+        w.ue(1)  # chroma_format_idc 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)  # seq_scaling_matrix_present_flag
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(2)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(pw_mbs - 1)
+    w.ue(ph_units - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    crop_r = (pw_mbs * 16 - width) // 2
+    crop_b = (ph_units * 16 - height) // 2
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    rbsp = w.rbsp()
+    out = bytearray()
+    zeros = 0
+    for byte in rbsp:  # emulation-prevention escape (00 00 0x → 00 00 03 0x)
+        if zeros == 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return b"\x67" + bytes(out)
+
+
+def encode_mp4(
+    samples: "list[bytes]",
+    sync: "list[int] | None" = None,
+    fps: int = 10,
+    sps: "bytes | None" = None,
+    chunking: "list[int] | None" = None,
+    co64: bool = False,
+) -> bytes:
+    """Structurally valid MP4 fixture: the given sample payloads laid
+    into an mdat and indexed by real stbl tables (stsd avc1+avcC, stts,
+    optional stss, stsz, stsc runs from ``chunking`` = samples per
+    chunk, stco or co64). The samples are opaque bytes — this builds
+    container arithmetic for :func:`mp4_sample_index` tests, not coded
+    video."""
+    import struct
+
+    if not samples:
+        raise ValueError("encode_mp4 needs at least one sample")
+    if chunking is None:
+        chunking = [len(samples)]
+    if sum(chunking) != len(samples):
+        raise ValueError("chunking must cover every sample exactly once")
+    if sps is None:
+        sps = encode_h264_sps(64, 48)
+
+    def box(kind: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + kind + body
+
+    def full(kind: bytes, body: bytes) -> bytes:
+        return box(kind, b"\x00\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00")
+    mdat = box(b"mdat", b"".join(samples))
+    mdat_body = len(ftyp) + 8
+
+    avcc = (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps + b"\x00"
+    )
+    entry = (
+        struct.pack(">I", 8 + 78 + 8 + len(avcc)) + b"avc1"
+        + b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 64, 48)
+        + struct.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+        + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+        + box(b"avcC", avcc)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, len(samples), 1000 // fps))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, len(samples))
+        + struct.pack(f">{len(samples)}I", *map(len, samples)),
+    )
+    # run-length encode samples-per-chunk into stsc entries
+    runs = []
+    for ci, spc in enumerate(chunking):
+        if not runs or runs[-1][1] != spc:
+            runs.append((ci + 1, spc))
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    offs = []
+    pos = mdat_body
+    s = 0
+    for spc in chunking:
+        offs.append(pos)
+        pos += sum(len(samples[s + j]) for j in range(spc))
+        s += spc
+    if co64:
+        stco = full(
+            b"co64",
+            struct.pack(">I", len(offs)) + struct.pack(f">{len(offs)}Q", *offs),
+        )
+    else:
+        stco = full(
+            b"stco",
+            struct.pack(">I", len(offs)) + struct.pack(f">{len(offs)}I", *offs),
+        )
+    stbl_body = stsd + stts
+    if sync is not None:
+        stbl_body += full(
+            b"stss",
+            struct.pack(">I", len(sync))
+            + struct.pack(f">{len(sync)}I", *(k + 1 for k in sync)),
+        )
+    stbl_body += stsz + stsc + stco
+    minf = box(b"minf", box(b"stbl", stbl_body))
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, len(samples) * (1000 // fps)) + b"\x00" * 4,
+    )
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", b"\x00" * 72 + struct.pack(">II", 64 << 16, 48 << 16))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(
+        b"mvhd",
+        b"\x00" * 8
+        + struct.pack(">II", 1000, len(samples) * (1000 // fps)) + b"\x00" * 80,
+    )
+    return ftyp + mdat + box(b"moov", mvhd + trak)
+
+
+def encode_adts(
+    frame_payloads: "list[bytes]",
+    profile: int = 1,
+    rate: int = 44100,
+    channels: int = 2,
+) -> bytes:
+    """ADTS (AAC) fixture: each payload gets a 7-byte header with the
+    correct 13-bit frame_length — opaque bytes stand in for the coded
+    spectra, exercising :func:`_probe_adts`'s framing arithmetic."""
+    sr_idx = _ADTS_RATES.index(rate)
+    out = bytearray()
+    for p in frame_payloads:
+        flen = 7 + len(p)
+        out += bytes([
+            0xFF,
+            0xF1,  # MPEG-4, layer 00, protection absent
+            (profile << 6) | (sr_idx << 2) | (channels >> 2),
+            ((channels & 3) << 6) | (flen >> 11),
+            (flen >> 3) & 0xFF,
+            ((flen & 7) << 5) | 0x1F,  # buffer fullness hi (0x7FF = VBR)
+            0xFC,  # fullness lo + 1 raw data block
+        ]) + p
+    return bytes(out)
+
+
+def encode_ogg_page(
+    body: bytes, granule: int, seq: int, header_type: int, serial: int = 0x1234
+) -> bytes:
+    """One CRC-correct Ogg page holding ``body`` as a single packet
+    (lacing split at 255)."""
+    import struct
+
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    page = bytearray(
+        b"OggS\x00" + bytes([header_type]) + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq) + b"\x00" * 4
+        + bytes([len(segs)]) + bytes(segs) + body
+    )
+    import struct as _s
+
+    _s.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def encode_ogg(
+    codec: str,
+    rate: int = 44100,
+    channels: int = 2,
+    last_granule: int = 44100,
+    n_data_pages: int = 2,
+    pre_skip: int = 312,
+) -> bytes:
+    """Ogg fixture: a BOS page carrying a real Vorbis or Opus
+    identification header, then ``n_data_pages`` pages of opaque packet
+    bytes whose final granule is ``last_granule`` — the structure
+    :func:`_probe_ogg` walks; no audio is coded."""
+    import struct
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<I", rate) + struct.pack("<iii", -1, 128000, -1)
+            + b"\xb8\x01"
+        )
+    elif codec == "opus":
+        ident = (
+            b"OpusHead" + bytes([1, channels]) + struct.pack("<H", pre_skip)
+            + struct.pack("<I", rate) + struct.pack("<h", 0) + b"\x00"
+        )
+    else:
+        raise ValueError(f"codec must be 'vorbis' or 'opus', got {codec!r}")
+    out = encode_ogg_page(ident, 0, 0, 0x02)
+    for k in range(n_data_pages):
+        granule = last_granule * (k + 1) // n_data_pages
+        eos = 0x04 if k == n_data_pages - 1 else 0
+        out += encode_ogg_page(b"\x00" * (300 + k), granule, k + 1, eos)
+    return out
+
+
+def _ebml_encode_vint(v: int) -> bytes:
+    """Minimal-length EBML size varint (avoiding the all-ones 'unknown'
+    encoding)."""
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:
+            return (v | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError(f"EBML size {v} too large")
+
+
+def _ebml_elem(eid: int, body: bytes, unknown_size: bool = False) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    if unknown_size:
+        return idb + b"\xff" + body
+    return idb + _ebml_encode_vint(len(body)) + body
+
+
+def encode_mkv(
+    tracks: "list[dict]",
+    doctype: str = "matroska",
+    duration_sec: "float | None" = 2.5,
+    timescale_ns: int = 1_000_000,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Matroska/WebM fixture: EBML header + Segment(Info, Tracks) from
+    track dicts like ``{"type": "video", "codec": "V_VP9", "width": w,
+    "height": h}`` or ``{"type": "audio", "codec": "A_OPUS",
+    "sample_rate": r, "channels": c}`` — no Cluster data, matching what
+    :func:`_probe_mkv` reads."""
+    import struct
+
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, doctype.encode()))
+    info_body = _ebml_elem(0x2AD7B1, timescale_ns.to_bytes(4, "big"))
+    if duration_sec is not None:
+        ticks = duration_sec * 1e9 / timescale_ns
+        info_body += _ebml_elem(0x4489, struct.pack(">d", ticks))
+    entries = b""
+    for t in tracks:
+        body = _ebml_elem(0x83, bytes([{"video": 1, "audio": 2}[t["type"]]]))
+        body += _ebml_elem(0x86, t["codec"].encode())
+        if t["type"] == "video":
+            body += _ebml_elem(
+                0xE0,
+                _ebml_elem(0xB0, t["width"].to_bytes(2, "big"))
+                + _ebml_elem(0xBA, t["height"].to_bytes(2, "big")),
+            )
+        else:
+            body += _ebml_elem(
+                0xE1,
+                _ebml_elem(0xB5, struct.pack(">f", t["sample_rate"]))
+                + _ebml_elem(0x9F, bytes([t["channels"]])),
+            )
+        entries += _ebml_elem(0xAE, body)
+    segment_body = _ebml_elem(0x1549A966, info_body) + _ebml_elem(
+        0x1654AE6B, entries
+    )
+    return header + _ebml_elem(
+        0x18538067, segment_body, unknown_size=unknown_segment_size
+    )
 
 
 # --- audio: WAV (RIFF/WAVE) container -------------------------------------
@@ -4383,6 +5346,10 @@ def probe_audio(payload: bytes) -> dict:
     buf = bytes(payload)
     if buf[:4] == b"fLaC":
         return probe_flac(buf)
+    if buf[:4] == b"OggS":
+        return _probe_ogg(buf)
+    if _is_adts(buf):
+        return _probe_adts(buf)
     if buf[:3] == b"ID3" or (
         len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
     ):
@@ -4422,6 +5389,16 @@ def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
     buf = bytes(payload)
     if buf[:4] == b"fLaC":
         return decode_flac(buf)
+    if buf[:4] == b"OggS":
+        raise NotImplementedError(
+            "Ogg Vorbis/Opus sample decode needs an audio library; "
+            "probe_audio covers typing, duration, and page framing"
+        )
+    if _is_adts(buf):
+        raise NotImplementedError(
+            "AAC (ADTS) sample decode needs an audio library; "
+            "probe_audio covers typing, duration, and frame framing"
+        )
     if buf[:3] == b"ID3" or (
         len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
     ):
@@ -6996,3 +7973,130 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def probe_media(payload: bytes, media_type: "str | None" = None) -> dict:
+    """One magic-byte dispatcher over every supported container: returns
+    the format probe's dict plus ``kind`` ∈ {image, audio, video,
+    tensor}. This is the crawl-scale first pass — typing 100 TB of
+    opaque binary costs a header read per payload, and everything
+    downstream (decode, frame sampling, feature extraction) plans
+    against its output. RIFF disambiguates on the form type (WAVE →
+    audio, AVI → video, WEBP → image); an explicit ``media_type`` of
+    ``tensor/*`` short-circuits raw tensor payloads, which carry no
+    magic."""
+    buf = bytes(payload)
+    if media_type and media_type.startswith("tensor/"):
+        itemsize = {"tensor/f32": 4, "tensor/f64": 8}.get(media_type)
+        if itemsize is None:
+            raise ValueError(f"unknown tensor media_type {media_type!r}")
+        if len(buf) % itemsize:
+            raise ValueError(
+                f"{media_type} payload of {len(buf)} bytes is not a "
+                f"multiple of {itemsize}"
+            )
+        return {"kind": "tensor", "container": media_type,
+                "n_samples": len(buf) // itemsize}
+    if buf[:4] == b"RIFF":
+        form = buf[8:12]
+        if form == b"WAVE":
+            return {"kind": "audio", **probe_audio(buf)}
+        if form == b"AVI ":
+            return {"kind": "video", **probe_video(buf)}
+        if form == b"WEBP":
+            return {"kind": "image", **probe_image(buf)}
+        raise NotImplementedError(f"unsupported RIFF form {form!r}")
+    if (
+        buf[:4] in (b".snd", b"fLaC", b"OggS")
+        or (buf[:4] == b"FORM" and buf[8:12] in (b"AIFF", b"AIFC"))
+        or buf[:3] == b"ID3"
+        or _is_adts(buf)
+        or (len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+            and buf[:2] != b"\xff\xd8")
+    ):
+        return {"kind": "audio", **probe_audio(buf)}
+    if (
+        buf[:9] == b"YUV4MPEG2"
+        or buf[4:8] == b"ftyp"
+        or buf[:4] == b"\x1a\x45\xdf\xa3"
+    ):
+        return {"kind": "video", **probe_video(buf)}
+    return {"kind": "image", **probe_image(buf)}
+
+
+MEDIA_PROBE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("kind", StringType()),
+        StructField("container", StringType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", DoubleType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def probe_media_table(media: DataFrame) -> DataFrame:
+    """Typed metadata over a mixed opaque-binary media table — one
+    header read per payload over Arrow batches, no pixel or sample
+    decoded. A corrupt or unsupported payload yields ``ok=false`` with
+    the error text instead of failing the task: at crawl scale, broken
+    payloads are data, not exceptions. Columns are normalized across
+    kinds (width/height for stills and video, sample_rate/n_samples for
+    audio, codec from whichever probe reports one) so the planner
+    filters one frame, not a union of per-format schemas."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload, mtype in zip(
+                pdf["vec_id"], pdf["media"], pdf["media_type"]
+            ):
+                buf = bytes(payload)
+                base = [int(vid), mtype, len(buf)]
+                try:
+                    p = probe_media(buf, media_type=mtype)
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append(base + [None] * 11 + [False, str(exc)])
+                    continue
+                codec = p.get("codec") or p.get("encoding")
+                sample_rate = p.get("sample_rate")
+                if p.get("kind") == "video" and p.get("tracks"):
+                    vids = [t for t in p["tracks"] if t.get("type") == "video"
+                            or t.get("handler") == "vide"]
+                    if vids and codec is None:
+                        codec = vids[0].get("codec")
+                    auds = [t for t in p["tracks"] if t.get("type") == "audio"]
+                    if auds and sample_rate is None:
+                        sample_rate = auds[0].get("sample_rate")
+                rows.append(
+                    base
+                    + [
+                        p.get("kind"),
+                        p.get("container"),
+                        codec,
+                        p.get("width"),
+                        p.get("height"),
+                        p.get("channels"),
+                        p.get("bits"),
+                        p.get("n_frames") or p.get("n_pages"),
+                        p.get("n_samples"),
+                        float(sample_rate) if sample_rate is not None else None,
+                        p.get("duration_sec"),
+                        True,
+                        None,
+                    ]
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_PROBE_SCHEMA])
+
+    return media.mapInPandas(feats, MEDIA_PROBE_SCHEMA)

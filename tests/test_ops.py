@@ -1596,6 +1596,244 @@ def test_media_probe_only_formats():
         multimodal.decode_video_frames(pay)
 
 
+def test_container_probes_mkv_ogg_adts():
+    """The round-out of the header-only typing pass: Matroska/WebM EBML
+    walk (DocType, TimestampScale × Duration, per-track codec/dims/
+    audio params, unknown-size Segment), Ogg with CRC-verified pages
+    and Vorbis/Opus identification headers (Opus granules at 48 kHz
+    minus pre-skip), and ADTS AAC frame-walk (13-bit frame_length
+    arithmetic). Corrupt framing raises; decode gates name the probe."""
+    import struct
+
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    # --- Matroska / WebM ---
+    mk = multimodal.encode_mkv(
+        [
+            {"type": "video", "codec": "V_VP9", "width": 1280, "height": 720},
+            {"type": "audio", "codec": "A_OPUS", "sample_rate": 48000.0,
+             "channels": 2},
+        ],
+        doctype="webm",
+        duration_sec=3.5,
+    )
+    meta = multimodal.probe_video(mk)
+    assert meta["container"] == "webm"
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["duration_sec"] == 3.5
+    assert meta["tracks"][0]["codec"] == "V_VP9"
+    assert meta["tracks"][1] == {
+        "type": "audio", "codec": "A_OPUS", "sample_rate": 48000.0,
+        "channels": 2,
+    }
+    # unknown-size Segment (the streaming-muxer form) still walks
+    meta = multimodal.probe_video(
+        multimodal.encode_mkv(
+            [{"type": "video", "codec": "V_AV1", "width": 640, "height": 360}],
+            unknown_segment_size=True,
+        )
+    )
+    assert meta["container"] == "matroska" and meta["width"] == 640
+    # a non-default TimestampScale rescales the duration
+    meta = multimodal.probe_video(
+        multimodal.encode_mkv(
+            [{"type": "video", "codec": "V_VP8", "width": 16, "height": 16}],
+            duration_sec=2.0, timescale_ns=500_000,
+        )
+    )
+    assert abs(meta["duration_sec"] - 2.0) < 1e-9
+    with _pytest.raises(NotImplementedError, match="probe_video covers"):
+        multimodal.decode_video_frames(mk)
+    with _pytest.raises(ValueError, match="overruns"):
+        bad = bytearray(mk)
+        bad[4] = 0xF0  # EBML header size lies (claims a huge body)
+        multimodal.probe_video(bytes(bad) + b"\x00")
+    with _pytest.raises(ValueError, match="Tracks"):
+        # EBML header + empty Segment: no TrackEntry to type
+        multimodal.probe_video(
+            multimodal._ebml_elem(
+                0x1A45DFA3, multimodal._ebml_elem(0x4282, b"matroska")
+            )
+            + multimodal._ebml_elem(0x18538067, b"")
+        )
+
+    # --- Ogg: Vorbis and Opus, CRC-verified pages ---
+    ov = multimodal.encode_ogg("vorbis", rate=16000, channels=2,
+                               last_granule=32000)
+    meta = multimodal.probe_audio(ov)
+    assert meta == {
+        "container": "ogg", "encoding": "vorbis", "sample_rate": 16000,
+        "channels": 2, "n_pages": 3, "n_samples": 32000, "duration_sec": 2.0,
+    }
+    oo = multimodal.probe_audio(
+        multimodal.encode_ogg("opus", channels=1, last_granule=96312,
+                              pre_skip=312)
+    )
+    assert oo["encoding"] == "opus" and oo["sample_rate"] == 48000
+    assert oo["n_samples"] == 96000 and oo["duration_sec"] == 2.0
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        corrupt = bytearray(ov)
+        corrupt[-1] ^= 0x40  # flip a body bit; the stored CRC no longer holds
+        multimodal.probe_audio(bytes(corrupt))
+    with _pytest.raises(NotImplementedError, match="identification"):
+        multimodal.probe_audio(
+            multimodal.encode_ogg_page(b"\x80theora" + b"\x00" * 20, 0, 0, 0x02)
+        )
+    with _pytest.raises(NotImplementedError, match="probe_audio covers"):
+        multimodal.decode_audio(ov)
+
+    # --- ADTS AAC ---
+    pay = multimodal.encode_adts(
+        [b"\x01" * 20, b"\x02" * 33, b"\x03" * 5],
+        profile=1, rate=22050, channels=1,
+    )
+    meta = multimodal.probe_audio(pay)
+    assert meta == {
+        "container": "adts", "encoding": "aac_lc", "sample_rate": 22050,
+        "channels": 1, "n_frames": 3, "n_samples": 3072,
+        "duration_sec": 3072 / 22050,
+    }
+    with _pytest.raises(ValueError, match="sync lost"):
+        multimodal.probe_audio(pay + b"\xffnot-a-frame")
+    with _pytest.raises(ValueError, match="changes profile"):
+        multimodal.probe_audio(
+            pay + multimodal.encode_adts([b"\x04" * 8], rate=44100, channels=1)
+        )
+    with _pytest.raises(NotImplementedError, match="probe_audio covers"):
+        multimodal.decode_audio(pay)
+
+
+def test_probe_media_table_over_spark(spark):
+    """The unified typing pass over a mixed opaque-binary table — one
+    mapInPandas over image/audio/video/tensor payloads plus a corrupt
+    one: every good row comes back ok with normalized fields (kind,
+    container, codec, dims, rates, duration), the corrupt row carries
+    ok=false and the error text instead of failing the task."""
+    import numpy as np
+
+    from pypdfocr_spark import multimodal
+
+    img = ((np.arange(60).reshape(4, 5, 3) * 4) % 256).astype(np.uint8)
+    wav = multimodal.encode_wav(
+        np.zeros((800, 2), dtype=np.int16), 8000
+    )
+    payloads = [
+        (1, multimodal.encode_png(img), "image/png"),
+        (2, wav, "audio/wav"),
+        (3, multimodal.encode_avi([img[:, :, 0]] * 3, codec="raw", fps=5),
+         "video/avi"),
+        (4, multimodal.encode_mkv(
+            [{"type": "video", "codec": "V_VP9", "width": 320, "height": 240}],
+            doctype="webm", duration_sec=1.25), "video/webm"),
+        (5, multimodal.encode_ogg("opus", channels=2, last_granule=48312,
+                                  pre_skip=312), "audio/ogg"),
+        (6, multimodal.encode_adts([b"\x00" * 30] * 4, rate=48000, channels=2),
+         "audio/aac"),
+        (7, np.arange(12, dtype="<f4").tobytes(), "tensor/f32"),
+        (8, b"\x00corrupt payload that is nothing", "application/octet-stream"),
+        (9, multimodal.encode_mp4([b"\xaa" * 50] * 2, fps=10), "video/mp4"),
+    ]
+    media = spark.createDataFrame(
+        [(vid, bytearray(p), t, len(p)) for vid, p, t in payloads],
+        "vec_id long, media binary, media_type string, n_bytes long",
+    )
+    rows = {r["vec_id"]: r for r in multimodal.probe_media_table(media).collect()}
+    assert len(rows) == 9
+    assert rows[1]["kind"] == "image" and rows[1]["container"] == "png"
+    assert (rows[1]["width"], rows[1]["height"]) == (5, 4)
+    assert rows[2]["kind"] == "audio" and rows[2]["sample_rate"] == 8000.0
+    assert rows[2]["n_samples"] == 800 and rows[2]["duration_sec"] == 0.1
+    assert rows[3]["kind"] == "video" and rows[3]["codec"] == "raw"
+    assert rows[3]["n_frames"] == 3 and rows[3]["duration_sec"] == 0.6
+    assert rows[4]["container"] == "webm" and rows[4]["codec"] == "V_VP9"
+    assert (rows[4]["width"], rows[4]["height"]) == (320, 240)
+    assert rows[4]["duration_sec"] == 1.25
+    assert rows[5]["codec"] == "opus" and rows[5]["n_samples"] == 48000
+    assert rows[6]["codec"] == "aac_lc" and rows[6]["n_frames"] == 4
+    assert rows[7]["kind"] == "tensor" and rows[7]["n_samples"] == 12
+    assert not rows[8]["ok"] and rows[8]["kind"] is None
+    assert "unsupported" in rows[8]["error"]
+    assert rows[9]["kind"] == "video" and rows[9]["container"] == "mp4"
+    assert rows[9]["duration_sec"] == 0.2
+    assert all(rows[k]["ok"] for k in (1, 2, 3, 4, 5, 6, 7, 9))
+
+
+def test_mp4_sample_index_and_sps():
+    """MP4 sample-table index — the unit a distributed frame sampler
+    ships to executors: per-sample absolute byte offsets (stsc runs ×
+    stco/co64 × stsz), sync flags (stss, absent = all sync), decode
+    times over the mdhd timescale, and true coded dims from the avcC
+    SPS (Exp-Golomb walk incl. emulation-prevention stripping and the
+    4:2:0 crop-unit arithmetic). Every offset is verified by slicing
+    the payload and comparing to the constructed sample bytes."""
+    import struct
+
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    # SPS: high-profile 636x356 needs crop right=2, bottom=6 over 40x23 MBs
+    sps = multimodal.encode_h264_sps(636, 356)
+    info = multimodal._parse_h264_sps(sps)
+    assert (info["width"], info["height"]) == (636, 356)
+    assert info["profile_idc"] == 100 and info["chroma_format_idc"] == 1
+    # baseline profile skips the chroma block; uncropped dims
+    info = multimodal._parse_h264_sps(multimodal.encode_h264_sps(64, 48, profile_idc=66))
+    assert (info["width"], info["height"]) == (64, 48)
+    # emulation-prevention bytes really are stripped: an SPS whose RBSP
+    # contains 00 00 (large ue run) must parse identically pre/post escape
+    with _pytest.raises(ValueError, match="SPS NAL"):
+        multimodal._parse_h264_sps(b"\x68\x00")
+
+    samples = [bytes([65 + k]) * (10 + k) for k in range(7)]
+    pay = multimodal.encode_mp4(
+        samples, sync=[0, 4], fps=10, sps=sps, chunking=[3, 3, 1]
+    )
+    idx = multimodal.mp4_sample_index(pay)
+    assert idx["codec"] == "avc1"
+    assert (idx["width"], idx["height"]) == (636, 356)  # SPS wins over stsd
+    assert idx["n_samples"] == 7 and idx["timescale"] == 1000
+    assert abs(idx["duration_sec"] - 0.7) < 1e-12
+    for k, s in enumerate(idx["samples"]):
+        assert pay[s["offset"] : s["offset"] + s["size"]] == samples[k]
+        assert s["sync"] == (k in (0, 4))
+        assert abs(s["dts_sec"] - k * 0.1) < 1e-12
+    # the scale plan: keyframe-only sampling touches just the stss rows
+    keyframes = [s for s in idx["samples"] if s["sync"]]
+    assert len(keyframes) == 2
+
+    # co64 (64-bit offsets) and no-stss (all sync) variants
+    idx = multimodal.mp4_sample_index(
+        multimodal.encode_mp4(samples, co64=True, chunking=[7])
+    )
+    assert all(s["sync"] for s in idx["samples"])
+    assert pay is not None and idx["n_samples"] == 7
+    for k, s in enumerate(idx["samples"]):
+        got = multimodal.encode_mp4(samples, co64=True, chunking=[7])
+        assert got[s["offset"] : s["offset"] + s["size"]] == samples[k]
+
+    # probe_video picks up the deep walk too
+    meta = multimodal.probe_video(pay)
+    assert meta["container"] == "mp4" and meta["duration_sec"] == 0.7
+
+    # framing: stts/stsz disagreement raises, audio track absent raises
+    bad = bytearray(pay)
+    zat = pay.index(b"stsz")
+    struct.pack_into(">I", bad, zat + 12, 6)  # stsz lies: 6 samples
+    with _pytest.raises(ValueError, match="stts covers"):
+        multimodal.mp4_sample_index(bytes(bad))
+    with _pytest.raises(ValueError, match="'soun' track"):
+        multimodal.mp4_sample_index(pay, handler="soun")
+    with _pytest.raises(NotImplementedError, match="scaling"):
+        # a high-profile SPS with seq_scaling_matrix_present_flag set
+        w = multimodal._BitWriter()
+        w.u(100, 8); w.u(0, 8); w.u(31, 8); w.ue(0)
+        w.ue(1); w.ue(0); w.ue(0); w.u(0, 1); w.u(1, 1)
+        multimodal._parse_h264_sps(b"\x67" + w.rbsp())
+
+
 def test_avi_video_decode_roundtrip_and_sampling(spark, emb):
     """AVI frame decode through the in-repo codecs: uncompressed DIB
     streams (24-bit BGR and 8-bit grayscale palette) round-trip exactly;
@@ -2396,8 +2634,11 @@ def test_au_aiff_decode_roundtrip():
             assert np.array_equal(x, want), law
             assert multimodal.probe_audio(pay)["encoding"] == law
 
-    with _pytest.raises(NotImplementedError, match="only WAV"):
+    # Ogg now routes to its own gate; unknown magic still names the set
+    with _pytest.raises(NotImplementedError, match="probe_audio covers"):
         multimodal.decode_audio(b"OggS not a container we decode")
+    with _pytest.raises(NotImplementedError, match="only WAV"):
+        multimodal.decode_audio(b"XXXX not a container we decode")
     bad = bytearray(multimodal.encode_au(s16, 8000))
     struct.pack_into(">I", bad, 12, 23)  # G.721 ADPCM
     with _pytest.raises(NotImplementedError, match="AU encoding 23"):
