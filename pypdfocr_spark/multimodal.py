@@ -4920,11 +4920,15 @@ def encode_ogg(
     last_granule: int = 44100,
     n_data_pages: int = 2,
     pre_skip: int = 312,
+    tags: "dict[str, str] | None" = None,
+    vendor: str = "fixture-encoder",
 ) -> bytes:
     """Ogg fixture: a BOS page carrying a real Vorbis or Opus
-    identification header, then ``n_data_pages`` pages of opaque packet
-    bytes whose final granule is ``last_granule`` — the structure
-    :func:`_probe_ogg` walks; no audio is coded."""
+    identification header, an optional comment-header page (Vorbis
+    packet 2 / OpusTags built from ``tags``), then ``n_data_pages``
+    pages of opaque packet bytes whose final granule is
+    ``last_granule`` — the structure :func:`_probe_ogg` and
+    :func:`extract_audio_tags` walk; no audio is coded."""
     import struct
 
     if codec == "vorbis":
@@ -4941,10 +4945,25 @@ def encode_ogg(
     else:
         raise ValueError(f"codec must be 'vorbis' or 'opus', got {codec!r}")
     out = encode_ogg_page(ident, 0, 0, 0x02)
+    seq = 1
+    if tags is not None:
+        inv = {v: k for k, v in _VORBIS_KEYS.items() if v != "software"}
+        comments = bytearray(struct.pack("<I", len(vendor)) + vendor.encode())
+        pairs = [f"{inv[k]}={v}" for k, v in tags.items()]
+        comments += struct.pack("<I", len(pairs))
+        for item in pairs:
+            raw = item.encode("utf-8")
+            comments += struct.pack("<I", len(raw)) + raw
+        if codec == "vorbis":
+            packet = b"\x03vorbis" + bytes(comments) + b"\x01"  # framing bit
+        else:
+            packet = b"OpusTags" + bytes(comments)
+        out += encode_ogg_page(packet, 0, seq, 0)
+        seq += 1
     for k in range(n_data_pages):
         granule = last_granule * (k + 1) // n_data_pages
         eos = 0x04 if k == n_data_pages - 1 else 0
-        out += encode_ogg_page(b"\x00" * (300 + k), granule, k + 1, eos)
+        out += encode_ogg_page(b"\x00" * (300 + k), granule, seq + k, eos)
     return out
 
 
@@ -8100,3 +8119,645 @@ def probe_media_table(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_PROBE_SCHEMA])
 
     return media.mapInPandas(feats, MEDIA_PROBE_SCHEMA)
+
+
+# --- EXIF: the metadata IFD inside JPEG APP1 / TIFF ------------------------
+#
+# EXIF is a TIFF IFD structure (byte-order mark + tagged entries) embedded
+# either in a JPEG APP1 segment ("Exif\0\0" prefix) or in the TIFF file
+# itself. Camera metadata is a curation signal (dedup by device/time,
+# synthetic-vs-camera classification) and GPS tags are PII — a crawl
+# pipeline wants both the extraction and the scrub.
+
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+_EXIF_IFD0_TAGS = {
+    0x010E: "description", 0x010F: "make", 0x0110: "model",
+    0x0112: "orientation", 0x0131: "software", 0x0132: "datetime",
+}
+_EXIF_SUB_TAGS = {
+    0x829A: "exposure_time", 0x829D: "f_number", 0x8827: "iso",
+    0x9003: "datetime_original", 0x9004: "datetime_digitized",
+    0x920A: "focal_length", 0xA002: "pixel_width", 0xA003: "pixel_height",
+}
+_EXIF_GPS_TAGS = {
+    0x0001: "gps_lat_ref", 0x0002: "gps_lat", 0x0003: "gps_lon_ref",
+    0x0004: "gps_lon", 0x0005: "gps_alt_ref", 0x0006: "gps_alt",
+}
+
+
+def _exif_read_ifd(buf: bytes, bo: str, off: int) -> "dict[int, object]":
+    """One EXIF IFD with ALL value types decoded: ASCII → stripped str,
+    RATIONAL/SRATIONAL → float (num/den), integers → int or list.
+    Offsets are relative to the TIFF header start, i.e. ``buf[0]``."""
+    import struct
+
+    if off + 2 > len(buf):
+        raise ValueError("truncated EXIF IFD")
+    (n_entries,) = struct.unpack_from(bo + "H", buf, off)
+    out: "dict[int, object]" = {}
+    for k in range(n_entries):
+        entry = off + 2 + 12 * k
+        if entry + 12 > len(buf):
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, count = struct.unpack_from(bo + "HHI", buf, entry)
+        size = _EXIF_TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # unknown type: skip, per TIFF reader convention
+        voff = entry + 8 if size * count <= 4 else struct.unpack_from(
+            bo + "I", buf, entry + 8
+        )[0]
+        if voff + size * count > len(buf):
+            raise ValueError(f"EXIF tag 0x{tag:04X} values out of bounds")
+        if typ == 2:  # ASCII
+            out[tag] = buf[voff : voff + count].split(b"\x00")[0].decode(
+                "latin-1"
+            ).strip()
+        elif typ in (5, 10):  # (S)RATIONAL
+            fmt = "II" if typ == 5 else "ii"
+            vals = []
+            for i in range(count):
+                num, den = struct.unpack_from(bo + fmt, buf, voff + 8 * i)
+                vals.append(num / den if den else float("nan"))
+            out[tag] = vals if count > 1 else vals[0]
+        else:
+            fmt = {1: "B", 3: "H", 4: "I", 7: "B", 9: "i"}[typ]
+            vals = list(struct.unpack_from(bo + str(count) + fmt, buf, voff))
+            out[tag] = vals if count > 1 else vals[0]
+    return out
+
+
+def _gps_degrees(dms, ref: "str | None") -> float:
+    """3-rational (deg, min, sec) + hemisphere ref → signed decimal
+    degrees."""
+    if not isinstance(dms, list):
+        dms = [dms]
+    deg = sum(v / 60.0 ** i for i, v in enumerate(dms[:3]))
+    return -deg if ref in ("S", "W") else deg
+
+
+def extract_exif(payload: bytes) -> dict:
+    """EXIF metadata from a JPEG (APP1 segment) or TIFF payload: IFD0
+    camera tags, the Exif sub-IFD (timestamps, exposure), and the GPS
+    IFD reduced to signed decimal degrees. Returns
+    ``{"has_exif": False}`` when the payload simply carries none —
+    absence is data at crawl scale, not an error; structural corruption
+    inside a present EXIF block still raises."""
+    import struct
+
+    buf = bytes(payload)
+    tiff = None
+    if buf[:2] == b"\xff\xd8":  # JPEG: find APP1 "Exif\0\0"
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                break
+            marker = buf[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker in (0xDA, 0xD9):  # scan data / EOI: no EXIF ahead
+                break
+            (ln,) = struct.unpack_from(">H", buf, pos + 2)
+            if marker == 0xE1 and buf[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = buf[pos + 10 : pos + 2 + ln]
+                break
+            pos += 2 + ln
+    elif buf[:2] in (b"II", b"MM"):
+        tiff = buf
+    if tiff is None:
+        return {"has_exif": False}
+    bo = {b"II": "<", b"MM": ">"}.get(tiff[:2])
+    if bo is None or struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+        raise ValueError("EXIF block without a valid TIFF header")
+    (ifd0_off,) = struct.unpack_from(bo + "I", tiff, 4)
+    ifd0 = _exif_read_ifd(tiff, bo, ifd0_off)
+    out: dict = {"has_exif": True, "has_gps": False}
+    for tag, name in _EXIF_IFD0_TAGS.items():
+        if tag in ifd0:
+            out[name] = ifd0[tag]
+    if 0x8769 in ifd0:  # Exif sub-IFD pointer
+        sub = _exif_read_ifd(tiff, bo, ifd0[0x8769])
+        for tag, name in _EXIF_SUB_TAGS.items():
+            if tag in sub:
+                out[name] = sub[tag]
+    if 0x8825 in ifd0:  # GPS IFD pointer
+        gps = _exif_read_ifd(tiff, bo, ifd0[0x8825])
+        named = {
+            name: gps[tag] for tag, name in _EXIF_GPS_TAGS.items() if tag in gps
+        }
+        if "gps_lat" in named and "gps_lon" in named:
+            out["has_gps"] = True
+            out["gps_lat"] = _gps_degrees(
+                named["gps_lat"], named.get("gps_lat_ref")
+            )
+            out["gps_lon"] = _gps_degrees(
+                named["gps_lon"], named.get("gps_lon_ref")
+            )
+            if "gps_alt" in named:
+                alt = named["gps_alt"]
+                out["gps_alt"] = -alt if named.get("gps_alt_ref") == 1 else alt
+    return out
+
+
+def scrub_jpeg_metadata(payload: bytes) -> bytes:
+    """Drop every metadata segment from a JPEG byte stream — APP1..APP13,
+    APP15, and COM — keeping APP0 (JFIF) and APP14 (the Adobe color
+    transform, which decode NEEDS). Pure marker surgery: the entropy-
+    coded image bytes are untouched, so the scrubbed file decodes
+    pixel-identically while EXIF (including GPS), XMP, and IPTC are
+    gone. The image-side counterpart of the text PII scrub."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at byte {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xDA:  # SOS: everything from here is image data
+            out += buf[pos:]
+            return bytes(out)
+        if marker == 0xD9:
+            out += buf[pos : pos + 2]
+            return bytes(out)
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        keep = not (
+            (0xE1 <= marker <= 0xED) or marker == 0xEF or marker == 0xFE
+        )
+        if keep:
+            out += buf[pos : pos + 2 + ln]
+        pos += 2 + ln
+    raise ValueError("JPEG without an SOS scan")
+
+
+def encode_exif(
+    make: str = "ExampleCam",
+    model: str = "X100",
+    orientation: int = 1,
+    datetime_str: str = "2020:01:02 03:04:05",
+    exposure_time: "tuple[int, int] | None" = (1, 250),
+    gps: "tuple[float, float, float] | None" = None,
+    byteorder: str = "<",
+) -> bytes:
+    """Deterministic EXIF TIFF-structure fixture (IFD0 + Exif sub-IFD +
+    optional GPS IFD) for :func:`extract_exif` tests; ``gps`` is
+    (lat, lon, alt) in signed decimal degrees."""
+    import struct
+
+    bo = byteorder
+
+    def rational(v: float, den: int = 10**6) -> "tuple[int, int]":
+        return round(abs(v) * den), den
+
+    def dms(v: float) -> "list[tuple[int, int]]":
+        v = abs(v)
+        d = int(v)
+        m = int((v - d) * 60)
+        s = (v - d - m / 60.0) * 3600.0
+        return [(d, 1), (m, 1), rational(s, 10**4)]
+
+    def build_ifd(entries: "list[tuple[int, int, object]]", base: int):
+        """entries: (tag, type, value); base = offset of this IFD inside
+        the TIFF structure. Returns (ifd_bytes, extra_bytes)."""
+        extra = bytearray()
+        extra_base = base + 2 + 12 * len(entries) + 4
+        body = struct.pack(bo + "H", len(entries))
+        for tag, typ, val in sorted(entries):
+            if typ == 2:
+                raw = val.encode("latin-1") + b"\x00"
+                count = len(raw)
+            elif typ == 5:
+                vals = val if isinstance(val, list) else [val]
+                raw = b"".join(struct.pack(bo + "II", n, d) for n, d in vals)
+                count = len(vals)
+            elif typ == 3:
+                raw = struct.pack(bo + "H", val)
+                count = 1
+            else:  # 4: LONG
+                raw = struct.pack(bo + "I", val)
+                count = 1
+            if len(raw) <= 4:
+                vfield = raw + b"\x00" * (4 - len(raw))
+            else:
+                vfield = struct.pack(bo + "I", extra_base + len(extra))
+                extra += raw
+            body += struct.pack(bo + "HHI", tag, typ, count) + vfield
+        body += struct.pack(bo + "I", 0)  # next-IFD pointer
+        return bytes(body), bytes(extra)
+
+    # layout: header(8) | IFD0+extra | ExifIFD+extra | [GPS IFD+extra]
+    header = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    header += struct.pack(bo + "I", 8)
+
+    # sizes depend on offsets; build in two passes with fixed entry counts
+    ifd0_entries = [
+        (0x010F, 2, make), (0x0110, 2, model), (0x0112, 3, orientation),
+        (0x0132, 2, datetime_str), (0x8769, 4, 0),
+    ]
+    if gps is not None:
+        ifd0_entries.append((0x8825, 4, 0))
+    sub_entries = [(0x9003, 2, datetime_str)]
+    if exposure_time is not None:
+        sub_entries.append((0x829A, 5, [exposure_time]))
+
+    def sizeof(entries):
+        body = 2 + 12 * len(entries) + 4
+        extra = 0
+        for tag, typ, val in entries:
+            if typ == 2:
+                n = len(val) + 1
+            elif typ == 5:
+                n = 8 * (len(val) if isinstance(val, list) else 1)
+            else:
+                n = 4 if typ == 4 else 2
+            if n > 4:
+                extra += n
+        return body + extra
+
+    ifd0_off = 8
+    sub_off = ifd0_off + sizeof(ifd0_entries)
+    gps_off = sub_off + sizeof(sub_entries)
+    ifd0_entries = [
+        (t, ty, sub_off if t == 0x8769 else (gps_off if t == 0x8825 else v))
+        for t, ty, v in ifd0_entries
+    ]
+    out = bytearray(header)
+    body, extra = build_ifd(ifd0_entries, ifd0_off)
+    out += body + extra
+    body, extra = build_ifd(sub_entries, sub_off)
+    out += body + extra
+    if gps is not None:
+        lat, lon, alt = gps
+        gps_entries = [
+            (0x0001, 2, "N" if lat >= 0 else "S"),
+            (0x0002, 5, dms(lat)),
+            (0x0003, 2, "E" if lon >= 0 else "W"),
+            (0x0004, 5, dms(lon)),
+            (0x0005, 3, 0 if alt >= 0 else 1),
+            (0x0006, 5, [rational(alt, 100)]),
+        ]
+        body, extra = build_ifd(gps_entries, gps_off)
+        out += body + extra
+    return bytes(out)
+
+
+def insert_jpeg_exif(jpeg: bytes, exif_tiff: bytes) -> bytes:
+    """Splice an EXIF TIFF structure into a JPEG as an APP1 segment
+    right after SOI — the fixture counterpart of
+    :func:`scrub_jpeg_metadata`."""
+    import struct
+
+    if bytes(jpeg[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    seg = b"Exif\x00\x00" + exif_tiff
+    return (
+        jpeg[:2] + b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg + jpeg[2:]
+    )
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("has_exif", BooleanType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("datetime", StringType()),
+        StructField("datetime_original", StringType()),
+        StructField("exposure_time", DoubleType()),
+        StructField("has_gps", BooleanType()),
+        StructField("gps_lat", DoubleType()),
+        StructField("gps_lon", DoubleType()),
+        StructField("gps_alt", DoubleType()),
+        StructField("scrubbed_bytes", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def exif_table(media: DataFrame, scrub: bool = False) -> DataFrame:
+    """EXIF extraction (and optional metadata scrub accounting) over
+    Arrow batches: per payload, the camera/timestamp fields, the GPS
+    verdict in decimal degrees — the PII signal an image-curation gate
+    filters on — and, with ``scrub=True``, how many bytes
+    :func:`scrub_jpeg_metadata` removes (0 for already-clean files).
+    Corrupt payloads yield ``error`` rows, not task failures."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf["vec_id"], pdf["media"]):
+                buf = bytes(payload)
+                try:
+                    x = extract_exif(buf)
+                    removed = None
+                    if scrub and buf[:2] == b"\xff\xd8":
+                        removed = len(buf) - len(scrub_jpeg_metadata(buf))
+                    rows.append(
+                        (
+                            int(vid), x["has_exif"], x.get("make"),
+                            x.get("model"), x.get("orientation"),
+                            x.get("datetime"), x.get("datetime_original"),
+                            x.get("exposure_time"), x.get("has_gps", False),
+                            x.get("gps_lat"), x.get("gps_lon"),
+                            x.get("gps_alt"), removed, None,
+                        )
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        (int(vid), None, None, None, None, None, None, None,
+                         None, None, None, None, None, str(exc))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in EXIF_SCHEMA])
+
+    return media.mapInPandas(feats, EXIF_SCHEMA)
+
+
+# --- audio tags: ID3v2, Vorbis comments, RIFF INFO -------------------------
+
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album", "TCON": "genre",
+    "TDRC": "date", "TYER": "date", "TRCK": "track", "TSSE": "software",
+}
+_RIFF_INFO_TAGS = {
+    b"INAM": "title", b"IART": "artist", b"IPRD": "album", b"IGNR": "genre",
+    b"ICRD": "date", b"ICMT": "comment", b"ISFT": "software",
+}
+_VORBIS_KEYS = {
+    "TITLE": "title", "ARTIST": "artist", "ALBUM": "album", "GENRE": "genre",
+    "DATE": "date", "TRACKNUMBER": "track", "COMMENT": "comment",
+    "ENCODER": "software",
+}
+
+
+def _id3_text(data: bytes) -> str:
+    """Decode an ID3v2 text-frame payload: leading encoding byte, then
+    the string (latin-1 / UTF-16 with BOM / UTF-16BE / UTF-8)."""
+    if not data:
+        return ""
+    enc = data[0]
+    body = data[1:].split(b"\x00" * (2 if enc in (1, 2) else 1))[0]
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}.get(enc)
+    if codec is None:
+        raise ValueError(f"ID3v2 text encoding {enc}")
+    return body.decode(codec).strip("\x00").strip()
+
+
+def _extract_id3v2(buf: bytes) -> dict:
+    """ID3v2.3 (plain big-endian frame sizes) and v2.4 (syncsafe) text
+    frames + COMM comments; v2.2's 3-byte layout stays gated."""
+    major = buf[3]
+    if major == 2:
+        raise NotImplementedError("ID3v2.2 (3-byte frame layout)")
+    if major not in (3, 4):
+        raise ValueError(f"ID3v2.{major} is not a known tag version")
+    size = 0
+    for b in buf[6:10]:
+        if b & 0x80:
+            raise ValueError("ID3v2 size bytes must be syncsafe (bit 7 clear)")
+        size = (size << 7) | b
+    end = 10 + size
+    pos = 10
+    if buf[5] & 0x40:  # extended header: skip by its own size field
+        ext = int.from_bytes(buf[10:14], "big")
+        if major == 4:  # syncsafe in v2.4
+            ext = sum((buf[10 + i] & 0x7F) << (7 * (3 - i)) for i in range(4))
+        pos += ext if major == 4 else ext + 4
+    out: dict = {"container": "id3v2"}
+    while pos + 10 <= end:
+        fid = buf[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding
+            break
+        if major == 4:
+            fsz = 0
+            for b in buf[pos + 4 : pos + 8]:
+                if b & 0x80:
+                    raise ValueError("ID3v2.4 frame size must be syncsafe")
+                fsz = (fsz << 7) | b
+        else:
+            fsz = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+        body = buf[pos + 10 : pos + 10 + fsz]
+        if pos + 10 + fsz > end:
+            raise ValueError(f"ID3v2 frame {fid!r} overruns the tag")
+        name = _ID3_TEXT_FRAMES.get(fid.decode("latin-1"))
+        if name and name not in out:
+            out[name] = _id3_text(body)
+        elif fid == b"COMM" and len(body) >= 4:
+            enc = body[0]
+            sep = b"\x00\x00" if enc in (1, 2) else b"\x00"
+            rest = body[4:]
+            parts = rest.split(sep, 1)
+            text = parts[1] if len(parts) == 2 else parts[0]
+            out.setdefault(
+                "comment", _id3_text(bytes([enc]) + text)
+            )
+        pos += 10 + fsz
+    return out
+
+
+def _ogg_packets(buf: bytes, max_packets: int = 4):
+    """Reassemble the first ``max_packets`` logical packets of the first
+    Ogg stream (lacing values of 255 continue a packet into the next
+    segment/page) — enough to reach the comment header without walking
+    audio data."""
+    import struct
+
+    packets = []
+    current = bytearray()
+    pos = 0
+    serial = None
+    while pos < len(buf) and len(packets) < max_packets:
+        if buf[pos : pos + 4] != b"OggS":
+            raise ValueError(f"Ogg page capture lost at byte {pos}")
+        (page_serial,) = struct.unpack_from("<I", buf, pos + 14)
+        nsegs = buf[pos + 26]
+        segs = buf[pos + 27 : pos + 27 + nsegs]
+        body = pos + 27 + nsegs
+        if serial is None:
+            serial = page_serial
+        if page_serial == serial:
+            for lace in segs:
+                current += buf[body : body + lace]
+                body += lace
+                if lace < 255:
+                    packets.append(bytes(current))
+                    current = bytearray()
+                    if len(packets) >= max_packets:
+                        break
+        pos = pos + 27 + nsegs + sum(segs)
+    return packets
+
+
+def _vorbis_comment_block(data: bytes) -> dict:
+    """The Vorbis comment structure (also used by Opus and FLAC):
+    vendor string + KEY=value pairs, all UTF-8 with u32le lengths."""
+    import struct
+
+    (vlen,) = struct.unpack_from("<I", data, 0)
+    out: dict = {"software": data[4 : 4 + vlen].decode("utf-8")}
+    pos = 4 + vlen
+    (n,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    for _ in range(n):
+        (clen,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        item = data[pos : pos + clen].decode("utf-8")
+        pos += clen
+        if "=" not in item:
+            raise ValueError(f"Vorbis comment without '=': {item!r}")
+        key, val = item.split("=", 1)
+        name = _VORBIS_KEYS.get(key.upper())
+        if name and (name not in out or name == "software"):
+            out[name] = val
+    return out
+
+
+def extract_audio_tags(payload: bytes) -> dict:
+    """Normalized audio metadata (title/artist/album/date/genre/track/
+    comment/software) from whatever the container carries: ID3v2 on MP3
+    or ADTS, Vorbis comments in Ogg (Vorbis packet 2 or OpusTags), and
+    RIFF LIST-INFO in WAV. Returns ``{"has_tags": False}`` when the
+    container is supported but carries no tags — absence is data."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:3] == b"ID3":
+        out = _extract_id3v2(buf)
+        out["has_tags"] = len(out) > 1
+        return out
+    if buf[:4] == b"OggS":
+        packets = _ogg_packets(buf)
+        for p in packets:
+            if p[:7] == b"\x03vorbis":
+                out = _vorbis_comment_block(p[7:])
+            elif p[:8] == b"OpusTags":
+                out = _vorbis_comment_block(p[8:])
+            else:
+                continue
+            out["container"] = "vorbis_comment"
+            out["has_tags"] = True
+            return out
+        return {"has_tags": False}
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = pos + 8
+            if cid == b"LIST" and buf[body : body + 4] == b"INFO":
+                out = {"container": "riff_info", "has_tags": True}
+                sub = body + 4
+                while sub + 8 <= body + size:
+                    scid = buf[sub : sub + 4]
+                    (ssz,) = struct.unpack_from("<I", buf, sub + 4)
+                    name = _RIFF_INFO_TAGS.get(scid)
+                    if name:
+                        out[name] = (
+                            buf[sub + 8 : sub + 8 + ssz]
+                            .split(b"\x00")[0]
+                            .decode("latin-1")
+                        )
+                    sub += 8 + ssz + (ssz & 1)
+                return out
+            pos = body + size + (size & 1)
+        return {"has_tags": False}
+    if buf[:4] == b"fLaC":  # metadata block type 4 = Vorbis comment
+        pos = 4
+        while pos + 4 <= len(buf):
+            head = buf[pos]
+            length = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+            if head & 0x7F == 4:
+                out = _vorbis_comment_block(buf[pos + 4 : pos + 4 + length])
+                out["container"] = "vorbis_comment"
+                out["has_tags"] = True
+                return out
+            pos += 4 + length
+            if head & 0x80:  # last-metadata-block flag
+                break
+        return {"has_tags": False}
+    if _is_adts(buf) or (
+        len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+    ):
+        return {"has_tags": False}  # raw frame stream, no tag block
+    raise NotImplementedError(
+        "extract_audio_tags covers ID3v2 (MP3/ADTS), Ogg Vorbis/Opus and "
+        "FLAC comments, and RIFF INFO (WAV)"
+    )
+
+
+def encode_id3v2(tags: "dict[str, str]", major: int = 4) -> bytes:
+    """ID3v2.3/2.4 tag fixture from normalized keys (inverse of
+    :func:`_extract_id3v2`'s mapping), UTF-8 in v2.4, UTF-16 in v2.3 —
+    exercising both size layouts and both text encodings."""
+    frame_ids = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != "TYER"}
+    body = bytearray()
+    for name, val in tags.items():
+        if name == "comment":
+            enc = b"\x03" + b"eng" + b"\x00" + val.encode("utf-8")
+            fid = b"COMM"
+        else:
+            fid = frame_ids[name].encode("latin-1")
+            if major == 4:
+                enc = b"\x03" + val.encode("utf-8")
+            else:
+                enc = b"\x01" + val.encode("utf-16")
+        if major == 4:
+            sz = bytes((len(enc) >> (7 * (3 - i))) & 0x7F for i in range(4))
+        else:
+            sz = len(enc).to_bytes(4, "big")
+        body += fid + sz + b"\x00\x00" + enc
+    body += b"\x00" * 16  # padding
+    size = bytes((len(body) >> (7 * (3 - i))) & 0x7F for i in range(4))
+    return b"ID3" + bytes([major, 0, 0]) + size + bytes(body)
+
+
+def insert_flac_tags(
+    flac: bytes, tags: "dict[str, str]", vendor: str = "fixture-encoder"
+) -> bytes:
+    """Insert a VORBIS_COMMENT metadata block (type 4) right after a
+    FLAC file's STREAMINFO, carrying the last-block flag over — the
+    fixture for the FLAC branch of :func:`extract_audio_tags`."""
+    import struct
+
+    if flac[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    head = flac[4]
+    length = int.from_bytes(flac[5:8], "big")
+    si_end = 8 + length
+    inv = {v: k for k, v in _VORBIS_KEYS.items() if v != "software"}
+    body = bytearray(struct.pack("<I", len(vendor)) + vendor.encode())
+    pairs = [f"{inv[k]}={v}" for k, v in tags.items()]
+    body += struct.pack("<I", len(pairs))
+    for item in pairs:
+        raw = item.encode("utf-8")
+        body += struct.pack("<I", len(raw)) + raw
+    block = bytes([(head & 0x80) | 4]) + len(body).to_bytes(3, "big") + body
+    return (
+        flac[:4] + bytes([head & 0x7F]) + flac[5:si_end] + block + flac[si_end:]
+    )
+
+
+def insert_wav_info(wav: bytes, tags: "dict[str, str]") -> bytes:
+    """Append a RIFF LIST-INFO chunk to a WAV fixture (updating the
+    RIFF size) — inverse of the RIFF branch of
+    :func:`extract_audio_tags`."""
+    import struct
+
+    ids = {v: k for k, v in _RIFF_INFO_TAGS.items()}
+    body = bytearray(b"INFO")
+    for name, val in tags.items():
+        raw = val.encode("latin-1") + b"\x00"
+        body += ids[name] + struct.pack("<I", len(raw)) + raw
+        if len(raw) & 1:
+            body += b"\x00"
+    out = bytearray(wav)
+    out += b"LIST" + struct.pack("<I", len(body)) + body
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)

@@ -1596,6 +1596,145 @@ def test_media_probe_only_formats():
         multimodal.decode_video_frames(pay)
 
 
+def test_audio_tags_extraction():
+    """Normalized audio metadata across containers: ID3v2.3 (UTF-16,
+    plain frame sizes) and v2.4 (UTF-8, syncsafe) text frames + COMM on
+    an MP3 stream (the probe still walks frames through the tag), Ogg
+    Vorbis packet-2 / OpusTags comments incl. a >255-byte comment that
+    forces lacing continuation in the packet reassembly, FLAC
+    VORBIS_COMMENT blocks (the tagged file still decodes losslessly),
+    and WAV RIFF LIST-INFO (odd-size sub-chunk padding honored). Tag
+    absence returns has_tags=False — data, not an error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    def mp3_frames(n):
+        return b"".join(
+            bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (144 * 128000 // 44100 - 4)
+            for _ in range(n)
+        )
+
+    tags = {"title": "Grand Test", "artist": "Someone", "album": "Records",
+            "date": "2021", "comment": "a comment with ünïcode"}
+    for major in (3, 4):
+        pay = multimodal.encode_id3v2(tags, major=major) + mp3_frames(3)
+        got = multimodal.extract_audio_tags(pay)
+        assert got["has_tags"]
+        for k, v in tags.items():
+            assert got[k] == v, (major, k)
+        assert multimodal.probe_audio(pay)["n_frames"] == 3
+    with _pytest.raises(NotImplementedError, match="ID3v2.2"):
+        multimodal.extract_audio_tags(b"ID3\x02\x00\x00" + bytes(4) + b"x" * 20)
+
+    longc = {"title": "T" * 300, "artist": "A"}
+    for codec in ("vorbis", "opus"):
+        pay = multimodal.encode_ogg(codec, tags=longc)
+        got = multimodal.extract_audio_tags(pay)
+        assert got["title"] == "T" * 300 and got["artist"] == "A"
+        assert got["software"] == "fixture-encoder"
+        assert multimodal.probe_audio(pay)["encoding"] == codec
+        assert multimodal.extract_audio_tags(multimodal.encode_ogg(codec)) == {
+            "has_tags": False
+        }
+
+    s = (np.sin(np.arange(2000) * 0.05) * 10000).astype(np.int16).reshape(-1, 2)
+    fl = multimodal.encode_flac(s, 8000)
+    tagged = multimodal.insert_flac_tags(fl, {"title": "Flac Song", "date": "1999"})
+    got = multimodal.extract_audio_tags(tagged)
+    assert got["title"] == "Flac Song" and got["date"] == "1999"
+    assert multimodal.extract_audio_tags(fl) == {"has_tags": False}
+    x, rate = multimodal.decode_audio(tagged)  # tag block doesn't break decode
+    x0, _ = multimodal.decode_audio(fl)
+    assert rate == 8000 and np.array_equal(x, x0)
+
+    wav = multimodal.encode_wav(np.zeros((100, 1), dtype=np.int16), 8000)
+    wtag = multimodal.insert_wav_info(
+        wav, {"title": "Odd", "artist": "Name!", "software": "enc"}
+    )
+    assert multimodal.extract_audio_tags(wtag) == {
+        "container": "riff_info", "has_tags": True, "title": "Odd",
+        "artist": "Name!", "software": "enc",
+    }
+    assert multimodal.extract_audio_tags(wav) == {"has_tags": False}
+    x, _ = multimodal.decode_audio(wtag)  # decoder skips the LIST chunk
+    assert x.shape == (100, 1)
+
+    assert multimodal.extract_audio_tags(
+        multimodal.encode_adts([b"\x00" * 10])
+    ) == {"has_tags": False}
+    with _pytest.raises(NotImplementedError, match="extract_audio_tags covers"):
+        multimodal.extract_audio_tags(b".snd" + b"\x00" * 40)
+
+
+def test_exif_extract_scrub_and_table(spark):
+    """EXIF end-to-end: the fixture TIFF structure (both byte orders)
+    parses to camera tags, Exif sub-IFD timestamps/exposure, and GPS
+    reduced to signed decimal degrees; the JPEG APP1 splice round-trips;
+    scrub_jpeg_metadata removes APP1 while the pixels decode identically
+    (the image-side PII scrub); and exif_table runs the extraction +
+    scrub accounting over the real mapInPandas path with a corrupt row
+    coming back as error text, not a task failure."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pypdfocr_spark import multimodal
+
+    for bo in ("<", ">"):
+        got = multimodal.extract_exif(
+            multimodal.encode_exif(gps=(37.7749, -122.4194, 16.5), byteorder=bo)
+        )
+        assert got["has_exif"] and got["has_gps"]
+        assert abs(got["gps_lat"] - 37.7749) < 1e-6
+        assert abs(got["gps_lon"] + 122.4194) < 1e-6
+        assert got["gps_alt"] == 16.5
+        assert (got["make"], got["model"]) == ("ExampleCam", "X100")
+        assert got["orientation"] == 1
+        assert abs(got["exposure_time"] - 1 / 250) < 1e-12
+        assert got["datetime_original"] == "2020:01:02 03:04:05"
+    # southern/western hemisphere + below-sea-level altitude sign rules
+    got = multimodal.extract_exif(multimodal.encode_exif(gps=(-33.9, 151.2, -5.0)))
+    assert got["gps_lat"] < 0 and got["gps_lon"] > 0 and got["gps_alt"] == -5.0
+
+    img = ((np.arange(60).reshape(4, 5, 3) * 4) % 256).astype(np.uint8)
+    jp = multimodal.encode_jpeg(img)
+    tagged = multimodal.insert_jpeg_exif(
+        jp, multimodal.encode_exif(gps=(1.5, 2.5, 3.0))
+    )
+    assert multimodal.extract_exif(jp) == {"has_exif": False}  # absence = data
+    assert multimodal.extract_exif(tagged)["has_gps"]
+    clean = multimodal.scrub_jpeg_metadata(tagged)
+    assert multimodal.extract_exif(clean) == {"has_exif": False}
+    assert len(clean) == len(jp)  # exactly the APP1 segment came out
+    assert np.array_equal(
+        multimodal.decode_image(clean), multimodal.decode_image(tagged)
+    )
+    # a corrupt EXIF block inside a present APP1 raises (vs absent = data)
+    broken = multimodal.insert_jpeg_exif(jp, b"II\x00\x00bogus")
+    with _pytest.raises(ValueError, match="TIFF header"):
+        multimodal.extract_exif(broken)
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.scrub_jpeg_metadata(b"PNG-ish")
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(tagged), "image/jpeg", len(tagged)),
+            (2, bytearray(jp), "image/jpeg", len(jp)),
+            (3, bytearray(multimodal.encode_exif()), "image/tiff", 0),
+            (4, bytearray(broken), "image/jpeg", len(broken)),
+        ],
+        "vec_id long, media binary, media_type string, n_bytes long",
+    )
+    rows = {r["vec_id"]: r for r in multimodal.exif_table(media, scrub=True).collect()}
+    assert rows[1]["has_gps"] and abs(rows[1]["gps_lat"] - 1.5) < 1e-6
+    assert rows[1]["scrubbed_bytes"] == len(tagged) - len(jp)
+    assert rows[2]["has_exif"] is False and rows[2]["scrubbed_bytes"] == 0
+    assert rows[3]["has_exif"] and not rows[3]["has_gps"]
+    assert rows[3]["make"] == "ExampleCam"
+    assert rows[4]["error"] is not None and rows[4]["has_exif"] is None
+
+
 def test_container_probes_mkv_ogg_adts():
     """The round-out of the header-only typing pass: Matroska/WebM EBML
     walk (DocType, TimestampScale × Duration, per-track codec/dims/
