@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -374,7 +375,14 @@ def extract_html(
     (Pomikálek 2011) without the language-specific stopword table, so
     the verdict is language-neutral and deterministic. Returns the
     joined good-block text plus the per-doc diagnostics a curation gate
-    filters on."""
+    filters on.
+
+    Relationship to ``kernels.htmlx.strip_boilerplate``: htmlx is the
+    frozen subtree-drop kernel inside the oracled ``extract_text`` path
+    (its output is pinned byte-exact by the driver battery, so it must
+    not change); THIS is the crawl-grade extractor — charset handling,
+    per-block verdicts, title/lang/meta surfacing — for the WARC front
+    door, where diagnostics matter more than byte-stability."""
     charset = http_charset or sniff_charset(bytes(payload))
     try:
         html = bytes(payload).decode(charset, errors="replace")
@@ -704,3 +712,370 @@ def encode_warc(records: "list[dict]", gzip_members: bool = False) -> bytes:
             member = c.compress(member) + c.flush()
         out += member
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309) — the crawl politeness gate
+# --------------------------------------------------------------------------
+#
+# A crawl pipeline needs two things from robots.txt: a per-host compiled
+# rule set (robots_rules_table — parse once per host, ship the compact
+# rules, never the raw text, through the join) and a URL-level verdict
+# (robots_filter). RFC 9309 semantics: group selection by longest
+# user-agent product-token match with '*' fallback; per-path decision by
+# longest-octets matching rule; allow wins length ties; '*' wildcards
+# and '$' end anchors in patterns; unmatched paths and missing/empty
+# robots.txt are allowed.
+
+
+def parse_robots(text: str, user_agent: str = "*") -> dict:
+    """Compile a robots.txt into the rule set that applies to
+    ``user_agent``: ``{"rules": [(pattern, allow), ...], "crawl_delay":
+    float|None, "sitemaps": [...]}``. Group selection per RFC 9309
+    §2.2.1: the group(s) whose User-agent token is the longest
+    case-insensitive match for our product token win; ``*`` groups are
+    the fallback. Unknown directives are ignored; a blank line does NOT
+    end a group (only a new User-agent line after rules does)."""
+    ua = user_agent.lower()
+    groups: "list[tuple[list[str], list[tuple[str, bool]], float | None]]" = []
+    sitemaps: "list[str]" = []
+    cur_agents: "list[str]" = []
+    cur_rules: "list[tuple[str, bool]]" = []
+    cur_delay: "float | None" = None
+    agents_open = False  # collecting consecutive User-agent lines
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not agents_open:
+                flush()
+                agents_open = True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            agents_open = False
+            if val:
+                cur_rules.append((val, key == "allow"))
+            # empty Disallow: allows everything — no rule needed
+        elif key == "crawl-delay":
+            agents_open = False
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass
+        elif key == "sitemap":
+            sitemaps.append(val)
+    flush()
+
+    best_len = -1
+    rules: "list[tuple[str, bool]]" = []
+    delay = None
+    for agents, grules, gdelay in groups:
+        for a in agents:
+            if a == "*":
+                match_len = 0
+            elif a in ua or ua in a:
+                match_len = len(a)
+            else:
+                continue
+            if match_len > best_len:
+                best_len, rules, delay = match_len, list(grules), gdelay
+            elif match_len == best_len and match_len >= 0:
+                rules = rules + list(grules)  # RFC: merge equal groups
+                delay = delay if delay is not None else gdelay
+    return {"rules": rules, "crawl_delay": delay, "sitemaps": sitemaps}
+
+
+def _robots_pattern_re(pattern: str) -> "re.Pattern":
+    """A robots path pattern → anchored regex: ``*`` matches any run,
+    ``$`` at the end anchors, everything else is literal."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def robots_allowed(rules: "list[tuple[str, bool]]", path: str) -> bool:
+    """RFC 9309 §2.2.2 decision: among matching rules the longest
+    pattern (octets) wins; on a length tie allow wins; no match →
+    allowed."""
+    best_len = -1
+    verdict = True
+    for pattern, allow in rules:
+        if _robots_pattern_re(pattern).match(path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow):
+                best_len, verdict = plen, allow
+    return verdict
+
+
+ROBOTS_RULES_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("patterns", ArrayType(StringType())),
+        StructField("allows", ArrayType(BooleanType())),
+        StructField("crawl_delay", DoubleType()),
+        StructField("n_sitemaps", IntegerType()),
+    ]
+)
+
+
+def robots_rules_table(
+    robots_df: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots.txt text) → the compact per-host compiled rule set
+    for ``user_agent``. Parse once per host HERE so the politeness join
+    ships small pattern arrays, never the raw robots text."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ROBOTS_RULES_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                g = parse_robots(text or "", user_agent)
+                rows.append(
+                    (
+                        host,
+                        [p for p, _ in g["rules"]],
+                        [a for _, a in g["rules"]],
+                        g["crawl_delay"],
+                        len(g["sitemaps"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return robots_df.mapInPandas(run, ROBOTS_RULES_SCHEMA)
+
+
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+
+
+def robots_filter(
+    urls_df: DataFrame, rules_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Politeness verdict per URL: left-join the compiled per-host rule
+    sets (hosts without robots.txt → allowed, per RFC 9309 §2.3.1.2),
+    then one Arrow stage evaluates the longest-match decision. The join
+    key is the host — at crawl scale the rules table is tiny next to
+    the URL table, so AQE broadcasts it; a hot host skews only the
+    probe side, which AQE skew-split handles. Output: input columns +
+    ``host`` + ``allowed`` + ``crawl_delay``."""
+    with_host = urls_df.withColumn(
+        "host",
+        F.lower(F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1)),
+    )
+    joined = with_host.join(
+        rules_df.withColumnRenamed("host", "_rhost"),
+        F.col("host") == F.col("_rhost"),
+        "left",
+    ).drop("_rhost", "n_sitemaps")
+
+    out_schema = StructType(
+        [f for f in joined.schema.fields if f.name not in ("patterns", "allows", "crawl_delay")]
+        + [StructField("allowed", BooleanType()), StructField("crawl_delay", DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: "dict[tuple, list]" = {}
+        for pdf in batches:
+            verdicts = []
+            for url, pats, allows in zip(
+                pdf[url_col], pdf["patterns"], pdf["allows"]
+            ):
+                if pats is None or len(pats) == 0:
+                    verdicts.append(True)
+                    continue
+                key = (tuple(pats), tuple(allows))
+                rules = cache.get(key)
+                if rules is None:
+                    rules = cache[key] = list(zip(pats, allows))
+                m = re.match(_URL_HOST_RE, url)
+                path = url[m.end() :] if m else url
+                verdicts.append(robots_allowed(rules, path or "/"))
+            out = pdf.drop(columns=["patterns", "allows", "crawl_delay"])
+            out["allowed"] = verdicts
+            out["crawl_delay"] = pdf["crawl_delay"]
+            yield out
+
+    return joined.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# CDX-style record index (SURT keys + archive byte spans)
+# --------------------------------------------------------------------------
+#
+# Common Crawl is random-accessible because an external index maps every
+# capture to (archive file, compressed byte offset, length): a reader
+# range-GETs one gzip member and inflates one record. warc_cdx_table
+# builds exactly that index — the asset that lets the 100 TB corpus be
+# SAMPLED (1-in-N captures) or point-looked-up without scanning archives.
+
+
+def surt_key(url: str) -> str:
+    """pywb-style SURT canonicalization: lowercase, host reversed with
+    commas (``com,example``), default port and leading ``www.`` dropped,
+    query parameters sorted — ``com,example)/path?a=1&b=2``. Groups every
+    capture of a URL across crawls under one sortable key."""
+    u = url.strip().lower()
+    m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)(.*)$", u)
+    if not m:
+        return u
+    netloc, rest = m.group(1), m.group(2)
+    host = netloc.rsplit("@", 1)[-1]  # drop userinfo
+    port = ""
+    if ":" in host:
+        host, port = host.rsplit(":", 1)
+        if port in ("80", "443", ""):
+            port = ""
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    if port:
+        key += ":" + port
+    path, q = (rest.split("?", 1) + [""])[:2] if "?" in rest else (rest, "")
+    path = path or "/"
+    if q:
+        q = "&".join(sorted(q.split("&")))
+        return f"{key}){path}?{q}"
+    return f"{key}){path}"
+
+
+def iter_warc_member_spans(payload: bytes) -> "Iterator[tuple[dict, int, int]]":
+    """(record, offset, length) per record, where offset/length address
+    the bytes a range reader fetches: the record's own gzip member for
+    ``.warc.gz`` (requires the Common Crawl one-record-per-member
+    layout — raises if a member holds more or less than one record),
+    the record's literal byte span for plain WARC."""
+    if payload[:2] == b"\x1f\x8b":
+        pos = 0
+        total = len(payload)
+        while pos < total:
+            d = zlib.decompressobj(31)
+            data = d.decompress(payload[pos:])
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC archive")
+            end = total - len(d.unused_data)
+            got = _parse_one_record(data, 0)
+            if got is None:
+                raise ValueError(
+                    "gzip member without a complete WARC record "
+                    "(CDX indexing requires the one-record-per-member layout)"
+                )
+            rec, at = got
+            if data[at:].strip(b"\r\n"):
+                raise ValueError("gzip member holds more than one WARC record")
+            yield rec, pos, end - pos
+            pos = end
+    else:
+        at = 0
+        while True:
+            start = at
+            # skip inter-record CRLFs so the span starts at 'WARC/'
+            while payload[start : start + 2] == b"\r\n":
+                start += 2
+            got = _parse_one_record(payload, at)
+            if got is None:
+                if payload[at:].strip(b"\r\n"):
+                    raise ValueError("truncated final WARC record")
+                return
+            rec, at = got
+            yield rec, start, at - start
+
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("surt", StringType()),
+        StructField("ts", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("mime", StringType()),
+        StructField("digest", StringType()),
+        StructField("archive", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def warc_cdx_table(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    types: "tuple[str, ...]" = ("response",),
+) -> DataFrame:
+    """The capture index: one row per WARC record of the given types
+    with SURT key, 14-digit timestamp, HTTP status/mime, a
+    ``sha1:BASE32`` digest of the decoded entity payload (the CDX
+    convention), and the (archive, offset, length) byte span a range
+    reader needs. One mapInPandas stage, no shuffle; at scale, write
+    ``repartitionByRange("surt").sortWithinPartitions("surt", "ts")``
+    for the sharded sorted layout lookups binary-search."""
+    import base64
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CDX_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for archive, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    for rec, off, ln in iter_warc_member_spans(bytes(payload)):
+                        h = rec["headers"]
+                        wtype = h.get("warc-type")
+                        if wtype not in types:
+                            continue
+                        uri = h.get("warc-target-uri") or ""
+                        date = h.get("warc-date") or ""
+                        ts = re.sub(r"[^0-9]", "", date)[:14]
+                        try:
+                            status, mime, body, _ = _http_fields(rec)
+                        except (ValueError, zlib.error) as exc:
+                            rows.append(
+                                (surt_key(uri), ts, uri, wtype, None, None,
+                                 None, archive, off, ln, str(exc))
+                            )
+                            continue
+                        digest = "sha1:" + base64.b32encode(
+                            hashlib.sha1(body).digest()
+                        ).decode("ascii")
+                        rows.append(
+                            (
+                                surt_key(uri), ts, uri, wtype, status,
+                                (mime or "").split(";")[0].strip() or None,
+                                digest, archive, off, ln, None,
+                            )
+                        )
+                except (ValueError, zlib.error) as exc:
+                    rows.append(
+                        (None, None, None, None, None, None, None, archive,
+                         None, None, str(exc))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, CDX_SCHEMA)
+
+
+def fetch_warc_record(archive: bytes, offset: int, length: int) -> dict:
+    """Resolve one CDX row against archive bytes — the range-GET
+    consumer: slice [offset, offset+length), inflate if it is a gzip
+    member, parse exactly one record. Proves the index round-trips."""
+    span = archive[offset : offset + length]
+    recs = parse_warc(span)
+    if len(recs) != 1:
+        raise ValueError(f"CDX span holds {len(recs)} records, expected 1")
+    return recs[0]

@@ -245,3 +245,154 @@ def test_warc_extract_spark_e2e(spark):
     assert by_key[("s3://crawl/arc1.warc.gz", 2)]["http_status"] == 404
     bad = by_key[("s3://crawl/bad.warc", -1)]
     assert bad["error"] and bad["warc_type"] is None
+
+
+ROBOTS = """\
+# fixture robots.txt
+User-agent: *
+Disallow: /private/
+Allow: /private/public*
+Crawl-delay: 2
+
+User-agent: examplebot
+User-agent: otherbot
+Disallow: /fish*.php$
+Allow: /fish
+Disallow: /tmp
+
+Sitemap: https://example.com/sitemap.xml
+Sitemap: https://example.com/sitemap2.xml
+"""
+
+
+def test_parse_robots_rfc9309_semantics():
+    """RFC 9309: group selection by longest UA match with '*' fallback;
+    longest-octets rule wins per path; allow wins length ties; '$'
+    anchors and '*' wildcards; missing/empty robots allows; blank lines
+    do not close a group; sitemaps are global."""
+    star = webtext.parse_robots(ROBOTS, "somecrawler/1.0")
+    assert star["rules"] == [("/private/", False), ("/private/public*", True)]
+    assert star["crawl_delay"] == 2.0
+    assert star["sitemaps"] == [
+        "https://example.com/sitemap.xml", "https://example.com/sitemap2.xml"
+    ]
+    bot = webtext.parse_robots(ROBOTS, "ExampleBot/2.1")
+    assert bot["rules"] == [
+        ("/fish*.php$", False), ("/fish", True), ("/tmp", False)
+    ]
+    assert bot["crawl_delay"] is None  # the specific group sets none
+    # otherbot shares the same group (two User-agent lines)
+    assert webtext.parse_robots(ROBOTS, "otherbot")["rules"] == bot["rules"]
+
+    assert webtext.robots_allowed(star["rules"], "/public/x")
+    assert not webtext.robots_allowed(star["rules"], "/private/secret")
+    assert webtext.robots_allowed(star["rules"], "/private/public-data")
+    assert webtext.robots_allowed(bot["rules"], "/fish/tuna.html")
+    assert not webtext.robots_allowed(bot["rules"], "/fishery/x.php")  # $ anchor
+    assert not webtext.robots_allowed(bot["rules"], "/fish-page.php")
+    assert webtext.robots_allowed(bot["rules"], "/fish.phpx")  # not at end
+    assert not webtext.robots_allowed(bot["rules"], "/tmp/x")
+    assert webtext.robots_allowed(bot["rules"], "/elsewhere")
+    # allow wins an exact length tie (RFC 9309 §2.2.2)
+    tie = [("/page", False), ("/page", True)]
+    assert webtext.robots_allowed(tie, "/page")
+    assert webtext.parse_robots("", "any")["rules"] == []
+    # empty Disallow: == allow everything (no rule emitted)
+    assert webtext.parse_robots("User-agent: *\nDisallow:\n")["rules"] == []
+
+
+def test_robots_filter_spark(spark):
+    """The politeness gate end-to-end: compile per-host rule sets once
+    (robots_rules_table), left-join on host, verdict per URL; hosts
+    without robots.txt are allowed; crawl_delay rides along."""
+    robots = spark.createDataFrame(
+        [("example.com", ROBOTS), ("closed.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    rules = webtext.robots_rules_table(robots, user_agent="somecrawler")
+    got = {r["host"]: r for r in rules.collect()}
+    assert got["example.com"]["patterns"] == ["/private/", "/private/public*"]
+    assert got["example.com"]["allows"] == [False, True]
+    assert got["example.com"]["n_sitemaps"] == 2
+    urls = spark.createDataFrame(
+        [(1, "https://example.com/ok.html"),
+         (2, "https://EXAMPLE.com/private/secret"),
+         (3, "https://example.com/private/public-x"),
+         (4, "https://closed.example/anything"),
+         (5, "https://norobots.example/x")],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in webtext.robots_filter(urls, rules).collect()}
+    assert [out[i]["allowed"] for i in (1, 2, 3, 4, 5)] == [
+        True, False, True, False, True
+    ]
+    assert out[1]["crawl_delay"] == 2.0
+    assert out[5]["crawl_delay"] is None
+    assert out[2]["host"] == "example.com"  # case-folded join key
+
+
+def test_surt_and_cdx_index(spark):
+    """The capture index: SURT canonicalization groups URL variants;
+    warc_cdx_table maps every response record to its (archive, offset,
+    length) byte span + sha1:BASE32 digest of the DECODED entity; and
+    fetch_warc_record resolves a CDX row back to the exact record for
+    both archive layouts — the range-GET round trip that makes a 100 TB
+    corpus point-addressable."""
+    import base64
+    import hashlib
+
+    assert webtext.surt_key("https://WWW.Example.COM:443/A/b?b=2&a=1") == (
+        "com,example)/a/b?a=1&b=2"
+    )
+    assert webtext.surt_key("http://sub.example.com:8080/") == (
+        "com,example,sub:8080)/"
+    )
+    assert webtext.surt_key("http://user@example.com") == "com,example)/"
+
+    records = [
+        {"type": "warcinfo", "block": b"software: fixture\r\n",
+         "content_type": "application/warc-fields"},
+        {"type": "response", "uri": "https://www.example.com/page?b=2&a=1",
+         "date": "2020-03-04T05:06:07Z",
+         "block": webtext.encode_http_response(PAGE, gzip_body=True)},
+        {"type": "response", "uri": "https://example.com/other",
+         "block": webtext.encode_http_response(b"hello world",
+                                               content_type="text/plain")},
+    ]
+    for gz in (True, False):
+        arc = webtext.encode_warc(records, gzip_members=gz)
+        name = "s3://crawl/a.warc.gz" if gz else "s3://crawl/a.warc"
+        df = spark.createDataFrame(
+            [(name, bytearray(arc))], "url string, payload binary"
+        )
+        rows = sorted(
+            webtext.warc_cdx_table(df).collect(), key=lambda r: r["offset"]
+        )
+        assert len(rows) == 2  # warcinfo filtered out
+        first = rows[0]
+        assert first["surt"] == "com,example)/page?a=1&b=2"
+        assert first["ts"] == "20200304050607"
+        assert first["http_status"] == 200 and first["mime"] == "text/html"
+        want = "sha1:" + base64.b32encode(
+            hashlib.sha1(PAGE).digest()
+        ).decode()
+        assert first["digest"] == want  # digest of the DECODED entity
+        # the round trip: slice the span out of the archive, re-parse
+        rec = webtext.fetch_warc_record(
+            arc, first["offset"], first["length"]
+        )
+        assert rec["headers"]["warc-target-uri"] == (
+            "https://www.example.com/page?b=2&a=1"
+        )
+        status, _, body = webtext.parse_http_response(rec["block"])
+        assert status == 200 and body == PAGE
+        # spans tile the archive with no overlap
+        spans = [(r["offset"], r["length"]) for r in rows]
+        assert all(ln > 0 for _, ln in spans)
+        assert spans[0][0] + spans[0][1] <= spans[1][0] + 1
+
+    with pytest.raises(ValueError, match="more than one WARC record"):
+        both = webtext.encode_warc(records[:2])  # two records...
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        one_member = c.compress(both) + c.flush()  # ...in ONE member
+        list(webtext.iter_warc_member_spans(one_member))
