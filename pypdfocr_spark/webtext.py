@@ -1079,3 +1079,164 @@ def fetch_warc_record(archive: bytes, offset: int, length: int) -> dict:
     if len(recs) != 1:
         raise ValueError(f"CDX span holds {len(recs)} records, expected 1")
     return recs[0]
+
+
+# --------------------------------------------------------------------------
+# Sitemaps (crawl frontier seeding) and WET conversion (derived text)
+# --------------------------------------------------------------------------
+
+
+def parse_sitemap(payload: bytes) -> dict:
+    """A sitemaps.org document → ``{"kind": "urlset"|"sitemapindex",
+    "entries": [(loc, lastmod, changefreq, priority), ...]}``. Handles
+    gzip-compressed sitemaps and is namespace-tolerant (tags matched by
+    local name — real-world sitemaps use every prefix imaginable).
+    For a sitemapindex the entries are the child sitemap locs."""
+    import xml.etree.ElementTree as ET
+
+    buf = bytes(payload)
+    if buf[:2] == b"\x1f\x8b":
+        buf = zlib.decompress(buf, 47)
+    root = ET.fromstring(buf)
+    local = root.tag.rsplit("}", 1)[-1]
+    if local not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document: root <{local}>")
+    entries = []
+    for child in root:
+        if child.tag.rsplit("}", 1)[-1] not in ("url", "sitemap"):
+            continue
+        fields = {"loc": None, "lastmod": None, "changefreq": None,
+                  "priority": None}
+        for el in child:
+            name = el.tag.rsplit("}", 1)[-1]
+            if name in fields and el.text is not None:
+                fields[name] = el.text.strip()
+        if fields["loc"]:
+            entries.append(
+                (
+                    fields["loc"], fields["lastmod"], fields["changefreq"],
+                    float(fields["priority"]) if fields["priority"] else None,
+                )
+            )
+    return {"kind": local, "entries": entries}
+
+
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("kind", StringType()),
+        StructField("loc", StringType()),
+        StructField("lastmod", StringType()),
+        StructField("changefreq", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def sitemap_table(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """Frontier seeding: fetched sitemap documents (binary, possibly
+    gzipped) → one row per URL entry (or per child sitemap for an
+    index — feed those locs back through a second fetch+pass). Corrupt
+    documents → one error row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SITEMAP_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for src, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    x = parse_sitemap(bytes(payload))
+                    for loc, lastmod, freq, prio in x["entries"]:
+                        rows.append(
+                            (src, x["kind"], loc, lastmod, freq, prio, None)
+                        )
+                except Exception as exc:
+                    rows.append((src, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, SITEMAP_SCHEMA)
+
+
+WET_SCHEMA = StructType(
+    [
+        StructField("archive", StringType()),
+        StructField("wet", BinaryType()),
+        StructField("n_records", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def warc_to_wet(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    gzip_members: bool = True,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """The WET derivation: for each WARC archive, a companion archive of
+    ``conversion`` records — one per extracted HTML page, payload =
+    UTF-8 main text, ``WARC-Refers-To`` linking back to the source
+    response record — the Common Crawl text-distribution format, so the
+    extracted corpus ships as WARC and round-trips through this module's
+    own readers. One archive in → one archive out, same task, no
+    shuffle; write with ``partitionBy`` on a crawl/segment column at
+    scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WET_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    recs = []
+                    for rec in iter_warc_records(bytes(payload)):
+                        h = rec["headers"]
+                        if h.get("warc-type") != "response":
+                            continue
+                        try:
+                            status, hct, body, _ = _http_fields(rec)
+                        except (ValueError, zlib.error):
+                            continue
+                        mime = (hct or "").split(";")[0].strip().lower()
+                        if status != 200 or mime not in (
+                            "text/html", "application/xhtml+xml"
+                        ):
+                            continue
+                        m = re.search(
+                            r"(?i)charset\s*=\s*([a-z0-9_.:-]+)", hct or ""
+                        )
+                        x = extract_html(
+                            body,
+                            min_words=min_words,
+                            max_link_density=max_link_density,
+                            http_charset=m.group(1).lower() if m else None,
+                        )
+                        text = x["text"].encode("utf-8")
+                        recs.append(
+                            {
+                                "type": "conversion",
+                                "uri": h.get("warc-target-uri"),
+                                "date": h.get("warc-date",
+                                              "2020-01-02T03:04:05Z"),
+                                "content_type": "text/plain",
+                                "block": text,
+                                "headers": {
+                                    "WARC-Refers-To": h.get(
+                                        "warc-record-id", ""
+                                    ),
+                                },
+                            }
+                        )
+                    wet = encode_warc(recs, gzip_members=gzip_members)
+                    rows.append((url, wet, len(recs), len(wet), None))
+                except (ValueError, zlib.error) as exc:
+                    rows.append((url, None, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, WET_SCHEMA)

@@ -396,3 +396,89 @@ def test_surt_and_cdx_index(spark):
         c = zlib.compressobj(9, zlib.DEFLATED, 31)
         one_member = c.compress(both) + c.flush()  # ...in ONE member
         list(webtext.iter_warc_member_spans(one_member))
+
+
+def test_sitemap_parsing_and_table(spark):
+    """Frontier seeding: urlset and sitemapindex documents (namespace
+    prefixes, gzip compression) parse to entry rows; corrupt XML is an
+    error row, not a failure."""
+    urlset = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://example.com/</loc><lastmod>2020-01-01</lastmod>
+    <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://example.com/about</loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+    idx = b"""<sm:sitemapindex xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sm:sitemap><sm:loc>https://example.com/s1.xml</sm:loc></sm:sitemap>
+  <sm:sitemap><sm:loc>https://example.com/s2.xml.gz</sm:loc></sm:sitemap>
+</sm:sitemapindex>"""
+    x = webtext.parse_sitemap(urlset)
+    assert x["kind"] == "urlset"
+    assert x["entries"] == [
+        ("https://example.com/", "2020-01-01", "daily", 0.8),
+        ("https://example.com/about", None, None, None),
+    ]  # loc-less entry dropped
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    gz = c.compress(urlset) + c.flush()
+    assert webtext.parse_sitemap(gz) == x  # gzip unwraps
+    y = webtext.parse_sitemap(idx)
+    assert y["kind"] == "sitemapindex" and len(y["entries"]) == 2
+    with pytest.raises(ValueError, match="not a sitemap"):
+        webtext.parse_sitemap(b"<html></html>")
+
+    df = spark.createDataFrame(
+        [("https://example.com/sitemap.xml", bytearray(gz)),
+         ("https://bad.example/sitemap.xml", bytearray(b"<open tag"))],
+        "url string, payload binary",
+    )
+    rows = webtext.sitemap_table(df).collect()
+    good = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert good[0]["priority"] == 0.8 and good[0]["kind"] == "urlset"
+
+    # robots.txt sitemap discovery feeds this: the seeding loop
+    assert webtext.parse_robots(ROBOTS)["sitemaps"][0].endswith("sitemap.xml")
+
+
+def test_warc_to_wet_roundtrip(spark):
+    """The WET derivation round-trips through this module's own
+    readers: conversion records carry the extracted text as UTF-8
+    text/plain payloads with WARC-Refers-To back-links, and reading the
+    WET archive with warc_table yields exactly warc_extract's texts."""
+    records = [
+        {"type": "response", "uri": "http://a.example/page",
+         "block": webtext.encode_http_response(PAGE)},
+        {"type": "response", "uri": "http://a.example/missing",
+         "block": webtext.encode_http_response(b"gone", status=404)},
+        {"type": "response", "uri": "http://a.example/page2",
+         "block": webtext.encode_http_response(PAGE.replace(
+             b"first real paragraph", b"other real paragraph"))},
+    ]
+    arc = webtext.encode_warc(records, gzip_members=True)
+    df = spark.createDataFrame(
+        [("s3://crawl/a.warc.gz", bytearray(arc))],
+        "url string, payload binary",
+    )
+    wet_rows = webtext.warc_to_wet(df).collect()
+    assert len(wet_rows) == 1 and wet_rows[0]["n_records"] == 2  # 404 gated
+    wet = bytes(wet_rows[0]["wet"])
+
+    # read the WET back with the module's own record reader
+    wet_df = spark.createDataFrame(
+        [("s3://crawl/a.warc.wet.gz", bytearray(wet))],
+        "url string, payload binary",
+    )
+    got = {
+        r["target_uri"]: bytes(r["payload"]).decode("utf-8")
+        for r in webtext.warc_table(wet_df).collect()
+    }
+    want = {
+        r["url"]: r["text"] for r in webtext.warc_extract(df).collect()
+    }
+    assert got == want and len(got) == 2
+    recs = webtext.parse_warc(wet)
+    assert all(r["headers"]["warc-type"] == "conversion" for r in recs)
+    assert all(r["headers"]["content-type"] == "text/plain" for r in recs)
+    assert recs[0]["headers"]["warc-refers-to"].startswith("<urn:uuid:")
