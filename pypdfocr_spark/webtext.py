@@ -567,6 +567,11 @@ def html_extract_table(
     return df.mapInPandas(run, HTML_DOC_SCHEMA)
 
 
+WARC_DOC_SCHEMA = StructType(
+    [StructField("archive", StringType())] + list(HTML_DOC_SCHEMA.fields)
+)
+
+
 def warc_extract(
     df: DataFrame,
     url_col: str = "url",
@@ -583,7 +588,7 @@ def warc_extract(
     deterministic doc_id, textops/dedup/recipe take it from there."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in HTML_DOC_SCHEMA]
+        cols = [f.name for f in WARC_DOC_SCHEMA]
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
@@ -597,7 +602,7 @@ def warc_extract(
                             status, hct, body, hh = _http_fields(rec)
                         except (ValueError, zlib.error) as exc:
                             rows.append(
-                                (h.get("warc-target-uri"),
+                                (url, h.get("warc-target-uri"),
                                  h.get("warc-date"), None, None, None, None,
                                  None, None, None, None, None, False,
                                  str(exc))
@@ -619,6 +624,7 @@ def warc_extract(
                         )
                         rows.append(
                             (
+                                url,
                                 h.get("warc-target-uri"), h.get("warc-date"),
                                 x["title"], x["lang"], x["meta_description"],
                                 x["text"], x["n_blocks"], x["n_good_blocks"],
@@ -628,12 +634,12 @@ def warc_extract(
                         )
                 except (ValueError, zlib.error) as exc:
                     rows.append(
-                        (url, None, None, None, None, None, None, None,
+                        (url, url, None, None, None, None, None, None, None,
                          None, None, None, False, str(exc))
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, HTML_DOC_SCHEMA)
+    return df.mapInPandas(run, WARC_DOC_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1240,3 +1246,82 @@ def warc_to_wet(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, WET_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Crawl lineage + archive-granularity resume (north rule: per-partition
+# lineage rows, resumable from the last committed snapshot)
+# --------------------------------------------------------------------------
+
+
+def crawl_lineage(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-ARCHIVE metrics over :func:`warc_extract` output — the
+    natural lineage unit for the crawl path, because one task processes
+    one archive end-to-end: (run_id, archive, doc_count, ok_count,
+    char_count, failures). JVM-side map-side-combinable aggregation,
+    one shuffle on the archive key."""
+    return (
+        extracted.groupBy("archive")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.col("ok").cast("long")).alias("ok_count"),
+            F.coalesce(
+                F.sum(F.when(F.col("ok"), F.col("n_chars"))), F.lit(0)
+            ).alias("char_count"),
+            F.filter(
+                F.collect_list(F.when(~F.col("ok"), F.col("url"))),
+                lambda x: x.isNotNull(),
+            ).alias("failures"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"), "archive", "doc_count",
+            "ok_count", "char_count", "failures",
+        )
+    )
+
+
+def crawl_commit(
+    extracted: DataFrame, out_dir: str, run_id: "str | None" = None
+) -> dict:
+    """Append crawl extraction output + per-archive lineage in one
+    computation (persist feeds both writes — the same pattern as
+    lineage.commit; Iceberg ``writeTo(...).append()`` when the runtime
+    is present, parquet otherwise). An archive therefore appears in the
+    lineage table only when ALL its documents are in the docs table —
+    the invariant archive-granularity resume relies on."""
+    from . import catalog, lineage
+
+    run_id = run_id or lineage.new_run_id()
+    extracted = extracted.persist()
+    try:
+        n_docs = extracted.count()  # materialize once, both writes reuse
+        catalog.append(extracted, f"{out_dir}/docs")
+        catalog.append(
+            crawl_lineage(extracted, run_id), f"{out_dir}/crawl_lineage"
+        )
+    finally:
+        extracted.unpersist()
+    return {"run_id": run_id, "n_docs": n_docs}
+
+
+def crawl_resume_filter(
+    archives_df: DataFrame, out_dir: str, url_col: str = "url"
+) -> DataFrame:
+    """Drop whole archives already committed: input LEFT ANTI JOIN the
+    lineage table on the archive name. Resume granularity is the
+    archive — exactly the task granularity, so a re-run after an
+    interruption re-reads only unprocessed archives and never
+    double-appends documents (lineage rows are written atomically with
+    their docs by crawl_commit). The committed side is one slim string
+    column; AQE broadcasts it until the crawl history grows past the
+    threshold, then it's a shuffled anti-join."""
+    spark = archives_df.sparkSession
+    try:
+        done = (
+            spark.read.parquet(f"{out_dir}/crawl_lineage")
+            .select(F.col("archive").alias(url_col))
+            .distinct()
+        )
+    except Exception:
+        return archives_df
+    return archives_df.join(done, on=url_col, how="left_anti")

@@ -482,3 +482,61 @@ def test_warc_to_wet_roundtrip(spark):
     assert all(r["headers"]["warc-type"] == "conversion" for r in recs)
     assert all(r["headers"]["content-type"] == "text/plain" for r in recs)
     assert recs[0]["headers"]["warc-refers-to"].startswith("<urn:uuid:")
+
+
+def test_crawl_lineage_commit_resume(spark, tmp_path):
+    """The resumable crawl job: commit appends docs + per-archive
+    lineage atomically (one persisted computation feeds both), lineage
+    counts and failure lists are exact, and a resume run sees ONLY the
+    archives absent from the committed lineage — re-running after an
+    interruption never double-appends. Archive provenance rides every
+    output row (warc_extract's first column)."""
+    from pypdfocr_spark import webtext
+
+    def arc(host, n):
+        return webtext.encode_warc(
+            [{"type": "response", "uri": f"http://{host}/p{i}",
+              "block": webtext.encode_http_response(PAGE)}
+             for i in range(n)],
+            gzip_members=True,
+        )
+
+    out_dir = str(tmp_path / "crawl_out")
+    batch1 = spark.createDataFrame(
+        [("s3://c/a1.warc.gz", bytearray(arc("a.example", 2))),
+         ("s3://c/bad.warc.gz", bytearray(b"\x1f\x8bgarbage"))],
+        "url string, payload binary",
+    )
+    # no snapshot yet: resume is a no-op
+    assert webtext.crawl_resume_filter(batch1, out_dir).count() == 2
+
+    stats = webtext.crawl_commit(webtext.warc_extract(batch1), out_dir)
+    assert stats["n_docs"] == 3  # 2 pages + 1 error row
+    lin = {r["archive"]: r for r in
+           spark.read.parquet(f"{out_dir}/crawl_lineage").collect()}
+    assert lin["s3://c/a1.warc.gz"]["doc_count"] == 2
+    assert lin["s3://c/a1.warc.gz"]["ok_count"] == 2
+    assert lin["s3://c/a1.warc.gz"]["char_count"] > 0
+    assert lin["s3://c/a1.warc.gz"]["failures"] == []
+    assert lin["s3://c/bad.warc.gz"]["ok_count"] == 0
+    assert lin["s3://c/bad.warc.gz"]["failures"] == ["s3://c/bad.warc.gz"]
+    assert lin["s3://c/a1.warc.gz"]["run_id"] == stats["run_id"]
+    docs = spark.read.parquet(f"{out_dir}/docs")
+    assert set(docs.columns) == {f.name for f in webtext.WARC_DOC_SCHEMA}
+    assert docs.where("ok").count() == 2
+
+    # resume: batch = old archives + one new; only the new one survives
+    batch2 = batch1.union(
+        spark.createDataFrame(
+            [("s3://c/a2.warc.gz", bytearray(arc("b.example", 3)))],
+            "url string, payload binary",
+        )
+    )
+    todo = webtext.crawl_resume_filter(batch2, out_dir)
+    assert [r["url"] for r in todo.collect()] == ["s3://c/a2.warc.gz"]
+    webtext.crawl_commit(webtext.warc_extract(todo), out_dir)
+    docs = spark.read.parquet(f"{out_dir}/docs")
+    assert docs.where("ok").count() == 5  # 2 + 3, no double-append
+    assert docs.select("url").distinct().count() == 6  # incl. error row
+    # a third run has nothing left to do
+    assert webtext.crawl_resume_filter(batch2, out_dir).count() == 0
