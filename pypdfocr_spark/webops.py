@@ -315,3 +315,205 @@ def shard_assign_df(
         df.select(F.col(id_col), h.alias("shard_key"), shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL filtering (C4 / RefinedWeb style): domain blocklists + URL-token scores
+# ---------------------------------------------------------------------------
+
+# Second-level public suffixes where the registered domain is three labels
+# deep, not two ("example.co.uk", not "co.uk"). A deliberately small,
+# documented subset of the public-suffix list — the full list is a data
+# file a production deployment swaps in; the ALGORITHM (last-2 vs last-3
+# labels keyed on this set) is what matters here.
+PUBLIC_SLD = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ac.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "com.tr",
+)
+
+# URL badword tiers (C4 §2.2 badword filtering / RefinedWeb §G.1 URL
+# scoring, re-weighted): a HARD token bans a URL on its own; SOFT tokens
+# ban only in combination. Token lists are intentionally short and
+# documented — a deployment swaps in its curated lists; the scoring
+# machinery is the deliverable.
+URL_HARD_TOKENS = ("porn", "xxx", "escort", "hentai", "xvideo")
+URL_SOFT_TOKENS = ("casino", "poker", "viagra", "webcam", "adult", "sexy", "pills")
+URL_HARD_WEIGHT = 1.0
+URL_SOFT_WEIGHT = 0.4
+URL_BLOCK_THRESHOLD = 1.0
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (pay-level) domain of a host: the last two labels, or
+    the last three when the last two are a second-level public suffix
+    (``PUBLIC_SLD``). Pure expressions — ``aa.bb.example.co.uk`` →
+    ``example.co.uk``, ``www.example.com`` → ``example.com``."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, F.greatest(n - 1, F.lit(1)), n), ".")
+    last3 = F.array_join(F.slice(parts, F.greatest(n - 2, F.lit(1)), n), ".")
+    is_sld = F.lit(False)
+    for s in PUBLIC_SLD:
+        is_sld = is_sld | (last2 == s)
+    return F.when(is_sld & (n >= 3), last3).otherwise(last2)
+
+
+def url_token_score(url: Column) -> Column:
+    """Badword score of a URL: sum of tier weights over case-insensitive
+    substring hits (each token counted once — presence, not frequency,
+    so a spammy URL repeating one token cannot self-amplify past its
+    tier). Expression-only; runs in whole-stage codegen."""
+    u = F.lower(url)
+    score = F.lit(0.0)
+    for t in URL_HARD_TOKENS:
+        score = score + F.when(u.contains(t), F.lit(URL_HARD_WEIGHT)).otherwise(F.lit(0.0))
+    for t in URL_SOFT_TOKENS:
+        score = score + F.when(u.contains(t), F.lit(URL_SOFT_WEIGHT)).otherwise(F.lit(0.0))
+    return score
+
+
+def url_filter_df(
+    df: DataFrame,
+    blocklist: DataFrame | None = None,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    threshold: float = URL_BLOCK_THRESHOLD,
+    mode: str = "fast",
+) -> DataFrame:
+    """URL-level page filtering (the FIRST curation gate a crawl pipeline
+    runs — it needs no page bytes, only the URL column): per row emit the
+    canonical URL, host, registered domain, badword ``url_score``, the
+    blocklist verdict, and the combined ``keep`` flag.
+
+    ``blocklist`` is a one-column ``dom`` DataFrame of blocked domains
+    (registered domains or exact hosts). Two probe modes:
+
+    * ``mode="fast"`` (default): a row is blocked iff its exact host OR
+      its registered domain is listed. Two broadcast LEFT joins — the
+      probe side never shuffles, so at 100 TB this stays one map pass
+      (the blocklist side is millions of rows ≈ tens of MB: broadcast
+      territory, and ``F.broadcast`` pins it).
+    * ``mode="all"``: a row is blocked iff ANY dot-suffix of its host is
+      listed (``a.b.example.com`` matches a listed ``b.example.com``).
+      Still join-shuffle-free: the suffix walk happens inside an
+      ``exists`` over a bounded suffix array joined per-suffix via the
+      same broadcast hash — spelled as explode → broadcast left-semi →
+      re-aggregate, ONE doc_id shuffle. Use when the blocklist carries
+      deep subdomains; ``fast`` covers registered-domain lists (the
+      common case) with zero shuffles.
+    """
+    canon = canonicalize_url(F.col(url_col)).alias("canon_url")
+    base = df.select(F.col(id_col), F.col(url_col), canon)
+    base = base.select(
+        id_col,
+        url_col,
+        "canon_url",
+        host_of(F.col("canon_url")).alias("host"),
+        registered_domain(host_of(F.col("canon_url"))).alias("reg_domain"),
+        url_token_score(F.col("canon_url")).alias("url_score"),
+    )
+    if blocklist is None:
+        blocked = F.lit(False)
+        out = base
+    elif mode == "fast":
+        bl = F.broadcast(blocklist.select(F.col("dom")).distinct())
+        out = (
+            base.join(
+                bl.withColumnRenamed("dom", "host").withColumn("_bh", F.lit(True)),
+                "host",
+                "left",
+            )
+            .join(
+                bl.withColumnRenamed("dom", "reg_domain").withColumn("_bd", F.lit(True)),
+                "reg_domain",
+                "left",
+            )
+        )
+        blocked = F.coalesce(F.col("_bh"), F.lit(False)) | F.coalesce(
+            F.col("_bd"), F.lit(False)
+        )
+    elif mode == "all":
+        parts = F.split(F.col("host"), "\\.")
+        n = F.size(parts)
+        sufs = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        )
+        hits = (
+            base.select(F.col(id_col), F.explode(sufs).alias("dom"))
+            .join(F.broadcast(blocklist.select("dom").distinct()), "dom", "left_semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("_bs", F.lit(True))
+        )
+        out = base.join(hits, id_col, "left")
+        blocked = F.coalesce(F.col("_bs"), F.lit(False))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return out.select(
+        id_col,
+        url_col,
+        "canon_url",
+        "host",
+        "reg_domain",
+        "url_score",
+        blocked.alias("blocked_domain"),
+        (~blocked & (F.col("url_score") < F.lit(float(threshold)))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality rollup + per-domain caps (DCLM/RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def domain_quality_df(
+    df: DataFrame,
+    domain_col: str = "reg_domain",
+    quality_col: str = "quality",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Per-domain corpus statistics + sampling weights: doc count, mean
+    quality, and a temperature-flattened sampling weight
+    ``count^t / count`` (t<1 down-weights mega-domains so a training
+    sampler draws a flatter domain distribution — the DoReMi/DCLM
+    re-weighting shape with a closed-form proxy). One map-side-combinable
+    hash aggregation; domains are low-cardinality relative to docs, so
+    partial agg collapses the 100-TB input before the shuffle."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError("temperature must be in (0, 1]")
+    agg = df.groupBy(F.col(domain_col).alias("reg_domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(quality_col).alias("mean_quality"),
+    )
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature))) / F.col(
+        "n_docs"
+    ).cast("double")
+    return agg.select("reg_domain", "n_docs", "mean_quality", w.alias("sample_weight"))
+
+
+def domain_cap_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "reg_domain",
+    cap: int = 1000,
+) -> DataFrame:
+    """Deterministic per-domain document cap (the C4/RefinedWeb "at most
+    K pages per domain" rule): within each domain keep the ``cap`` rows
+    with the smallest ``md5(id)`` — a uniform random-but-reproducible
+    choice, same keep-set on any cluster layout or retry. One shuffle
+    (the per-domain rank window); a hot mega-domain pins one window
+    partition, which is exactly the row set the cap is about to discard,
+    and AQE skew-split handles the sort spill."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(domain_col).orderBy("cap_key", id_col)
+    return (
+        df.select(F.col(id_col), F.col(domain_col), h.alias("cap_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .select(id_col, domain_col, "cap_key")
+    )

@@ -113,3 +113,121 @@ def test_dup_ngram_frac(spark):
     assert rows[1]["dup_gram_frac"] == 1.0  # every occurrence is a dup; bounded [0,1]
     assert rows[2]["dup_gram_chars"] == 0 and rows[2]["dup_gram_frac"] == 0.0
     assert rows[3]["n_grams"] == 0 and rows[3]["dup_gram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# URL filtering + domain ops
+# ---------------------------------------------------------------------------
+
+
+def test_registered_domain_rules(spark):
+    df = spark.createDataFrame(
+        [(0, "www.example.com"), (1, "a.b.example.co.uk"), (2, "example.org"),
+         (3, "localhost"), (4, "news.site.com.au"), (5, "deep.sub.tld.co.jp")],
+        "doc_id INT, host STRING",
+    )
+    rows = df.select("doc_id", webops.registered_domain(F.col("host")).alias("d")) \
+             .orderBy("doc_id").collect()
+    assert [r["d"] for r in rows] == [
+        "example.com", "example.co.uk", "example.org",
+        "localhost", "site.com.au", "tld.co.jp",
+    ]
+
+
+def test_url_token_score_tiers(spark):
+    df = spark.createDataFrame(
+        [(0, "https://example.com/recipes"),
+         (1, "https://example.com/PORN/x"),             # hard, case-insensitive
+         (2, "https://example.com/casino"),             # one soft: below threshold
+         (3, "https://example.com/casino-poker-pills"), # three soft: over
+         (4, "https://example.com/casino/casino")],     # repeated soft counts ONCE
+        "doc_id INT, url STRING",
+    )
+    out = {r["doc_id"]: r for r in webops.url_filter_df(df).collect()}
+    assert out[0]["url_score"] == 0.0 and out[0]["keep"]
+    assert out[1]["url_score"] == 1.0 and not out[1]["keep"]
+    assert abs(out[2]["url_score"] - 0.4) < 1e-12 and out[2]["keep"]
+    assert abs(out[3]["url_score"] - 1.2) < 1e-12 and not out[3]["keep"]
+    assert abs(out[4]["url_score"] - 0.4) < 1e-12 and out[4]["keep"]
+
+
+def _bl(spark, doms):
+    return spark.createDataFrame([(d,) for d in doms], "dom STRING")
+
+
+def test_url_blocklist_fast_matches_host_and_regdomain(spark):
+    df = spark.createDataFrame(
+        [(0, "https://www.spam.com/a"),        # reg domain listed
+         (1, "https://bad.example.org/b"),     # exact host listed
+         (2, "https://good.example.org/c"),    # sibling host NOT listed
+         (3, "https://shop.spam.co.uk/d"),     # reg domain (SLD form) listed
+         (4, "https://clean.net/e")],
+        "doc_id INT, url STRING",
+    )
+    bl = _bl(spark, ["spam.com", "bad.example.org", "spam.co.uk"])
+    out = {r["doc_id"]: r for r in webops.url_filter_df(df, blocklist=bl).collect()}
+    assert [out[i]["blocked_domain"] for i in range(5)] == [True, True, False, True, False]
+    assert [out[i]["keep"] for i in range(5)] == [False, False, True, False, True]
+
+
+def test_url_blocklist_all_mode_suffix_walk(spark):
+    # "all" catches a listed DEEP subdomain from an even deeper host;
+    # "fast" by design does not (the listed dom is neither the host nor
+    # the registered domain).
+    df = spark.createDataFrame(
+        [(0, "https://x.tracker.ads.example.com/p"), (1, "https://example.com/q")],
+        "doc_id INT, url STRING",
+    )
+    bl = _bl(spark, ["ads.example.com"])
+    fast = {r["doc_id"]: r["blocked_domain"]
+            for r in webops.url_filter_df(df, blocklist=bl, mode="fast").collect()}
+    full = {r["doc_id"]: r["blocked_domain"]
+            for r in webops.url_filter_df(df, blocklist=bl, mode="all").collect()}
+    assert fast == {0: False, 1: False}
+    assert full == {0: True, 1: False}
+
+
+def test_url_filter_fast_plan_zero_exchange_and_broadcast(spark):
+    df = spark.createDataFrame([(0, "https://a.com/x")], "doc_id INT, url STRING")
+    bl = _bl(spark, ["a.com"])
+    plan = webops.url_filter_df(df, blocklist=bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the PROBE side never shuffles: the only hash exchanges allowed are
+    # the blocklist-side distinct() (keyed on dom/host/reg_domain), never
+    # a repartition of the page rows (keyed on doc_id)
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_domain_quality_weights(spark):
+    df = spark.createDataFrame(
+        [("a.com", 0.9), ("a.com", 0.7), ("a.com", 0.8), ("a.com", 0.6),
+         ("b.org", 1.0)],
+        "reg_domain STRING, quality DOUBLE",
+    )
+    rows = {r["reg_domain"]: r for r in webops.domain_quality_df(df).collect()}
+    assert rows["a.com"]["n_docs"] == 4
+    assert abs(rows["a.com"]["mean_quality"] - 0.75) < 1e-12
+    # t=0.5: weight = n^0.5 / n = 1/sqrt(n)
+    assert abs(rows["a.com"]["sample_weight"] - 0.5) < 1e-12
+    assert abs(rows["b.org"]["sample_weight"] - 1.0) < 1e-12
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        webops.domain_quality_df(df, temperature=0.0)
+
+
+def test_domain_cap_deterministic_across_layouts(spark):
+    import hashlib
+    rows = [(i, "big.com" if i % 4 else "small.org") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id INT, reg_domain STRING")
+    got = webops.domain_cap_df(df, cap=10)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    ids_re = sorted(r["doc_id"] for r in
+                    webops.domain_cap_df(df.repartition(13), cap=10).collect())
+    assert ids == ids_re
+    # local replica: per domain, keep the 10 smallest md5(id) keys
+    bydom = {}
+    for i, d in rows:
+        bydom.setdefault(d, []).append((hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = sorted(i for d, lst in bydom.items() for _, i in sorted(lst)[:10])
+    assert ids == want
