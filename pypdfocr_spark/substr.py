@@ -41,6 +41,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -301,3 +302,78 @@ def substring_dup_fraction(
             ).astype({"doc_id": "int64", "dup_chars": "int64", "n_chars": "int64"})
 
     return joined.mapInPandas(merge, DUPFRAC_SCHEMA)
+
+
+CUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("cut_chars", LongType()),
+    ]
+)
+
+
+def substring_dedup_apply(
+    df: DataFrame,
+    spans: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    max_df: "int | None" = 50,
+) -> DataFrame:
+    """Apply-side of Lee et al. 2021: REMOVE one copy of every duplicated
+    span, keeping the occurrence in the lower-id document. For each span
+    the ``id_b`` side is cut; a doc's cut intervals are merged first so
+    overlaps are removed once. Docs playing only the ``id_a`` role keep
+    their text verbatim — every duplicated region survives in exactly its
+    first (lowest-id) host.
+
+    ``spans`` defaults to ``substring_dup_spans(df, min_len, max_df)``.
+    One groupBy(doc) over the span table (bounded by spans, not corpus) +
+    a text join for AFFECTED docs only + one Arrow cut stage; untouched
+    docs pass through with ``cut_chars = 0`` via a cheap left join."""
+    if spans is None:
+        spans = substring_dup_spans(df, id_col, text_col, min_len, max_df)
+    cuts = (
+        spans.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("start_b").alias("start"),
+            "length",
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("start", "length"))).alias("_cuts"))
+    )
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
+    joined = base.join(cuts, "doc_id", "left")
+
+    def cut(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, texts, ncut = [], [], []
+            for did, text, sp in zip(pdf["doc_id"], pdf[text_col], pdf["_cuts"]):
+                if sp is None or not len(sp):
+                    ids.append(int(did)); texts.append(text); ncut.append(0)
+                    continue
+                merged = []
+                for item in sp:
+                    s, e = int(item["start"]), int(item["start"]) + int(item["length"])
+                    if merged and s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                kept, prev = [], 0
+                for s, e in merged:
+                    kept.append(text[prev:s])
+                    prev = e
+                kept.append(text[prev:])
+                ids.append(int(did))
+                texts.append("".join(kept))
+                ncut.append(sum(e - s for s, e in merged))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "text": texts,
+                 "cut_chars": pd.Series(ncut, dtype="int64")}
+            )
+
+    return joined.mapInPandas(cut, CUT_SCHEMA)

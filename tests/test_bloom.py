@@ -102,3 +102,44 @@ def test_probe_plan_is_shuffle_free(spark):
     plan = bloom.bloom_probe_df(df, bm, num_hashes=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_paragraph_dedup_strips_seen_paragraphs(spark):
+    ref = _docs(spark, ["old news one\nold news two"])
+    corpus = spark.createDataFrame(
+        [(10, "fresh line\nold news one\nanother fresh"),
+         (11, "old news two"),
+         (12, "all fresh here")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in
+           bloom.bloom_paragraph_dedup(corpus, ref, fpp=0.001).collect()}
+    assert out[10]["text"] == "fresh line\nanother fresh"
+    assert out[10]["n_paragraphs"] == 3 and out[10]["n_dropped"] == 1
+    assert out[11]["text"] == "" and out[11]["n_dropped"] == 1
+    assert out[12]["text"] == "all fresh here" and out[12]["n_dropped"] == 0
+
+
+def test_paragraph_filter_min_chars_protects_short_lines(spark):
+    ref = _docs(spark, ["\nxx\nlong reference paragraph body"])
+    corpus = spark.createDataFrame(
+        [(1, "a\n\nxx\nlong reference paragraph body\nb")],
+        "doc_id LONG, text STRING",
+    )
+    keys = bloom.paragraph_keys(ref)
+    bm = bloom.bloom_build(keys, "key", num_bits=1 << 12, num_hashes=4)
+    out = bloom.bloom_paragraph_filter(
+        corpus, bm, num_hashes=4, min_chars=3
+    ).collect()[0]
+    # "" and "xx" are seen but under min_chars => kept; the long one drops
+    assert out["text"] == "a\n\nxx\nb"
+    assert out["n_dropped"] == 1
+
+
+def test_paragraph_filter_plan_is_shuffle_free(spark):
+    df = _docs(spark, ["x\ny"])
+    bm = bloom.bloom_build(bloom.paragraph_keys(df), "key",
+                           num_bits=1 << 10, num_hashes=3)
+    plan = bloom.bloom_paragraph_filter(df, bm, num_hashes=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -194,3 +194,32 @@ def test_dup_fraction_interval_merge(spark):
 def test_min_len_validation(spark):
     with pytest.raises(ValueError):
         substr.substring_dup_spans(_docs(spark, ["x"]), min_len=3)
+
+
+def test_substring_dedup_apply_cuts_second_copy(spark):
+    rng = random.Random(31)
+    shared = "B" + _rand_text(rng, 58) + "D"   # 60 chars
+    a = shared + _rand_text(rng, 40)           # lowest id: keeps its copy
+    b = _rand_text(rng, 30) + shared           # cut here
+    c = _rand_text(rng, 80)                    # untouched
+    df = _docs(spark, [a, b, c])
+    out = {r["doc_id"]: r for r in
+           substr.substring_dedup_apply(df, min_len=50).collect()}
+    assert out[0]["text"] == a and out[0]["cut_chars"] == 0
+    assert out[1]["text"] == b[:30] and out[1]["cut_chars"] == 60
+    assert out[2]["text"] == c and out[2]["cut_chars"] == 0
+    # the duplicated region survives in exactly its first host
+    assert shared in out[0]["text"] and shared not in out[1]["text"]
+
+
+def test_substring_dedup_apply_merges_overlaps(spark):
+    rng = random.Random(37)
+    s1 = "1" + _rand_text(rng, 50) + "2"       # 52 chars
+    s2 = "3" + _rand_text(rng, 50) + "4"
+    mid = _rand_text(rng, 10)
+    b = "~" + s1 + mid + s2 + "~"              # both spans, disjoint
+    df = _docs(spark, [s1 + "#" + s2, b])
+    out = {r["doc_id"]: r for r in
+           substr.substring_dedup_apply(df, min_len=50).collect()}
+    assert out[1]["cut_chars"] == len(s1) + len(s2)
+    assert out[1]["text"] == "~" + mid + "~"
