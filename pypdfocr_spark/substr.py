@@ -166,12 +166,19 @@ def substring_dup_spans(
     text_col: str = "text",
     min_len: int = 50,
     max_df: "int | None" = 50,
+    cache_registry: "list | None" = None,
 ) -> DataFrame:
     """All maximal exactly-equal substrings of length ≥ ``min_len``
     between distinct documents: (id_a, id_b, start_a, start_b, length),
     id_a < id_b. Complete at or above ``min_len`` by the winnowing
     guarantee (k and w are derived so ``w + k − 1 = min_len``), exact
     always (anchors are verified and extended against the real text).
+
+    The fingerprint relation feeds four consumers (the hot-fp build, the
+    anti-join probe, both self-join sides); it is persisted once so the
+    winnowing Python stage runs once, not four times — same lifecycle
+    policy as ``dedup.ngram_jaccard_pairs`` (pass ``cache_registry`` to
+    receive the persisted DataFrame for deterministic unpersist).
 
     ``max_df`` drops fingerprints appearing in more than ``max_df``
     documents before the self-join — the boilerplate/flood defense (a
@@ -184,7 +191,9 @@ def substring_dup_spans(
         raise ValueError("min_len must be >= 4")
     k = (min_len + 1) // 2
     w = min_len - k + 1
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist()
+    if cache_registry is not None:
+        cache_registry.append(fps)
     if max_df is not None:
         # distinct docs per fingerprint (a fp repeating INSIDE one doc is
         # self-similarity, not corpus boilerplate)
