@@ -23,10 +23,19 @@ operator-by-operator join chain, kept as the semantic cross-check.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from . import dedup, textops
+from . import bloom, classifier, dedup, textfix, textops
 
 
 def curate(
@@ -134,6 +143,122 @@ def _curate_fused(
             & ~F.col("contaminated")
         ).alias("survived"),
     )
+
+
+WEB_GATE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("maybe_seen", BooleanType()),
+        StructField("quality_prob", DoubleType()),
+    ]
+)
+
+
+def web_gate(
+    df: DataFrame,
+    model: "classifier.QualityModel",
+    bloom_bitmap: "bytes | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 7,
+    fix: bool = True,
+    return_flags: bool = False,
+) -> DataFrame:
+    """The fused per-document web gate — encoding repair, cross-corpus
+    Bloom dedup probe, and model-based quality scoring as the curation
+    front door actually runs them, in the minimum number of Python
+    crossings.
+
+    The chained composition (``textfix.fix_text_df`` →
+    ``bloom.bloom_probe_df`` → ``classifier.classifier_score_df``) is
+    three Arrow stages per task — three concurrently-pipelined Python
+    workers per core at 100 TB. Here the chain is restructured to TWO:
+
+        Arrow 1: fix_text (inherently Python — regex/unicodedata)
+        JVM:     xxhash64 Bloom keys + murmur3 feature buckets over the
+                 REPAIRED text (hashing must see NFC bytes)
+        Arrow 2: Bloom bit-gather AND weight-gather score in one pass
+                 against the two executor broadcasts
+
+    The probe and the score read disjoint broadcasts and produce
+    independent columns, so fusing them cannot change semantics —
+    tests/test_classifier.py pins fused ≡ chained row-for-row. Still
+    map-only end to end: zero Exchange at any corpus size (plan-asserted).
+
+    ``bloom_bitmap=None`` skips the dedup probe (``maybe_seen`` all
+    false). ``fix=False`` skips repair for pre-normalized corpora (one
+    Arrow stage total). ``return_flags=True`` keeps every row with its
+    ``maybe_seen``/``quality_prob`` columns; the default emits only the
+    survivors (fresh AND ``quality_prob >= threshold``).
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    if fix:
+        base = textfix.fix_text_df(base).select("doc_id", "text")
+    cols = {
+        "_fx": classifier.hashed_feature_col("text", model.num_buckets, model.bigrams)
+    }
+    if bloom_bitmap is not None:
+        num_bits = len(bloom_bitmap) << 3
+        if num_bits & (num_bits - 1):
+            raise ValueError("bitmap length must be a power-of-two bit count")
+        cols["_bf_h1"] = F.xxhash64(F.col("text"))
+        cols["_bf_h2"] = F.xxhash64(F.col("text"), F.lit(bloom._H2_SALT))
+    prepared = base.withColumns(cols)
+
+    sc = df.sparkSession.sparkContext
+    w_bc = sc.broadcast(model.weights.tobytes())
+    b_bc = sc.broadcast(bloom_bitmap) if bloom_bitmap is not None else None
+    bias = float(model.bias)
+    nh = num_hashes
+
+    def run(batches):
+        import pandas as pd
+
+        w = np.frombuffer(w_bc.value, dtype=np.float64)
+        bits = (
+            np.frombuffer(b_bc.value, dtype=np.uint8) if b_bc is not None else None
+        )
+        nb = (len(bits) << 3) if bits is not None else 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if bits is not None:
+                pos = bloom._positions(
+                    pdf["_bf_h1"].to_numpy(), pdf["_bf_h2"].to_numpy(), nb, nh
+                )
+                seen = (
+                    (
+                        bits[(pos >> np.uint64(3)).astype(np.int64)]
+                        >> (pos & np.uint64(7)).astype(np.uint8)
+                    )
+                    & 1
+                ).all(axis=1)
+            else:
+                seen = np.zeros(len(pdf), dtype=bool)
+            probs = np.empty(len(pdf), dtype=np.float64)
+            for i, buckets in enumerate(pdf["_fx"]):
+                idx = np.asarray(buckets, dtype=np.int64)
+                z = bias if len(idx) == 0 else bias + w[idx].sum() / len(idx)
+                probs[i] = 1.0 / (1.0 + np.exp(-z))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "text": pdf["text"],
+                    "maybe_seen": seen,
+                    "quality_prob": probs,
+                }
+            )
+
+    out = prepared.mapInPandas(run, WEB_GATE_SCHEMA)
+    if return_flags:
+        return out
+    return out.where(
+        (~F.col("maybe_seen")) & (F.col("quality_prob") >= threshold)
+    ).drop("maybe_seen")
 
 
 def curation_report(verdicts: DataFrame) -> DataFrame:

@@ -111,7 +111,13 @@ if job == "gate":
         return scored.where(F.col("quality_prob") >= 0.4).count()
 else:
     def run_once():
-        return substr.substring_dup_spans(docs, min_len=50, max_df=64).count()
+        reg = []
+        n = substr.substring_dup_spans(
+            docs, min_len=50, max_df=64, cache_registry=reg
+        ).count()
+        for d in reg:
+            d.unpersist()
+        return n
 
 times, n = [], 0
 for i in range(4):
@@ -145,8 +151,8 @@ def main() -> None:
         for x in os.environ.get("CURATION_BENCH_LEVELS", "4,16").split(",")
     ]
     root = build_corpus(n_docs)
-    out = {"n_docs_gate": n_docs, "n_docs_substr": n_docs // 4, "jobs": {}}
-    for job, nd in (("gate", n_docs), ("substr", n_docs // 4)):
+    out = {"n_docs_gate": n_docs, "n_docs_substr": n_docs // 2, "jobs": {}}
+    for job, nd in (("gate", n_docs), ("substr", n_docs // 2)):
         results = [run_level(c, root, job, nd) for c in levels]
         lo, hi = results[0], results[-1]
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (

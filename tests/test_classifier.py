@@ -134,3 +134,85 @@ def test_empty_corpus_raises(spark):
     df = spark.createDataFrame([(0, "", 1)], "doc_id LONG, text STRING, label INT")
     with pytest.raises(ValueError):
         classifier.train_quality_classifier(df, iterations=1)
+
+
+def _mangle(s: str) -> str:
+    return s.encode("utf-8").decode("cp1252")
+
+
+def test_web_gate_fused_matches_chained(spark):
+    """recipe.web_gate (2 Arrow stages) must be row-identical to the
+    chained fix -> bloom-probe -> score composition (3 Arrow stages) on
+    a corpus mixing mojibake, Bloom-seen docs, and both quality classes."""
+    from pypdfocr_spark import bloom, recipe, textfix
+
+    train = _corpus(spark, 40, seed=11)
+    model = classifier.train_quality_classifier(train, iterations=30)
+
+    rng = random.Random(12)
+    rows = []
+    for i in range(60):
+        vocab = GOOD_VOCAB if i % 2 == 0 else SPAM_VOCAB
+        text = " ".join(rng.choice(vocab) for _ in range(12)) + " café"
+        rows.append((i, _mangle(text) if i % 3 == 0 else text))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # reference set = the REPAIRED text of every 5th doc (hashing must
+    # see NFC bytes, so seen-ness is decided post-fix in both paths)
+    fixed = textfix.fix_text_df(df)
+    reference = fixed.where(F.col("doc_id") % 5 == 0)
+    bitmap = bloom.bloom_build(reference, "text", num_bits=1 << 16, num_hashes=5)
+
+    chained = (
+        bloom.bloom_probe_df(fixed.select("doc_id", "text"), bitmap, num_hashes=5)
+        .join(classifier.classifier_score_df(fixed, model), "doc_id")
+        .select("doc_id", "text", "maybe_seen", "quality_prob")
+    )
+    fused = recipe.web_gate(df, model, bitmap, num_hashes=5, return_flags=True)
+    got = {r["doc_id"]: r for r in fused.collect()}
+    want = {r["doc_id"]: r for r in chained.collect()}
+    assert set(got) == set(want) and len(got) == 60
+    for did in want:
+        assert got[did]["text"] == want[did]["text"]
+        assert got[did]["maybe_seen"] == want[did]["maybe_seen"]
+        assert abs(got[did]["quality_prob"] - want[did]["quality_prob"]) < 1e-12
+    assert any(r["maybe_seen"] for r in want.values())  # probe non-vacuous
+    probs = sorted(r["quality_prob"] for r in want.values())
+    assert probs[0] < 0.5 < probs[-1]                   # both classes present
+
+    # default form: survivors only = fresh AND above threshold
+    kept = {r["doc_id"] for r in recipe.web_gate(
+        df, model, bitmap, num_hashes=5, threshold=0.5
+    ).collect()}
+    assert kept == {
+        d for d, r in want.items()
+        if not r["maybe_seen"] and r["quality_prob"] >= 0.5
+    }
+    assert kept  # non-vacuous
+
+
+def test_web_gate_plan_is_map_only(spark):
+    from pypdfocr_spark import recipe
+
+    df = spark.createDataFrame([(0, "alpha beta")], "doc_id LONG, text STRING")
+    model = classifier.QualityModel(np.zeros(1 << 10), 0.0, 1 << 10, True, [])
+    plan = (
+        recipe.web_gate(df, model, bytes(1 << 10), return_flags=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_web_gate_no_bitmap_no_fix(spark):
+    from pypdfocr_spark import recipe
+
+    train = _corpus(spark, 20, seed=13)
+    model = classifier.train_quality_classifier(train, iterations=20)
+    test = _corpus(spark, 10, seed=14, start=700)
+    flags = recipe.web_gate(test, model, None, fix=False, return_flags=True)
+    rows = flags.collect()
+    assert len(rows) == 20 and not any(r["maybe_seen"] for r in rows)
+    want = {r["doc_id"]: r["quality_prob"]
+            for r in classifier.classifier_score_df(test, model).collect()}
+    for r in rows:
+        assert abs(r["quality_prob"] - want[r["doc_id"]]) < 1e-12
