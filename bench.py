@@ -34,11 +34,9 @@ HEADLINE_QUERIES = [
     "route_first_match",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",
-    "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_neardup_lsh",
     "lang_id",
@@ -68,6 +66,9 @@ HEADLINE_QUERIES = [
     "shard_assign",
     "corpus_curate",
     "curation_report",
+    "url_filter",
+    "domain_cap",
+    "pack_windows",
 ]
 
 
