@@ -13,7 +13,14 @@ Two jobs, the two plan shapes the new operators use:
   filter → classifier_score_df (fixed seeded weights) → threshold count.
   Entirely map-only (three Arrow stages, zero Exchange) — the 100-TB
   shape for encoding repair, cross-corpus dedup probes, and model
-  scoring.
+  scoring. CAVEAT for reading its two-level ratio on one box: each task
+  pipelines THREE Python workers, so the local[4] level really drives up
+  to 12 cores — the measured "efficiency" under-reads the true N→4N
+  scaling of the per-core work.
+* **gate_fused**: the same semantics through ``recipe.web_gate`` (TWO
+  Arrow stages — the production front door). Same n_out as gate by
+  construction (cross-checked), fewer Python crossings, and a less
+  oversubscription-distorted ratio.
 * **substr**: substring_dup_spans().count() over a corpus with planted
   shared fragments — winnow (map) → capped fp join → verify join,
   the bounded-shuffle shape.
@@ -93,7 +100,7 @@ docs = spark.read.parquet(root + "/docs.parquet").where(
 ).repartition(cores * 4).persist()
 docs.count()
 
-if job == "gate":
+if job in ("gate", "gate_fused"):
     nb = 1 << 16
     model = classifier.QualityModel(
         np.random.RandomState(7).standard_normal(nb), 0.0, nb, True, []
@@ -102,13 +109,18 @@ if job == "gate":
         docs.where(F.col("doc_id") % 11 == 0), "text",
         num_bits=1 << 22, num_hashes=7,
     )
-    def run_once():
-        fixed = textfix.fix_text_df(docs)
-        survivors = bloom.bloom_probe_df(fixed, bitmap).where(
-            ~F.col("maybe_seen")
-        )
-        scored = classifier.classifier_score_df(survivors, model)
-        return scored.where(F.col("quality_prob") >= 0.4).count()
+    if job == "gate":
+        def run_once():
+            fixed = textfix.fix_text_df(docs)
+            survivors = bloom.bloom_probe_df(fixed, bitmap).where(
+                ~F.col("maybe_seen")
+            )
+            scored = classifier.classifier_score_df(survivors, model)
+            return scored.where(F.col("quality_prob") >= 0.4).count()
+    else:
+        from pypdfocr_spark import recipe
+        def run_once():
+            return recipe.web_gate(docs, model, bitmap, threshold=0.4).count()
 else:
     def run_once():
         reg = []
@@ -152,7 +164,7 @@ def main() -> None:
     ]
     root = build_corpus(n_docs)
     out = {"n_docs_gate": n_docs, "n_docs_substr": n_docs // 2, "jobs": {}}
-    for job, nd in (("gate", n_docs), ("substr", n_docs // 2)):
+    for job, nd in (("gate", n_docs), ("gate_fused", n_docs), ("substr", n_docs // 2)):
         results = [run_level(c, root, job, nd) for c in levels]
         lo, hi = results[0], results[-1]
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
