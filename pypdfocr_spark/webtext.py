@@ -571,6 +571,21 @@ WARC_DOC_SCHEMA = StructType(
     [StructField("archive", StringType())] + list(HTML_DOC_SCHEMA.fields)
 )
 
+_OUTLINK_FIELD = StructField(
+    "outlinks",
+    ArrayType(
+        StructType(
+            [
+                StructField("dst_url", StringType()),
+                StructField("anchor_text", StringType()),
+                StructField("nofollow", BooleanType()),
+            ]
+        )
+    ),
+)
+
+WARC_DOC_LINKS_SCHEMA = StructType(list(WARC_DOC_SCHEMA.fields) + [_OUTLINK_FIELD])
+
 
 def warc_extract(
     df: DataFrame,
@@ -578,6 +593,7 @@ def warc_extract(
     payload_col: str = "payload",
     min_words: int = 5,
     max_link_density: float = 0.33,
+    with_outlinks: bool = False,
 ) -> DataFrame:
     """The fused crawl front door: WARC archives in, ``documents``-shaped
     corpus out (url, fetch_ts, title, lang, text, diagnostics) — record
@@ -585,10 +601,24 @@ def warc_extract(
     in ONE mapInPandas stage so payload bytes cross the Arrow boundary
     once (the same fusion argument as recipe.curate's fused mode).
     Downstream composes directly: ``F.xxhash64(url, fetch_ts)`` is the
-    deterministic doc_id, textops/dedup/recipe take it from there."""
+    deterministic doc_id, textops/dedup/recipe take it from there.
+
+    ``with_outlinks=True`` additionally emits each page's followable
+    ``<a href>`` links as an ``outlinks`` array column (the Common Crawl
+    WAT pattern: text corpus AND link graph from one pass over the
+    payload bytes — the bytes never cross Arrow twice).
+    ``F.explode("outlinks")`` then feeds ``linkgraph.host_graph`` /
+    ``pagerank`` JVM-side; the array stays bounded by the page's own
+    link count. Costs one extra HTML parse per page, which is still far
+    cheaper than re-reading and re-decoding 100 TB of WARC bytes in a
+    second job."""
+
+    schema = WARC_DOC_LINKS_SCHEMA if with_outlinks else WARC_DOC_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_DOC_SCHEMA]
+        from .linkgraph import extract_outlinks
+
+        cols = [f.name for f in schema]
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
@@ -601,11 +631,12 @@ def warc_extract(
                         try:
                             status, hct, body, hh = _http_fields(rec)
                         except (ValueError, zlib.error) as exc:
+                            err = (url, h.get("warc-target-uri"),
+                                   h.get("warc-date"), None, None, None,
+                                   None, None, None, None, None, None,
+                                   False, str(exc))
                             rows.append(
-                                (url, h.get("warc-target-uri"),
-                                 h.get("warc-date"), None, None, None, None,
-                                 None, None, None, None, None, False,
-                                 str(exc))
+                                err + (None,) if with_outlinks else err
                             )
                             continue
                         mime = (hct or "").split(";")[0].strip().lower()
@@ -616,30 +647,37 @@ def warc_extract(
                         m = re.search(
                             r"(?i)charset\s*=\s*([a-z0-9_.:-]+)", hct or ""
                         )
+                        charset = m.group(1).lower() if m else None
                         x = extract_html(
                             body,
                             min_words=min_words,
                             max_link_density=max_link_density,
-                            http_charset=m.group(1).lower() if m else None,
+                            http_charset=charset,
                         )
-                        rows.append(
-                            (
-                                url,
-                                h.get("warc-target-uri"), h.get("warc-date"),
-                                x["title"], x["lang"], x["meta_description"],
-                                x["text"], x["n_blocks"], x["n_good_blocks"],
-                                x["link_density"], x["charset"],
-                                len(x["text"]), True, None,
+                        row = (
+                            url,
+                            h.get("warc-target-uri"), h.get("warc-date"),
+                            x["title"], x["lang"], x["meta_description"],
+                            x["text"], x["n_blocks"], x["n_good_blocks"],
+                            x["link_density"], x["charset"],
+                            len(x["text"]), True, None,
+                        )
+                        if with_outlinks:
+                            row = row + (
+                                extract_outlinks(
+                                    body,
+                                    h.get("warc-target-uri") or url,
+                                    http_charset=charset,
+                                ),
                             )
-                        )
+                        rows.append(row)
                 except (ValueError, zlib.error) as exc:
-                    rows.append(
-                        (url, url, None, None, None, None, None, None, None,
-                         None, None, None, False, str(exc))
-                    )
+                    err = (url, url, None, None, None, None, None, None,
+                           None, None, None, None, False, str(exc))
+                    rows.append(err + (None,) if with_outlinks else err)
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, WARC_DOC_SCHEMA)
+    return df.mapInPandas(run, schema)
 
 
 # --------------------------------------------------------------------------

@@ -540,3 +540,49 @@ def test_crawl_lineage_commit_resume(spark, tmp_path):
     assert docs.select("url").distinct().count() == 6  # incl. error row
     # a third run has nothing left to do
     assert webtext.crawl_resume_filter(batch2, out_dir).count() == 0
+
+
+def test_warc_extract_with_outlinks(spark):
+    """with_outlinks=True rides the link graph out of the SAME pass:
+    the outlinks array matches linkgraph.extract_outlinks on the raw
+    page, resolves against the record's target URI, explodes JVM-side
+    into host_graph/pagerank, and error rows carry a null array."""
+    from pyspark.sql import functions as F
+
+    from pypdfocr_spark import linkgraph
+
+    records = [
+        {"type": "response", "uri": "http://a.example/page",
+         "block": webtext.encode_http_response(PAGE)},
+    ]
+    df = spark.createDataFrame(
+        [("s3://c/a.warc", bytearray(webtext.encode_warc(records))),
+         ("s3://c/bad.warc", bytearray(b"junk"))],
+        "url string, payload binary",
+    )
+    out = webtext.warc_extract(df, with_outlinks=True)
+    rows = {r["url"]: r for r in out.collect()}
+    links = rows["http://a.example/page"]["outlinks"]
+    want = linkgraph.extract_outlinks(PAGE, "http://a.example/page")
+    assert [(l["dst_url"], l["anchor_text"], l["nofollow"]) for l in links] == want
+    assert {l["dst_url"] for l in links} == {
+        f"http://a.example/{p}" for p in "abxyz"
+    }
+    assert rows["s3://c/bad.warc"]["outlinks"] is None
+
+    # plain form unchanged: same rows, no outlinks column
+    plain = webtext.warc_extract(df)
+    assert "outlinks" not in plain.columns
+    assert plain.count() == out.count()
+
+    # JVM-side explode feeds the graph ops directly
+    g = linkgraph.host_graph(
+        out.where("ok").select(
+            F.col("url").alias("src_url"),
+            F.explode("outlinks").alias("l"),
+        ).select("src_url", F.col("l.dst_url").alias("dst_url"),
+                 F.col("l.nofollow").alias("nofollow")),
+        drop_self=False,
+    )
+    got = {(r["src"], r["dst"]): r["n_links"] for r in g.collect()}
+    assert got == {("a.example", "a.example"): 5}
