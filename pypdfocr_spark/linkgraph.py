@@ -17,8 +17,13 @@ Three layers, each independently usable:
   the outlinks: canonicalize → host → one map-side-combinable hash
   aggregation. Self-loops dropped by default (intra-host nav links
   dominate raw counts and carry no ranking signal).
+* :func:`anchor_text_table` — the anchor-text corpus: top-k anchor
+  strings per link target with link / distinct-source-host counts,
+  collapsed map-side before any ranking so mega-indegree targets sort
+  their distinct anchors, not their in-links.
 * :func:`pagerank` — classic damped PageRank with dangling-mass
-  redistribution (Page et al. 1999; the power-iteration formulation):
+  redistribution (Page et al. 1999; the power-iteration formulation),
+  plus personalized (seed-teleport, TrustRank-style) mode:
 
       r'(v) = (1-d)/N + d * ( sum_{u->v} r(u) * w(u,v)/W(u) + D/N )
 
@@ -57,6 +62,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     StringType,
     StructField,
     StructType,
@@ -223,6 +229,68 @@ def host_graph(
     return g.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
 
 
+def anchor_text_table(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor_text",
+    by_host: bool = False,
+    top_k: int = 10,
+    min_links: int = 1,
+) -> DataFrame:
+    """The anchor-text corpus: for each link target, the ``top_k`` most
+    frequent anchor strings with link and distinct-source-host counts —
+    off-page text describing the target (the classic web-search ranking
+    signal, reused in curation as a quality/topic prior and as weak
+    labels for training data). Nofollow links are excluded when the
+    column is present; empty anchors always are.
+
+    Returns (dst, anchor, n_links, n_src_hosts, rank) with rank 1..k per
+    dst ordered by n_links desc (anchor asc tiebreak — deterministic).
+
+    Scale shape: one map-side-combinable aggregation collapses the raw
+    |links| relation to distinct (dst, anchor) pairs before anything
+    ranks, and ``approx_count_distinct`` keeps the source-host
+    cardinality a fixed-size HLL partial rather than a per-group set.
+    The top-k window then partitions by dst over the already-collapsed
+    relation, so a mega-indegree host sorts its distinct anchor strings,
+    not its billions of in-links. Output is capped at k rows per target
+    by construction."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if "nofollow" in links.columns:
+        links = links.where(~F.col("nofollow"))
+    dst = webops.canonicalize_url(F.col(dst_col))
+    if by_host:
+        dst = webops.host_of(dst)
+    anchor = F.trim(F.col(anchor_col))
+    agg = (
+        links.select(
+            dst.alias("dst"),
+            anchor.alias("anchor"),
+            webops.host_of(webops.canonicalize_url(F.col(src_col))).alias(
+                "src_host"
+            ),
+        )
+        .where((F.col("dst") != "") & (F.col("anchor") != ""))
+        .groupBy("dst", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.approx_count_distinct("src_host").alias("n_src_hosts"),
+        )
+        .where(F.col("n_links") >= min_links)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -232,11 +300,22 @@ def pagerank(
     weight_col: "str | None" = None,
     num_partitions: "int | None" = None,
     checkpoint_interval: int = 5,
+    seeds: "list[str] | None" = None,
 ) -> DataFrame:
     """Damped PageRank with dangling-mass redistribution over an edge
     DataFrame; returns (node, rank) with sum(rank) == 1. Duplicate
     edges act as weight (or pass ``weight_col``). See the module
     docstring for the per-iteration scale shape.
+
+    ``seeds`` switches to personalized PageRank (the TrustRank shape,
+    Gyongyi et al. 2004): teleport AND dangling mass land uniformly on
+    the seed set instead of all nodes, so rank measures proximity to the
+    seeds — trusted-host spam demotion, topic-conditioned host scoring.
+    The seed list is an in-plan literal (seed sets are curated and
+    small — hundreds, not millions); seeds absent from the graph are
+    ignored, an entirely-absent seed set raises. The per-iteration shape
+    is unchanged: the teleport vector is one more slim column on the
+    pinned (node) relation, not a join.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -262,6 +341,22 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
+    # teleport vector: one slim double column pinned alongside the node
+    # ids — uniform 1/N, or 1/|S| on the seed set for personalized PR
+    if seeds is not None:
+        seed_list = sorted(set(seeds))
+        if not seed_list:
+            raise ValueError("seeds must be non-empty when given")
+        is_seed = F.col("node").isin(seed_list)
+        n_seeds = nodes.where(is_seed).count()
+        if n_seeds == 0:
+            raise ValueError("no seed node appears in the edge set")
+        tele = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0 / n_nodes)
+    nodes_t = nodes.select("node", tele.alias("tele")).persist()
+    nodes_t.count()
+
     outw = e.groupBy("src").agg(F.sum("w").alias("w_total"))
     # normalized once: frac = w(u,v)/W(u); partitioned by src and pinned
     # so the |E|-row side never reshuffles across iterations
@@ -284,10 +379,7 @@ def pagerank(
     danglers.count()
 
     d = float(damping)
-    teleport = (1.0 - d) / n_nodes
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("rank")
-    ).persist()
+    ranks = nodes_t.select("node", F.col("tele").alias("rank")).persist()
     ranks.count()
 
     for it in range(iterations):
@@ -304,17 +396,17 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
         )
         new_ranks = (
-            nodes.join(
+            nodes_t.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left"
             )
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    F.lit(1.0 - d) * F.col("tele")
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling_mass / n_nodes)
+                        + F.lit(dangling_mass) * F.col("tele")
                     )
                 ).alias("rank"),
             )
@@ -329,5 +421,235 @@ def pagerank(
 
     edges_norm.unpersist()
     danglers.unpersist()
+    nodes_t.unpersist()
     nodes.unpersist()
     return ranks
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality via HyperBall (Boldi & Vigna 2013): each node keeps a
+# HyperLogLog sketch of the ball of nodes that REACH it; one relaxation
+# round grows every ball by one hop, and the per-round cardinality delta
+# telescopes into H(x) = sum_{y != x} 1/d(y, x) — the other published
+# Common Crawl host-ranking signal next to PageRank. Exact all-pairs BFS
+# is O(|V|*|E|); this is O(rounds * |E|) with fixed-size counters.
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_init(node: str, p: int) -> "np.ndarray":
+    """Fresh sketch containing exactly {node}: md5-derived 64-bit hash,
+    first p bits pick the register, rank = leading-zero count of the
+    remaining 64-p bits + 1 (the standard HLL layout; md5 keeps the
+    register assignment deterministic across runs and processes —
+    Python's builtin hash() is salted per process and would break
+    resume/retry determinism)."""
+    import hashlib
+
+    import numpy as np
+
+    h = int.from_bytes(
+        hashlib.md5(node.encode("utf-8", "surrogatepass")).digest()[:8],
+        "big",
+    )
+    idx = h >> (64 - p)
+    w = h & ((1 << (64 - p)) - 1)
+    rank = (64 - p) - w.bit_length() + 1
+    sk = np.zeros(1 << p, dtype=np.uint8)
+    sk[idx] = rank
+    return sk
+
+
+def _hll_count(sk: "np.ndarray") -> float:
+    """Standard HLL estimate with the small-range linear-counting
+    correction (no large-range correction needed for 64-bit hashes)."""
+    import numpy as np
+
+    m = sk.shape[0]
+    est = _hll_alpha(m) * m * m / np.exp2(-sk.astype(np.float64)).sum()
+    if est <= 2.5 * m:
+        zeros = int((sk == 0).sum())
+        if zeros:
+            return float(m * np.log(m / zeros))
+    return float(est)
+
+
+HARMONIC_SCHEMA = StructType(
+    [
+        StructField("node", StringType()),
+        StructField("harmonic", DoubleType()),
+        StructField("ball_est", DoubleType()),
+    ]
+)
+
+_SKETCH_SCHEMA = (
+    "node string, sketch binary, h double, est double, changed boolean"
+)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    p: int = 12,
+    max_iters: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: "int | None" = None,
+    checkpoint_interval: int = 4,
+    salt: "int | None" = None,
+) -> DataFrame:
+    """Approximate harmonic centrality H(x) = sum over reaching nodes y
+    of 1/d(y, x), for every node, via HyperBall. Returns (node,
+    harmonic, ball_est) where ball_est estimates |{y: y reaches x}| + 1.
+
+    Accuracy: HLL relative error ~= 1.04/sqrt(2^p) per ball (p=12 →
+    ~1.6%); the harmonic sum inherits it through the telescoped deltas.
+
+    Scale shape: per round, the edge relation joins the (node, sketch)
+    relation on src and ships one sketch per edge to its dst — O(|E|)
+    rows of 2^p bytes, linear and compressible, the known HyperBall
+    cost (p trades accuracy against shuffle volume). The merge is a
+    streaming per-partition elementwise-max over a hash-partitioned
+    layout (mapInPandas with a dict of partials), NOT a groupBy
+    collect — a mega-indegree node streams its in-edge sketches
+    through one task in O(indegree) memory-bounded work; pass ``salt``
+    to pre-merge partials over (node, salt) first when indegree skew
+    is extreme (one extra bounded shuffle). Rounds stop when no sketch
+    changed (ball saturation = graph diameter) or at ``max_iters``;
+    per-round driver state is one changed-count scalar, like the
+    pagerank loop. Register merges are exact max operations, so the
+    result is deterministic and layout-invariant for a fixed p.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    import numpy as np  # noqa: F401  (kernel helpers use it)
+
+    spark = edges.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(n_part, "src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def init_sketches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for node in pdf["node"]:
+                sk = _hll_init(node, p)
+                out.append(
+                    (node, sk.tobytes(), 0.0, _hll_count(sk), True)
+                )
+            yield pd.DataFrame(
+                out, columns=["node", "sketch", "h", "est", "changed"]
+            )
+
+    def merge_round(t: int, final_merge: bool):
+        """Streaming elementwise-max merge keyed by the first column.
+        Own rows (h/est non-null) carry the running harmonic sum; on
+        the final merge the delta update h += (est'-est)/t applies."""
+
+        def run(batches):
+            import pandas as pd
+
+            acc: "dict[str, list]" = {}  # node -> [merged, h, est, own]
+            for pdf in batches:
+                for node, sk, h, est in zip(
+                    pdf["node"], pdf["sketch"], pdf["h"], pdf["est"]
+                ):
+                    a = np.frombuffer(bytes(sk), dtype=np.uint8)
+                    slot = acc.get(node)
+                    if slot is None:
+                        slot = acc[node] = [a, None, None, None]
+                    else:
+                        slot[0] = np.maximum(slot[0], a)
+                    if h is not None and not pd.isna(h):  # the own row
+                        slot[1] = float(h)
+                        slot[2] = float(est)
+                        slot[3] = a
+            out = []
+            for node, (merged, h, est, own) in acc.items():
+                if not final_merge:
+                    out.append((node, merged.tobytes(), h, est, False))
+                    continue
+                changed = own is None or not np.array_equal(merged, own)
+                new_est = _hll_count(merged) if changed else est
+                new_h = h + max(new_est - est, 0.0) / t
+                out.append(
+                    (node, merged.tobytes(), new_h, new_est, changed)
+                )
+            yield pd.DataFrame(
+                out, columns=["node", "sketch", "h", "est", "changed"]
+            )
+
+        return run
+
+    sketches = (
+        nodes.repartition(n_part, "node")
+        .mapInPandas(init_sketches, _SKETCH_SCHEMA)
+        .persist()
+    )
+    sketches.count()
+
+    for it in range(1, max_iters + 1):
+        contribs = (
+            e.join(sketches.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                "sketch",
+                F.lit(None).cast("double").alias("h"),
+                F.lit(None).cast("double").alias("est"),
+                F.lit(False).alias("changed"),
+            )
+        )
+        if salt:
+            contribs = (
+                contribs.withColumn(
+                    "_salt", F.pmod(F.xxhash64(F.rand(seed=it)), salt)
+                )
+                .repartition(n_part, "node", "_salt")
+                .drop("_salt")
+                .mapInPandas(merge_round(it, False), _SKETCH_SCHEMA)
+            )
+        merged = (
+            contribs.unionByName(sketches)
+            .repartition(n_part, "node")
+            .mapInPandas(merge_round(it, True), _SKETCH_SCHEMA)
+        )
+        if it % checkpoint_interval == 0:
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = merged.persist()
+        n_changed = merged.where("changed").count()
+        sketches.unpersist()
+        sketches = merged
+        if n_changed == 0:
+            break
+
+    out = sketches.select(
+        "node",
+        F.col("h").alias("harmonic"),
+        F.col("est").alias("ball_est"),
+    )
+    e.unpersist()
+    return out
