@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Scaling evidence for the iterative link-graph operators.
+
+Same two-level protocol as scaling_bench.py / curation_bench.py: the
+identical job at local[4] and local[16] (16 physical cores; never 8 vs
+32 — SMT pollutes the ratio), each level its own JVM, 1 warm-up + 3
+timed runs, MIN estimator with medians disclosed. Input is a
+deterministic synthetic power-law host graph (seeded numpy zipf,
+byte-stable across runs).
+
+Two jobs, the two iterative plan shapes:
+
+* **pagerank**: 8 damped power iterations. Per iteration the pinned
+  |E|-row normalized edge relation never moves; only the slim
+  (node, rank) relation shuffles + one combinable dst-sum + a scalar
+  dangling-mass collect. Throughput metric = edge-iterations/sec.
+* **harmonic**: HyperBall at p=8 (256-byte sketches), ≤6 rounds. Per
+  round the |E| contrib relation ships one sketch per edge — the known
+  HyperBall O(|E|·2^p) shuffle cost — into a streaming elementwise-max
+  merge. Throughput metric = edge-rounds/sec (rounds actually run are
+  bounded by ball saturation, so the metric uses max_iters as the
+  upper bound and discloses seconds).
+
+Env knobs: LINKGRAPH_BENCH_EDGES (default 2000000 pagerank; a quarter
+for harmonic), LINKGRAPH_BENCH_LEVELS (default "4,16").
+Writes BENCH/linkgraph_scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_graph(n_edges: int) -> str:
+    """Seeded power-law digraph parquet: zipf(1.6) source hosts (the
+    mega-outdegree hubs), zipf(1.3) destinations, host-id space scales
+    with |E| (~|E|/20 hosts)."""
+    root = f"/tmp/linkgraph_bench_{n_edges}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return root
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(42)
+    n_hosts = max(1000, n_edges // 20)
+    src = rng.zipf(1.6, n_edges) % n_hosts
+    dst = rng.zipf(1.3, n_edges) % n_hosts
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    tbl = pa.table(
+        {
+            "eid": pa.array(range(len(src)), pa.int64()),
+            "src": pa.array([f"h{x}.net" for x in src]),
+            "dst": pa.array([f"h{x}.net" for x in dst]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(root, "edges.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(len(src)))
+    return root
+
+
+CHILD = r"""
+import json, statistics, sys, time
+sys.path.insert(0, {repo!r})
+from pypdfocr_spark.session import get_spark
+from pypdfocr_spark import linkgraph
+
+cores = int(sys.argv[1]); root = sys.argv[2]
+job = sys.argv[3]; n_edges = int(sys.argv[4])
+
+ITERS = 8       # pagerank power iterations
+ROUNDS = 6      # harmonic max rounds (ball saturation may stop earlier)
+
+spark = get_spark(f"linkgraph-scaling-{{cores}}", master=f"local[{{cores}}]")
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
+edges = (
+    spark.read.parquet(root + "/edges.parquet")
+    .where(F.col("eid") < n_edges)          # parquet-pushed, keeps splits
+    .drop("eid")
+    .repartition(cores * 4)
+    .persist()
+)
+real_edges = edges.count()
+
+def run_once():
+    if job == "pagerank":
+        r = linkgraph.pagerank(edges, iterations=ITERS)
+        n = r.count()
+        r.unpersist()
+        return n
+    h = linkgraph.harmonic_centrality(edges, p=8, max_iters=ROUNDS)
+    n = h.count()
+    spark.catalog.clearCache()
+    edges.persist(); edges.count()
+    return n
+
+times, n = [], 0
+for i in range(4):
+    t0 = time.monotonic()
+    n = run_once()
+    dt = time.monotonic() - t0
+    if i:
+        times.append(dt)
+med = statistics.median(times); best = min(times)
+work = real_edges * (ITERS if job == "pagerank" else ROUNDS)
+print(json.dumps({{"cores": cores, "job": job, "n_nodes": n,
+                   "n_edges": real_edges,
+                   "runs_sec": [round(t, 3) for t in times],
+                   "median_sec": round(med, 3), "best_sec": round(best, 3),
+                   "edge_iters_per_sec": round(work / best, 2),
+                   "edge_iters_per_sec_median": round(work / med, 2)}}))
+"""
+
+
+def run_level(cores: int, root: str, job: str, n_edges: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO),
+         str(cores), root, job, str(n_edges)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_edges = int(os.environ.get("LINKGRAPH_BENCH_EDGES", "2000000"))
+    levels = [
+        int(x)
+        for x in os.environ.get("LINKGRAPH_BENCH_LEVELS", "4,16").split(",")
+    ]
+    root = build_graph(n_edges)
+    out = {"n_edges_pagerank": n_edges, "n_edges_harmonic": n_edges // 4,
+           "jobs": {}}
+    for job, ne in (("pagerank", n_edges), ("harmonic", n_edges // 4)):
+        results = [run_level(c, root, job, ne) for c in levels]
+        lo, hi = results[0], results[-1]
+        eff = (hi["edge_iters_per_sec"] / lo["edge_iters_per_sec"]) / (
+            hi["cores"] / lo["cores"]
+        )
+        out["jobs"][job] = {
+            "levels": results,
+            "scaling_efficiency": round(eff, 3),
+        }
+        print(json.dumps(out["jobs"][job]))
+    out["estimator"] = "min of 3 (median disclosed)"
+    path = os.path.join(REPO, "BENCH", "linkgraph_scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
