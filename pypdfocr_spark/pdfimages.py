@@ -696,80 +696,507 @@ def _page_content(doc: "PdfDocument", page: dict) -> bytes:
     return b"\n".join(out)
 
 
-def extract_pdf_text(payload: bytes) -> "list[list[dict]]":
+# -- font decoding ------------------------------------------------------------
+#
+# Real born-digital PDFs (the crawl's dominant PDF population) encode show
+# strings through the font's /Encoding (base encoding + /Differences glyph
+# names) or a /ToUnicode CMap; composite Type0 fonts use 2-byte CIDs. The
+# reference never reads text back (it only writes the OCR layer); this is
+# the extractor's own read path, so it follows the spec, not the reference.
+
+_ID_MATRIX = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m: tuple, n: tuple) -> tuple:
+    """PDF row-vector matrix product m·n for [a b c d e f] matrices."""
+    a, b, c, d, e, f = m
+    aa, bb, cc, dd, ee, ff = n
+    return (a * aa + b * cc, a * bb + b * dd,
+            c * aa + d * cc, c * bb + d * dd,
+            e * aa + f * cc + ee, e * bb + f * dd + ff)
+
+
+def _build_agl() -> "dict[str, int]":
+    """Compact Adobe-Glyph-List subset: ASCII names, the Latin-1 block,
+    and the common typographic glyphs (the names WinAnsi/MacRoman
+    /Differences arrays actually use)."""
+    agl: "dict[str, int]" = {}
+    ascii_names = (
+        "space exclam quotedbl numbersign dollar percent ampersand quotesingle "
+        "parenleft parenright asterisk plus comma hyphen period slash "
+        "zero one two three four five six seven eight nine "
+        "colon semicolon less equal greater question at"
+    ).split()
+    for i, name in enumerate(ascii_names):
+        agl[name] = 0x20 + i
+    for c in range(0x41, 0x5B):
+        agl[chr(c)] = c
+    for i, name in enumerate(
+        "bracketleft backslash bracketright asciicircum underscore grave".split()
+    ):
+        agl[name] = 0x5B + i
+    for c in range(0x61, 0x7B):
+        agl[chr(c)] = c
+    for i, name in enumerate("braceleft bar braceright asciitilde".split()):
+        agl[name] = 0x7B + i
+    hi = (
+        "nbspace exclamdown cent sterling currency yen brokenbar section "
+        "dieresis copyright ordfeminine guillemotleft logicalnot sfthyphen "
+        "registered macron degree plusminus twosuperior threesuperior acute "
+        "mu paragraph periodcentered cedilla onesuperior ordmasculine "
+        "guillemotright onequarter onehalf threequarters questiondown "
+        "Agrave Aacute Acircumflex Atilde Adieresis Aring AE Ccedilla "
+        "Egrave Eacute Ecircumflex Edieresis Igrave Iacute Icircumflex Idieresis "
+        "Eth Ntilde Ograve Oacute Ocircumflex Otilde Odieresis multiply Oslash "
+        "Ugrave Uacute Ucircumflex Udieresis Yacute Thorn germandbls "
+        "agrave aacute acircumflex atilde adieresis aring ae ccedilla "
+        "egrave eacute ecircumflex edieresis igrave iacute icircumflex idieresis "
+        "eth ntilde ograve oacute ocircumflex otilde odieresis divide oslash "
+        "ugrave uacute ucircumflex udieresis yacute thorn ydieresis"
+    ).split()
+    for i, name in enumerate(hi):
+        agl.setdefault(name, 0xA0 + i)
+    agl.update({
+        "Euro": 0x20AC, "quoteleft": 0x2018, "quoteright": 0x2019,
+        "quotedblleft": 0x201C, "quotedblright": 0x201D, "quotesinglbase": 0x201A,
+        "quotedblbase": 0x201E, "endash": 0x2013, "emdash": 0x2014,
+        "bullet": 0x2022, "ellipsis": 0x2026, "dagger": 0x2020,
+        "daggerdbl": 0x2021, "perthousand": 0x2030, "guilsinglleft": 0x2039,
+        "guilsinglright": 0x203A, "fi": 0xFB01, "fl": 0xFB02, "florin": 0x192,
+        "circumflex": 0x2C6, "caron": 0x2C7, "breve": 0x2D8, "dotaccent": 0x2D9,
+        "ring": 0x2DA, "ogonek": 0x2DB, "tilde": 0x2DC, "hungarumlaut": 0x2DD,
+        "trademark": 0x2122, "Scaron": 0x160, "scaron": 0x161, "Zcaron": 0x17D,
+        "zcaron": 0x17E, "OE": 0x152, "oe": 0x153, "Ydieresis": 0x178,
+        "Lslash": 0x141, "lslash": 0x142, "dotlessi": 0x131, "minus": 0x2212,
+        "fraction": 0x2044, "degree": 0xB0,
+    })
+    return agl
+
+
+_AGL = _build_agl()
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """Glyph name → unicode: AGL subset, then the uniXXXX / uXXXX[XX]
+    algorithmic conventions, then single-char names literally."""
+    if name in _AGL:
+        return chr(_AGL[name])
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    if len(name) == 1:
+        return name
+    return "�"
+
+
+def _utf16be(hexbytes: bytes) -> str:
+    raw = bytes.fromhex(hexbytes.decode("latin-1"))
+    if len(raw) % 2:  # non-conformant single-byte dst seen in the wild
+        return raw.decode("latin-1")
+    return raw.decode("utf-16-be", "replace")
+
+
+def _parse_cmap(data: bytes):
+    """ToUnicode CMap → (code→str map, [(lo, hi, n_bytes)] codespaces).
+    Handles bfchar, bfrange with incrementing-hex or array destinations,
+    and codespacerange; everything else in the CMap is ignored."""
+    import re
+
+    mapping: "dict[int, str]" = {}
+    spaces: "list[tuple[int, int, int]]" = []
+    hexre = rb"<([0-9A-Fa-f]+)>"
+    for sec in re.findall(rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
+        hx = re.findall(hexre, sec)
+        for lo, hi in zip(hx[0::2], hx[1::2]):
+            spaces.append((int(lo, 16), int(hi, 16), len(lo) // 2))
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        hx = re.findall(hexre, sec)
+        for src, dst in zip(hx[0::2], hx[1::2]):
+            mapping[int(src, 16)] = _utf16be(dst)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = re.findall(rb"<[0-9A-Fa-f]+>|\[|\]", sec)
+        i = 0
+        while i + 2 < len(toks):
+            lo = int(toks[i][1:-1], 16)
+            hi = int(toks[i + 1][1:-1], 16)
+            i += 2
+            if toks[i] == b"[":
+                i += 1
+                code = lo
+                while i < len(toks) and toks[i] != b"]":
+                    mapping[code] = _utf16be(toks[i][1:-1])
+                    code += 1
+                    i += 1
+                i += 1
+            else:
+                base = toks[i][1:-1]
+                i += 1
+                if len(base) >= 4:
+                    prefix, start = base[:-4], int(base[-4:], 16)
+                    for k in range(hi - lo + 1):
+                        mapping[lo + k] = _utf16be(
+                            prefix + format(start + k, "04x").encode()
+                        )
+                else:
+                    start = int(base, 16)
+                    for k in range(hi - lo + 1):
+                        mapping[lo + k] = chr(start + k)
+    return mapping, spaces
+
+
+_BASE_ENCODING_CODECS = {
+    "WinAnsiEncoding": "cp1252",
+    "MacRomanEncoding": "mac_roman",
+}
+
+
+class _FontDecoder:
+    """Per-font show-string decoder: code iteration (1-byte simple /
+    2-byte Type0), code→unicode (ToUnicode CMap > /Encoding table >
+    identity), and code→width in text-space thousandths (/Widths +
+    /FirstChar, or the CID /W + /DW arrays) for advance tracking.
+
+    StandardEncoding and encoding-less fonts fall back to latin-1
+    identity — which keeps the searchable-PDF round trip byte-exact
+    (artifact.py writes raw latin-1 through a bare Helvetica)."""
+
+    def __init__(self, doc: "PdfDocument", font):
+        font = doc.resolve(font)
+        self.subtype = doc.resolve(font.get("Subtype"))
+        self.two_byte = self.subtype == "Type0"
+        enc0 = doc.resolve(font.get("Encoding"))
+        if self.two_byte and isinstance(enc0, str) and not enc0.startswith("Identity"):
+            raise NotImplementedError(
+                f"Type0 font with predefined CMap {enc0!r}: only Identity-H/V"
+            )
+        self.tounicode: "dict[int, str] | None" = None
+        tu = font.get("ToUnicode")
+        if tu is not None:
+            dic, raw = doc.stream(tu)
+            self.tounicode, _ = _parse_cmap(_apply_byte_filters(raw, dic, doc))
+        self.simple: "list[str | None] | None" = None
+        if not self.two_byte:
+            base = None
+            diffs = None
+            if isinstance(enc0, str):
+                base = enc0
+            elif isinstance(enc0, dict):
+                base = doc.resolve(enc0.get("BaseEncoding"))
+                diffs = doc.resolve(enc0.get("Differences"))
+            codec = _BASE_ENCODING_CODECS.get(base)
+            table: "list[str | None]" = []
+            for c in range(256):
+                if codec:
+                    try:
+                        table.append(bytes([c]).decode(codec))
+                    except UnicodeDecodeError:
+                        table.append(None)
+                else:
+                    table.append(chr(c))  # latin-1 identity fallback
+            if diffs:
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    else:
+                        if 0 <= code < 256:
+                            table[code] = _glyph_to_unicode(str(item))
+                        code += 1
+            self.simple = table
+        # widths (text-space thousandths)
+        self.widths: "dict[int, float]" = {}
+        if self.two_byte:
+            desc = doc.resolve(font.get("DescendantFonts")) or []
+            cid = doc.resolve(desc[0]) if desc else {}
+            self.default_w = float(doc.resolve(cid.get("DW", 1000)))
+            warr = doc.resolve(cid.get("W")) or []
+            i = 0
+            while i < len(warr):
+                c1 = int(doc.resolve(warr[i]))
+                nxt = doc.resolve(warr[i + 1])
+                if isinstance(nxt, list):
+                    for j, wv in enumerate(nxt):
+                        self.widths[c1 + j] = float(doc.resolve(wv))
+                    i += 2
+                else:
+                    wv = float(doc.resolve(warr[i + 2]))
+                    for cc in range(c1, int(nxt) + 1):
+                        self.widths[cc] = wv
+                    i += 3
+        else:
+            fc = doc.resolve(font.get("FirstChar"))
+            ws = doc.resolve(font.get("Widths"))
+            if ws is not None and fc is not None:
+                for j, wv in enumerate(ws):
+                    self.widths[int(fc) + j] = float(doc.resolve(wv))
+            fdesc = doc.resolve(font.get("FontDescriptor")) or {}
+            self.default_w = float(doc.resolve(fdesc.get("MissingWidth", 500)))
+
+    def codes(self, data: bytes):
+        if self.two_byte:
+            if len(data) % 2:  # tolerate a truncated odd tail
+                data = data + b"\x00"
+            for i in range(0, len(data), 2):
+                yield (data[i] << 8) | data[i + 1]
+        else:
+            yield from data
+
+    def unicode(self, code: int) -> str:
+        if self.tounicode is not None and code in self.tounicode:
+            return self.tounicode[code]
+        if self.simple is not None:
+            u = self.simple[code]
+            return u if u is not None else "�"
+        if self.tounicode is not None:  # authoritative CMap, unmapped CID
+            return "�"
+        return chr(code)  # Identity-H without ToUnicode: CID as codepoint
+
+    def width(self, code: int) -> float:
+        return self.widths.get(code, self.default_w)
+
+
+def extract_pdf_text(
+    payload: bytes, tj_space_threshold: float = 180.0
+) -> "list[list[dict]]":
     """Text-layer extraction from content streams — the read half of
     the searchable-PDF round trip (the reference WRITES this layer, ref:
-    pypdfocr/pypdfocr_pdf.py:58-78; this reads it back). Interprets the
-    text-object operators (BT/ET, Tf, Tr, Tm/Td/TD/T*/TL, Tj/TJ/'/")
-    and returns, per page, one record per shown string: {"text", "x",
-    "y", "size", "mode", "angle"} in device coordinates (the text-matrix
-    translation; angle from its rotation part). Non-text operators are
-    skipped structurally; inline images (BI) are gated."""
+    pypdfocr/pypdfocr_pdf.py:58-78; this reads it back) and the direct
+    path for born-digital PDFs. Interprets the text operators (BT/ET,
+    Tf, Tr, Tc/Tw/Tz, Tm/Td/TD/T*/TL, Tj/TJ/'/"), the graphics state
+    (q/Q/cm), Form XObject recursion (Do, with /Matrix folded into the
+    CTM), and skips inline images (BI…EI) structurally. Show strings
+    decode through the font: ToUnicode CMap first, then /Encoding
+    (WinAnsi/MacRoman base + /Differences glyph names), latin-1
+    identity otherwise; Type0 Identity-H fonts consume 2-byte CIDs.
+    Per page, one record per shown string: {"text", "x", "y", "size",
+    "mode", "angle", "font"} — x/y/angle from the text matrix × CTM at
+    show start. Glyph widths (/Widths, /W + /DW) advance the text
+    matrix, and a TJ kern offset ≤ -``tj_space_threshold`` (thousandths
+    of an em — the conventional word-gap cut) inserts a space."""
     import math
 
     doc = PdfDocument(payload)
+    font_cache: "dict[object, _FontDecoder]" = {}
+
+    def font_for(resources, name):
+        fonts = doc.resolve((resources or {}).get("Font")) or {}
+        ref = fonts.get(name)
+        if ref is None:
+            return None
+        key = ref.num if isinstance(ref, PdfRef) else id(ref)
+        if key not in font_cache:
+            font_cache[key] = _FontDecoder(doc, ref)
+        return font_cache[key]
+
     pages_out = []
     for page in doc.pages():
-        data = _page_content(doc, page)
-        lex = _Lexer(data)
-        operands: list = []
-        tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-        size = 0.0
-        mode = 0
-        leading = 0.0
         words: "list[dict]" = []
+        st = {
+            "ctm": _ID_MATRIX, "font": None, "fname": None, "size": 0.0,
+            "mode": 0, "leading": 0.0, "tc": 0.0, "tw": 0.0, "hs": 1.0,
+        }
+        gstack: "list[dict]" = []
+        tmb = {"tm": _ID_MATRIX, "tlm": _ID_MATRIX}
 
-        def emit(text: bytes) -> None:
-            a, b = tm[0], tm[1]
+        def emit(start_tm: tuple, text: str) -> None:
+            trm = _mat_mul(start_tm, st["ctm"])
+            a, b = trm[0], trm[1]
             words.append(
-                {"text": text.decode("latin-1"),
-                 "x": round(tm[4], 4), "y": round(tm[5], 4),
-                 "size": size, "mode": mode,
-                 "angle": round(math.degrees(math.atan2(b, a)), 4) % 360.0}
+                {"text": text,
+                 "x": round(trm[4], 4), "y": round(trm[5], 4),
+                 "size": st["size"], "mode": st["mode"],
+                 "angle": round(math.degrees(math.atan2(b, a)), 4) % 360.0,
+                 "font": st["fname"]}
             )
 
-        def newline(tx: float, ty: float) -> tuple:
-            # Td semantics: translate the LINE matrix, text matrix follows
-            a, b, c, d, e, f = tlm
-            return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+        def advance(tx: float) -> None:
+            a, b, c, d, e, f = tmb["tm"]
+            tmb["tm"] = (a, b, c, d, tx * a + e, tx * b + f)
 
-        while True:
-            lex.skip_ws()
-            if lex.pos >= len(data):
+        def show(data: bytes, parts: "list[str]") -> None:
+            fnt = st["font"]
+            for code in (fnt.codes(data) if fnt is not None else iter(data)):
+                parts.append(fnt.unicode(code) if fnt is not None else chr(code))
+                w = fnt.width(code) if fnt is not None else 500.0
+                word_sp = (
+                    st["tw"]
+                    if code == 0x20 and not (fnt is not None and fnt.two_byte)
+                    else 0.0
+                )
+                advance((w / 1000.0 * st["size"] + st["tc"] + word_sp) * st["hs"])
+
+        def newline(tx: float, ty: float) -> None:
+            a, b, c, d, e, f = tmb["tlm"]
+            tmb["tm"] = tmb["tlm"] = (
+                a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f
+            )
+
+        def skip_inline_image(lex: "_Lexer", data: bytes) -> None:
+            dic: dict = {}
+            while True:
+                lex.skip_ws()
+                if data[lex.pos : lex.pos + 1] == b"/":
+                    key = _parse_object(lex)
+                    dic[key] = _parse_object(lex)
+                    continue
+                if lex.token() != b"ID":
+                    raise ValueError("inline image dict: expected ID")
                 break
-            c = data[lex.pos : lex.pos + 1]
-            if c in b"/([<" or c.isdigit() or c in b"+-.":
-                operands.append(_parse_object(lex))
-                continue
-            op = lex.token()
-            if op == b"BI":
-                raise NotImplementedError("inline image (BI) in content stream")
-            if op == b"BT":
-                tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-            elif op == b"Tf" and operands:
-                size = float(operands[-1])
-            elif op == b"Tr" and operands:
-                mode = int(operands[-1])
-            elif op == b"TL" and operands:
-                leading = float(operands[-1])
-            elif op == b"Tm" and len(operands) >= 6:
-                tm = tlm = tuple(float(v) for v in operands[-6:])
-            elif op in (b"Td", b"TD") and len(operands) >= 2:
-                if op == b"TD":
-                    leading = -float(operands[-1])
-                tm = tlm = newline(float(operands[-2]), float(operands[-1]))
-            elif op == b"T*":
-                tm = tlm = newline(0.0, -leading)
-            elif op == b"Tj" and operands:
-                emit(operands[-1])
-            elif op == b"TJ" and operands:
-                emit(b"".join(x for x in operands[-1] if isinstance(x, bytes)))
-            elif op in (b"'", b'"') and operands:
-                tm = tlm = newline(0.0, -leading)
-                emit(operands[-1])
-            operands = []
+            lex.pos += 1  # the single whitespace byte after ID
+            ln = doc.resolve(dic.get("L", dic.get("Length")))
+            if isinstance(ln, int):
+                lex.pos += ln
+            while True:
+                j = data.find(b"EI", lex.pos)
+                if j < 0:
+                    raise ValueError("unterminated inline image (no EI)")
+                after = data[j + 2 : j + 3]
+                if data[j - 1 : j] in _WHITESPACE and (
+                    after == b"" or after in _WHITESPACE or after in _DELIMS
+                ):
+                    lex.pos = j + 2
+                    return
+                lex.pos = j + 1
+
+        def run(data: bytes, resources, depth: int) -> None:
+            if depth > 16:
+                raise ValueError("PDF form XObject nesting too deep")
+            lex = _Lexer(data)
+            operands: list = []
+            while True:
+                lex.skip_ws()
+                if lex.pos >= len(data):
+                    break
+                c = data[lex.pos : lex.pos + 1]
+                if c in b"/([<" or c.isdigit() or c in b"+-.":
+                    operands.append(_parse_object(lex))
+                    continue
+                op = lex.token()
+                if op == b"BI":
+                    skip_inline_image(lex, data)
+                elif op == b"BT":
+                    tmb["tm"] = tmb["tlm"] = _ID_MATRIX
+                elif op == b"q":
+                    gstack.append(dict(st))
+                elif op == b"Q":
+                    if gstack:
+                        st.clear()
+                        st.update(gstack.pop())
+                elif op == b"cm" and len(operands) >= 6:
+                    st["ctm"] = _mat_mul(
+                        tuple(float(v) for v in operands[-6:]), st["ctm"]
+                    )
+                elif op == b"Tf" and len(operands) >= 2:
+                    st["size"] = float(operands[-1])
+                    st["fname"] = (
+                        operands[-2] if isinstance(operands[-2], str) else None
+                    )
+                    st["font"] = (
+                        font_for(resources, st["fname"]) if st["fname"] else None
+                    )
+                elif op == b"Tr" and operands:
+                    st["mode"] = int(operands[-1])
+                elif op == b"Tc" and operands:
+                    st["tc"] = float(operands[-1])
+                elif op == b"Tw" and operands:
+                    st["tw"] = float(operands[-1])
+                elif op == b"Tz" and operands:
+                    st["hs"] = float(operands[-1]) / 100.0
+                elif op == b"TL" and operands:
+                    st["leading"] = float(operands[-1])
+                elif op == b"Tm" and len(operands) >= 6:
+                    tmb["tm"] = tmb["tlm"] = tuple(
+                        float(v) for v in operands[-6:]
+                    )
+                elif op in (b"Td", b"TD") and len(operands) >= 2:
+                    if op == b"TD":
+                        st["leading"] = -float(operands[-1])
+                    newline(float(operands[-2]), float(operands[-1]))
+                elif op == b"T*":
+                    newline(0.0, -st["leading"])
+                elif op == b"Tj" and operands:
+                    start = tmb["tm"]
+                    parts: "list[str]" = []
+                    show(operands[-1], parts)
+                    emit(start, "".join(parts))
+                elif op == b"TJ" and operands:
+                    start = tmb["tm"]
+                    parts = []
+                    for el in operands[-1]:
+                        if isinstance(el, bytes):
+                            show(el, parts)
+                        elif isinstance(el, (int, float)):
+                            if float(el) <= -tj_space_threshold:
+                                parts.append(" ")
+                            advance(
+                                -float(el) / 1000.0 * st["size"] * st["hs"]
+                            )
+                    emit(start, "".join(parts))
+                elif op in (b"'", b'"') and operands:
+                    if op == b'"' and len(operands) >= 3:
+                        st["tw"] = float(operands[-3])
+                        st["tc"] = float(operands[-2])
+                    newline(0.0, -st["leading"])
+                    start = tmb["tm"]
+                    parts = []
+                    show(operands[-1], parts)
+                    emit(start, "".join(parts))
+                elif op == b"Do" and operands:
+                    xobjs = doc.resolve((resources or {}).get("XObject")) or {}
+                    ref = xobjs.get(operands[-1])
+                    if ref is not None:
+                        fdic, raw = doc.stream(ref)
+                        if doc.resolve(fdic.get("Subtype")) == "Form":
+                            gstack.append(dict(st))
+                            mat = doc.resolve(fdic.get("Matrix")) or _ID_MATRIX
+                            st["ctm"] = _mat_mul(
+                                tuple(float(v) for v in mat), st["ctm"]
+                            )
+                            inner = doc.resolve(fdic.get("Resources")) or resources
+                            run(_apply_byte_filters(raw, fdic, doc), inner, depth + 1)
+                            st.clear()
+                            st.update(gstack.pop())
+                operands = []
+
+        run(_page_content(doc, page), page.get("Resources") or {}, 0)
         pages_out.append(words)
     return pages_out
+
+
+def _assemble_lines(words: "list[dict]", line_tol: float = 2.0) -> str:
+    """Line assembly from show records: cluster by y (within tol),
+    top-to-bottom lines, left-to-right words, single-space joined."""
+    lines: "list[list]" = []  # [y, [records]]
+    for rec in words:
+        if not rec["text"]:
+            continue
+        for entry in lines:
+            if abs(rec["y"] - entry[0]) <= line_tol:
+                entry[1].append(rec)
+                break
+        else:
+            lines.append([rec["y"], [rec]])
+    lines.sort(key=lambda e: -e[0])
+    out = []
+    for _, recs in lines:
+        recs.sort(key=lambda r: r["x"])
+        out.append(" ".join(r["text"] for r in recs))
+    return "\n".join(out)
+
+
+def pdf_page_text(payload: bytes, line_tol: float = 2.0) -> "list[str]":
+    """Plain text per page: :func:`extract_pdf_text` records assembled
+    into y-clustered, x-ordered lines — the born-digital fast path that
+    skips rasterize+OCR entirely when a text layer exists."""
+    return [_assemble_lines(w, line_tol) for w in extract_pdf_text(payload)]
 
 
 # -- fixture builder ----------------------------------------------------------
@@ -987,6 +1414,87 @@ def build_pdf(
                      objstm_nums=page_nums if xref_stream else None)
 
 
+def encode_tounicode_cmap(mapping: "dict[int, str]", code_bytes: int = 1) -> bytes:
+    """Deterministic ToUnicode CMap fixture: one codespacerange covering
+    the code width plus bfchar entries (chunked ≤100 per spec). Range
+    (bfrange) sections are hand-written where a test needs them."""
+    w = code_bytes * 2
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"1 begincodespacerange",
+        f"<{0:0{w}x}> <{(1 << (8 * code_bytes)) - 1:0{w}x}>".encode(),
+        b"endcodespacerange",
+    ]
+    items = sorted(mapping.items())
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        lines.append(f"{len(chunk)} beginbfchar".encode())
+        for code, s in chunk:
+            lines.append(
+                f"<{code:0{w}x}> <{s.encode('utf-16-be').hex()}>".encode()
+            )
+        lines.append(b"endbfchar")
+    lines += [b"endcmap", b"end", b"end"]
+    return b"\n".join(lines)
+
+
+def build_text_pdf(
+    pages_spec: "list[dict]", xref_stream: bool = False
+) -> bytes:
+    """Deterministic born-digital PDF fixture: one dict per page with
+    ``content`` (raw content-stream bytes), ``fonts`` ({resname: plain
+    /Font dict; a ``ToUnicodeCMap`` bytes entry becomes a real
+    ToUnicode stream ref}), and ``forms`` ({resname: {"content",
+    optional "matrix", "bbox", "fonts"}} — written as Form XObjects)."""
+    wr = PdfWriter()
+    alloc = wr.alloc
+
+    def font_res(fonts) -> dict:
+        out = {}
+        for name, spec in (fonts or {}).items():
+            spec = dict(spec)
+            cmap = spec.pop("ToUnicodeCMap", None)
+            if cmap is not None:
+                spec["ToUnicode"] = wr.put_stream(alloc(), {}, cmap)
+            spec.setdefault("Type", "Font")
+            out[name] = wr.put(alloc(), spec)
+        return out
+
+    catalog_num, pages_num = alloc(), alloc()
+    page_nums = []
+    for pspec in pages_spec:
+        res: dict = {"Font": font_res(pspec.get("fonts"))}
+        xobj = {}
+        for name, fs in (pspec.get("forms") or {}).items():
+            dic: dict = {"Type": "XObject", "Subtype": "Form",
+                         "BBox": list(fs.get("bbox", [0, 0, 612, 792]))}
+            if "matrix" in fs:
+                dic["Matrix"] = list(fs["matrix"])
+            if fs.get("fonts"):
+                dic["Resources"] = {"Font": font_res(fs["fonts"])}
+            xobj[name] = wr.put_stream(alloc(), dic, fs["content"])
+        if xobj:
+            res["XObject"] = xobj
+        content_ref = wr.put_stream(alloc(), {}, pspec["content"])
+        num = alloc()
+        page_nums.append(num)
+        wr.put(
+            num,
+            {"Type": "Page", "Parent": PdfRef(pages_num, 0),
+             "MediaBox": [0, 0, 612, 792], "Resources": res,
+             "Contents": content_ref},
+        )
+    root = wr.put(catalog_num, {"Type": "Catalog", "Pages": PdfRef(pages_num, 0)})
+    wr.put(
+        pages_num,
+        {"Type": "Pages", "Count": len(page_nums),
+         "Kids": [PdfRef(n, 0) for n in page_nums]},
+    )
+    return wr.finish(root, xref_stream=xref_stream)
+
+
 # -- Spark ops ----------------------------------------------------------------
 
 PDF_IMAGE_SCHEMA = StructType(
@@ -1070,3 +1578,41 @@ def extract_pdf_image_features(
             )
 
     return media.mapInPandas(feats, PDF_IMAGE_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("page_no", IntegerType(), False),
+        StructField("n_words", IntegerType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def extract_pdf_text_table(
+    media: DataFrame, line_tol: float = 2.0, id_col: str = "vec_id",
+    payload_col: str = "media",
+) -> DataFrame:
+    """Per-page text rows over Arrow batches: each PDF payload's text
+    layer decodes in-process (font encodings + ToUnicode CMaps, no
+    poppler) and yields assembled page text — the born-digital branch
+    of the extraction pipeline; payloads without a text layer yield
+    empty-text rows the caller routes to the OCR branch. Same
+    mapInPandas shape as :func:`extract_pdf_image_features`; one
+    Python stage, no shuffle."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for no, words in enumerate(extract_pdf_text(bytes(payload))):
+                    rows.append(
+                        (int(vid), no, sum(1 for w in words if w["text"]),
+                         _assemble_lines(words, line_tol))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "page_no", "n_words", "text"]
+            )
+
+    return media.mapInPandas(feats, PDF_TEXT_SCHEMA)

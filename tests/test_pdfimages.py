@@ -161,3 +161,173 @@ def test_searchable_pdf_text_roundtrip():
     assert pdfimages.probe_pdf(pay)["n_pages"] == 2
     plain = artifact.render_searchable_pdf(pages, 612.0, 792.0, compress=False)
     assert pdfimages.extract_pdf_text(plain)[1][0]["text"] == "page2"
+
+
+# -- font-decoded text extraction ---------------------------------------------
+
+
+def _one_page(content, fonts=None, forms=None, **kw):
+    spec = {"content": content, "fonts": fonts or {}}
+    if forms:
+        spec["forms"] = forms
+    return pdfimages.build_text_pdf([spec], **kw)
+
+
+def test_pdf_text_base_encodings_and_differences():
+    """Simple-font decoding through /Encoding: WinAnsiEncoding maps the
+    cp1252 high range (Euro, em-dash, e-acute), MacRomanEncoding its own
+    high range, and a /Differences array overrides codes by glyph name
+    (AGL names, uniXXXX convention, single-char names)."""
+    fonts = {
+        "Fw": {"Subtype": "Type1", "BaseFont": "Helvetica",
+               "Encoding": "WinAnsiEncoding"},
+        "Fm": {"Subtype": "Type1", "BaseFont": "Times-Roman",
+               "Encoding": "MacRomanEncoding"},
+        "Fd": {"Subtype": "Type1", "BaseFont": "Courier",
+               "Encoding": {"Type": "Encoding",
+                            "BaseEncoding": "WinAnsiEncoding",
+                            "Differences": [65, "eacute", "uni0142", "Z"]}},
+    }
+    content = (b"BT /Fw 10 Tf 72 700 Td (caf\xe9 \x80\x97) Tj "
+               b"/Fm 10 Tf 72 680 Td (caf\x8e) Tj "
+               b"/Fd 10 Tf 72 660 Td (ABC) Tj ET")
+    (page,) = pdfimages.extract_pdf_text(_one_page(content, fonts))
+    assert [w["text"] for w in page] == ["café €—", "café", "éłZ"]
+    assert [w["font"] for w in page] == ["Fw", "Fm", "Fd"]
+
+
+def test_pdf_text_tounicode_bfchar_and_bfrange():
+    """ToUnicode CMaps win over /Encoding: bfchar entries (via the
+    fixture encoder), hand-written bfrange sections in all three forms
+    (incrementing hex, array destination, surrogate-pair destination)."""
+    bfchar = pdfimages.encode_tounicode_cmap({0x41: "α", 0x42: "β"})
+    bfrange = b"\n".join([
+        b"/CIDInit /ProcSet findresource begin",
+        b"begincmap",
+        b"1 begincodespacerange", b"<00> <ff>", b"endcodespacerange",
+        b"1 beginbfrange", b"<20> <22> <0041>", b"endbfrange",
+        b"2 beginbfrange",
+        b"<30> <31> [<0058> <20ac>]",
+        b"<43> <43> <d834dd1e>",
+        b"endbfrange",
+        b"endcmap", b"end",
+    ])
+    fonts = {
+        "F1": {"Subtype": "Type1", "BaseFont": "Helvetica",
+               "ToUnicodeCMap": bfchar},
+        "F2": {"Subtype": "Type1", "BaseFont": "Helvetica",
+               "ToUnicodeCMap": bfrange},
+    }
+    content = (b"BT /F1 10 Tf 72 700 Td (ABx) Tj "
+               b"/F2 10 Tf 72 680 Td (\x20\x21\x2201C) Tj ET")
+    (page,) = pdfimages.extract_pdf_text(_one_page(content, fonts))
+    # F1: ToUnicode covers A,B; x falls through to latin-1 identity
+    assert page[0]["text"] == "αβx"
+    # F2: space..quotedbl increment to ABC; 0/1 via array; C is U+1D11E
+    assert page[1]["text"] == "ABC" + "X" + "€" + "\U0001d11e"
+
+
+def test_pdf_text_type0_identity_h():
+    """Type0 Identity-H consumes 2-byte CIDs: ToUnicode (2-byte
+    codespace) decodes them; a second Type0 without ToUnicode falls
+    back to CID-as-codepoint; /W + /DW drive the advance."""
+    cmap = pdfimages.encode_tounicode_cmap(
+        {1: "H", 2: "i", 10: "→"}, code_bytes=2
+    )
+    fonts = {
+        "T0": {"Subtype": "Type0", "BaseFont": "T0", "Encoding": "Identity-H",
+               "DescendantFonts": [
+                   {"Subtype": "CIDFontType2", "BaseFont": "T0", "DW": 600,
+                    "W": [1, [500, 520], 10, 12, 800]}],
+               "ToUnicodeCMap": cmap},
+        "T1": {"Subtype": "Type0", "BaseFont": "T1", "Encoding": "Identity-H",
+               "DescendantFonts": [
+                   {"Subtype": "CIDFontType2", "BaseFont": "T1"}]},
+        "F1": {"Subtype": "Type1", "BaseFont": "Helvetica"},
+    }
+    content = (b"BT /T0 10 Tf 100 700 Td <0001000200010000000a> Tj "
+               b"/F1 10 Tf (after) Tj "
+               b"/T1 10 Tf 100 680 Td <00410042> Tj ET")
+    (page,) = pdfimages.extract_pdf_text(_one_page(content, fonts))
+    assert page[0]["text"] == "HiH�→"  # CID 0 unmapped → replacement
+    # advance: 500+520+500+600(DW)+800 thousandths at size 10 = 29.2pt
+    assert page[1]["text"] == "after"
+    assert page[1]["x"] == pytest.approx(100 + 29.2)
+    assert page[2]["text"] == "AB"  # no ToUnicode: CID as codepoint
+
+
+def test_pdf_text_widths_kerning_and_spacing():
+    """/Widths + /FirstChar advance the text matrix between shows; a TJ
+    kern offset ≤ -180/1000 em inserts a word gap, smaller ones don't;
+    Tc character spacing joins the advance."""
+    fonts = {"F1": {"Subtype": "Type1", "BaseFont": "Helvetica",
+                    "FirstChar": 65, "Widths": [600, 400]}}
+    content = (b"BT /F1 10 Tf 100 700 Td (A) Tj (B) Tj ET "
+               b"BT /F1 10 Tf 100 680 Td [(A) -250 (B)] TJ ET "
+               b"BT /F1 10 Tf 100 660 Td [(A) -100 (B)] TJ ET "
+               b"BT /F1 10 Tf 2 Tc 100 640 Td (A) Tj (B) Tj ET")
+    (page,) = pdfimages.extract_pdf_text(_one_page(content, fonts))
+    assert page[0]["text"] == "A" and page[1]["text"] == "B"
+    assert page[1]["x"] == pytest.approx(106.0)  # 600/1000 * 10
+    assert page[2]["text"] == "A B"   # -250 ≤ -180 → space
+    assert page[3]["text"] == "AB"    # -100 > -180 → no space
+    assert page[5]["x"] == pytest.approx(108.0)  # 6.0 width + 2.0 Tc
+
+
+def test_pdf_text_cm_form_xobject_and_state():
+    """q/cm/Q transform emitted device coordinates; Do on a Form
+    XObject recurses with its /Matrix folded into the CTM and its own
+    font resources; graphics+text state is restored afterwards."""
+    form = {"content": b"BT /Ff 12 Tf 0 0 Td (formtext) Tj ET",
+            "matrix": [1, 0, 0, 1, 200, 300],
+            "fonts": {"Ff": {"Subtype": "Type1", "BaseFont": "Helvetica"}}}
+    fonts = {"F1": {"Subtype": "Type1", "BaseFont": "Helvetica"}}
+    content = (b"q 1 0 0 1 50 20 cm BT /F1 10 Tf 10 10 Td (in-cm) Tj ET Q "
+               b"/Fx Do "
+               b"BT /F1 8 Tf 5 5 Td (after) Tj ET")
+    (page,) = pdfimages.extract_pdf_text(
+        _one_page(content, fonts, forms={"Fx": form})
+    )
+    by_text = {w["text"]: w for w in page}
+    assert by_text["in-cm"]["x"] == 60.0 and by_text["in-cm"]["y"] == 30.0
+    assert by_text["formtext"]["x"] == 200.0 and by_text["formtext"]["y"] == 300.0
+    assert by_text["formtext"]["font"] == "Ff"
+    assert by_text["after"]["x"] == 5.0 and by_text["after"]["size"] == 8.0
+
+
+def test_pdf_text_inline_image_skipped():
+    """BI…EI inline images skip structurally — by scan when unsized,
+    by /L byte length when the binary contains a decoy ' EI '."""
+    fonts = {"F1": {"Subtype": "Type1", "BaseFont": "Helvetica"}}
+    content = (b"BT /F1 10 Tf 72 700 Td (before) Tj ET "
+               b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00\x01\x02\x03 EI "
+               b"BT /F1 10 Tf 72 680 Td (mid) Tj ET "
+               b"BI /W 1 /H 1 /L 5 ID a EI  EI "
+               b"BT /F1 10 Tf 72 660 Td (end) Tj ET")
+    (page,) = pdfimages.extract_pdf_text(_one_page(content, fonts))
+    assert [w["text"] for w in page] == ["before", "mid", "end"]
+
+
+def test_pdf_page_text_assembly_and_spark_table(spark):
+    """pdf_page_text clusters records into y-ordered lines with
+    x-ordered words; extract_pdf_text_table carries the same per-page
+    text through one mapInPandas stage (xref-stream layout included)."""
+    fonts = {"F1": {"Subtype": "Type1", "BaseFont": "Helvetica"}}
+    content = (b"BT /F1 10 Tf 150 700 Td (world) Tj ET "
+               b"BT /F1 10 Tf 72 700.5 Td (hello) Tj ET "
+               b"BT /F1 10 Tf 72 650 Td (second line) Tj ET")
+    pay = pdfimages.build_text_pdf(
+        [{"content": content, "fonts": fonts},
+         {"content": b"BT /F1 9 Tf 36 36 Td (page2) Tj ET",
+          "fonts": fonts}],
+        xref_stream=True,
+    )
+    assert pdfimages.pdf_page_text(pay) == ["hello world\nsecond line", "page2"]
+    media = spark.createDataFrame(
+        [(7, bytearray(pay))], "vec_id long, media binary"
+    )
+    rows = {(r.page_no): r for r in
+            pdfimages.extract_pdf_text_table(media).collect()}
+    assert rows[0].text == "hello world\nsecond line"
+    assert rows[0].n_words == 3 and rows[1].text == "page2"
+    assert rows[0].vec_id == 7
