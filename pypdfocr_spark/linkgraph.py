@@ -38,9 +38,10 @@ shuffles only the slim (node, rank) relation into that layout, joins,
 and runs one map-side-combinable sum per ``dst``. Per iteration that is
 ONE small shuffle (ranks, |V| rows) plus one aggregation shuffle
 (|E|→|V| after partial aggs); the |E|-row edge table never moves again.
-The dangling mass and the node count are single scalars collected per
-iteration — driver-side by design, like the k-means centroid loop
-(`similarity.py` kmeans_centroids): they are O(1) values, not data.
+The dangling mass is a 1-row aggregate broadcast INTO the rank-update
+plan (nested-loop join against one row), so an iteration is one Spark
+job with no driver collect — the only per-iteration driver work is the
+materialize barrier that lets the previous ranks unpersist.
 Lineage is cut with ``localCheckpoint`` every ``checkpoint_interval``
 iterations so the plan does not grow with the iteration count.
 
@@ -383,12 +384,14 @@ def pagerank(
     ranks.count()
 
     for it in range(iterations):
-        row = (
+        # dangling mass stays IN the plan: a 1-row aggregate broadcast
+        # into the rank update (nested-loop join against one row), so an
+        # iteration is ONE job — no per-iteration driver collect/barrier
+        # (at cluster scale that round trip is latency × iterations)
+        dangling = (
             ranks.join(danglers, "node", "left_semi")
-            .agg(F.sum("rank").alias("m"))
-            .collect()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
-        dangling_mass = float(row["m"] or 0.0)
         contribs = (
             ranks.withColumnRenamed("node", "src")
             .join(edges_norm, "src")
@@ -399,6 +402,7 @@ def pagerank(
             nodes_t.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left"
             )
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -406,7 +410,7 @@ def pagerank(
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling_mass) * F.col("tele")
+                        + F.col("dangling_mass") * F.col("tele")
                     )
                 ).alias("rank"),
             )
