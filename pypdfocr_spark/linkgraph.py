@@ -38,10 +38,9 @@ shuffles only the slim (node, rank) relation into that layout, joins,
 and runs one map-side-combinable sum per ``dst``. Per iteration that is
 ONE small shuffle (ranks, |V| rows) plus one aggregation shuffle
 (|E|→|V| after partial aggs); the |E|-row edge table never moves again.
-The dangling mass is a 1-row aggregate broadcast INTO the rank-update
-plan (nested-loop join against one row), so an iteration is one Spark
-job with no driver collect — the only per-iteration driver work is the
-materialize barrier that lets the previous ranks unpersist.
+The dangling mass and the node count are single scalars collected per
+iteration — driver-side by design, like the k-means centroid loop
+(`similarity.py` kmeans_centroids): they are O(1) values, not data.
 Lineage is cut with ``localCheckpoint`` every ``checkpoint_interval``
 iterations so the plan does not grow with the iteration count.
 
@@ -384,14 +383,20 @@ def pagerank(
     ranks.count()
 
     for it in range(iterations):
-        # dangling mass stays IN the plan: a 1-row aggregate broadcast
-        # into the rank update (nested-loop join against one row), so an
-        # iteration is ONE job — no per-iteration driver collect/barrier
-        # (at cluster scale that round trip is latency × iterations)
-        dangling = (
+        # dangling mass is an O(1) scalar collected per iteration, like
+        # the k-means centroid loop. Folding it into the update plan as
+        # a broadcast 1-row aggregate (crossJoin or constant-key BHJ)
+        # was measured ~2x SLOWER per iteration (19 s vs 9 s for 8
+        # iterations at 2M edges, local[16]) - the in-plan broadcast
+        # exchange serializes against the main stages and the extra
+        # join sits on the |V|-row update path; the literal keeps the
+        # update inside one whole-stage-codegen span.
+        row = (
             ranks.join(danglers, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]
         )
+        dangling_mass = float(row["m"] or 0.0)
         contribs = (
             ranks.withColumnRenamed("node", "src")
             .join(edges_norm, "src")
@@ -402,7 +407,6 @@ def pagerank(
             nodes_t.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left"
             )
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -410,7 +414,7 @@ def pagerank(
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling_mass") * F.col("tele")
+                        + F.lit(dangling_mass) * F.col("tele")
                     )
                 ).alias("rank"),
             )
