@@ -38,9 +38,10 @@ shuffles only the slim (node, rank) relation into that layout, joins,
 and runs one map-side-combinable sum per ``dst``. Per iteration that is
 ONE small shuffle (ranks, |V| rows) plus one aggregation shuffle
 (|E|→|V| after partial aggs); the |E|-row edge table never moves again.
-The dangling mass and the node count are single scalars collected per
-iteration — driver-side by design, like the k-means centroid loop
-(`similarity.py` kmeans_centroids): they are O(1) values, not data.
+The dangling mass is a single O(1) scalar per iteration, collected by
+the same action that materializes the new ranks (one Spark job and one
+driver barrier per iteration), like the k-means centroid loop
+(`similarity.py` kmeans_centroids): it is a value, not data.
 Lineage is cut with ``localCheckpoint`` every ``checkpoint_interval``
 iterations so the plan does not grow with the iteration count.
 
@@ -379,24 +380,30 @@ def pagerank(
     danglers.count()
 
     d = float(damping)
-    ranks = nodes_t.select("node", F.col("tele").alias("rank")).persist()
-    ranks.count()
 
-    for it in range(iterations):
-        # dangling mass is an O(1) scalar collected per iteration, like
-        # the k-means centroid loop. Folding it into the update plan as
-        # a broadcast 1-row aggregate (crossJoin or constant-key BHJ)
-        # was measured ~2x SLOWER per iteration (19 s vs 9 s for 8
-        # iterations at 2M edges, local[16]) - the in-plan broadcast
-        # exchange serializes against the main stages and the extra
-        # join sits on the |V|-row update path; the literal keeps the
-        # update inside one whole-stage-codegen span.
+    def dangling_mass_of(r: DataFrame) -> float:
+        # an O(1) scalar per iteration, like the k-means centroid loop.
+        # It is collected by the ACTION THAT MATERIALIZES the ranks it
+        # reads (replacing the bare count()), so an iteration is one
+        # Spark job, not two — at cluster scale that is one driver
+        # barrier per iteration instead of two. Folding it into the
+        # update plan instead, as a broadcast 1-row aggregate (crossJoin
+        # /BNLJ or a constant-key BHJ), was measured ~2x SLOWER per
+        # iteration (19 s vs 9 s for 8 iterations at 2M edges,
+        # local[16]): the in-plan broadcast exchange serializes against
+        # the main stages and the extra join sits on the |V|-row update
+        # path; the literal keeps the update in one codegen span.
         row = (
-            ranks.join(danglers, "node", "left_semi")
+            r.join(danglers, "node", "left_semi")
             .agg(F.sum("rank").alias("m"))
             .collect()[0]
         )
-        dangling_mass = float(row["m"] or 0.0)
+        return float(row["m"] or 0.0)
+
+    ranks = nodes_t.select("node", F.col("tele").alias("rank")).persist()
+    dangling_mass = dangling_mass_of(ranks)
+
+    for it in range(iterations):
         contribs = (
             ranks.withColumnRenamed("node", "src")
             .join(edges_norm, "src")
@@ -423,7 +430,8 @@ def pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=True)
         else:
             new_ranks = new_ranks.persist()
-            new_ranks.count()
+        # materializes new_ranks AND yields the next iteration's scalar
+        dangling_mass = dangling_mass_of(new_ranks)
         ranks.unpersist()
         ranks = new_ranks
 
