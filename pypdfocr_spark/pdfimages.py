@@ -218,7 +218,7 @@ class PdfDocument:
     a brute ``N G obj`` scan fallback for broken xrefs, page-tree walk
     with /Resources inheritance."""
 
-    def __init__(self, payload: bytes):
+    def __init__(self, payload: bytes, password: "bytes | str" = b""):
         self.data = bytes(payload)
         if not self.data.lstrip(b"\xef\xbb\xbf").startswith(b"%PDF-"):
             raise ValueError("not a PDF payload (missing %PDF- header)")
@@ -226,6 +226,8 @@ class PdfDocument:
         self.offsets: dict[int, int] = {}
         self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm num, idx)
         self.trailer: dict = {}
+        self._decryptor = None
+        self._encrypt_num = None
         try:
             self._load_xref_chain()
         except (ValueError, KeyError, IndexError):
@@ -233,7 +235,21 @@ class PdfDocument:
         if not self.offsets:
             self._brute_scan()
         if "Encrypt" in self.trailer:
-            raise NotImplementedError("encrypted PDF: decryption needs keys")
+            # standard security handler (pdfcrypt). The /Encrypt dict and
+            # its /O /U strings are themselves never encrypted; objects
+            # cached while the decryptor was absent are purged after.
+            from . import pdfcrypt
+
+            enc_ref = self.trailer["Encrypt"]
+            if isinstance(enc_ref, PdfRef):
+                self._encrypt_num = enc_ref.num
+            enc = self.resolve(enc_ref)
+            ids = self.resolve(self.trailer.get("ID")) or [b""]
+            pw = password.encode("utf-8") if isinstance(password, str) else password
+            self._decryptor = pdfcrypt.StandardDecryptor(
+                enc, bytes(self.resolve(ids[0]) or b""), pw
+            )
+            self._cache.clear()
         if "Root" not in self.trailer:
             # brute path: find any /Type /Catalog object
             for num in list(self.offsets):
@@ -282,7 +298,7 @@ class PdfDocument:
                         self.offsets.setdefault(first + k, int(off))
                     lex.pos += 20
         # xref stream: "N G obj << /Type /XRef ... >> stream"
-        num, dic, raw = self._parse_indirect_at(offset)
+        num, _gen, dic, raw = self._parse_indirect_at(offset)
         if dic.get("Type") != "XRef":
             raise ValueError(f"object at xref offset {offset} is not an XRef stream")
         data = _apply_byte_filters(raw, dic, self)
@@ -334,7 +350,7 @@ class PdfDocument:
     def _parse_indirect_at(self, offset: int):
         lex = _Lexer(self.data, offset)
         num = int(lex.token())
-        int(lex.token())  # generation
+        gen = int(lex.token())
         if lex.token() != b"obj":
             raise ValueError(f"no object at byte {offset}")
         obj = _parse_object(lex)
@@ -352,13 +368,49 @@ class PdfDocument:
             raw = self.data[lex.pos : lex.pos + length]
             if len(raw) < length:
                 raise ValueError("truncated PDF stream")
-        return num, obj, raw
+        return num, gen, obj, raw
+
+    def _decrypt_strings(self, obj, num: int, gen: int):
+        """Strings inside a directly-stored indirect object are encrypted
+        with that object's (num, gen); names/numbers/refs are not.
+        Object-stream members never reach here — their strings are
+        covered by the container stream's encryption (§7.6.2)."""
+        if isinstance(obj, bytes):
+            return self._decryptor.decrypt(obj, num, gen, "string")
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, num, gen) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, num, gen) for k, v in obj.items()}
+        return obj
+
+    def _stream_skips_decrypt(self, dic: dict) -> bool:
+        """XRef streams are never encrypted; /Crypt Identity in the
+        filter chain opts a stream out; metadata streams are plaintext
+        when /EncryptMetadata false."""
+        if dic.get("Type") == "XRef":
+            return True
+        if not self._decryptor.encrypt_metadata and dic.get("Type") == "Metadata":
+            return True
+        filters = dic.get("Filter")
+        filters = [filters] if isinstance(filters, str) else (filters or [])
+        if "Crypt" in filters:
+            parms = dic.get("DecodeParms", dic.get("DP"))
+            parms = [parms] if isinstance(parms, dict) or parms is None else parms
+            for f, p in zip(filters, list(parms) + [None] * len(filters)):
+                if f == "Crypt":
+                    name = (p or {}).get("Name", "Identity")
+                    return name == "Identity"
+        return False
 
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
         if num in self.offsets:
-            _, obj, raw = self._parse_indirect_at(self.offsets[num])
+            _, gen, obj, raw = self._parse_indirect_at(self.offsets[num])
+            if self._decryptor is not None and num != self._encrypt_num:
+                obj = self._decrypt_strings(obj, num, gen)
+                if raw is not None and not self._stream_skips_decrypt(obj):
+                    raw = self._decryptor.decrypt(raw, num, gen, "stream")
             value = (obj, raw) if raw is not None else obj
         elif num in self.in_objstm:
             stm_num, idx = self.in_objstm[num]
@@ -439,6 +491,7 @@ def _filter_chain(dic: dict, doc: "PdfDocument"):
     return [
         (_FILTER_ALIASES.get(f, f), doc.resolve(p) or {})
         for f, p in zip(filters, parms)
+        if f != "Crypt"  # decryption happened at object load (§7.4.10)
     ]
 
 
@@ -633,11 +686,11 @@ def _unpack_samples(data: bytes, w: int, h: int, bpc: int, n_comp: int) -> "np.n
     raise NotImplementedError(f"PDF BitsPerComponent {bpc}")
 
 
-def probe_pdf(payload: bytes) -> dict:
+def probe_pdf(payload: bytes, password: "bytes | str" = b"") -> dict:
     """Page/image inventory without decoding any raster — the
     ``pdfimages -list`` replacement (ref: pypdfocr_gs.py:121): per-image
     page number, name, dimensions, bits, and filter chain."""
-    doc = PdfDocument(payload)
+    doc = PdfDocument(payload, password=password)
     pages = doc.pages()
     images = []
     for no, page in enumerate(pages):
@@ -659,12 +712,13 @@ def probe_pdf(payload: bytes) -> dict:
 
 
 def extract_pdf_images(
-    payload: bytes, pages: "list[int] | None" = None
+    payload: bytes, pages: "list[int] | None" = None,
+    password: "bytes | str" = b"",
 ) -> "Iterator[tuple[int, str, np.ndarray]]":
     """Decode every image XObject on the requested pages, yielding
     (page_no, name, ndarray) — the extraction half of ``pdfimages``,
     in-process. Pages not requested cost a dictionary walk, no decode."""
-    doc = PdfDocument(payload)
+    doc = PdfDocument(payload, password=password)
     want = None if pages is None else set(pages)
     for no, page in enumerate(doc.pages()):
         if want is not None and no not in want:
@@ -964,7 +1018,8 @@ class _FontDecoder:
 
 
 def extract_pdf_text(
-    payload: bytes, tj_space_threshold: float = 180.0
+    payload: bytes, tj_space_threshold: float = 180.0,
+    password: "bytes | str" = b"",
 ) -> "list[list[dict]]":
     """Text-layer extraction from content streams — the read half of
     the searchable-PDF round trip (the reference WRITES this layer, ref:
@@ -983,7 +1038,7 @@ def extract_pdf_text(
     of an em — the conventional word-gap cut) inserts a space."""
     import math
 
-    doc = PdfDocument(payload)
+    doc = PdfDocument(payload, password=password)
     font_cache: "dict[object, _FontDecoder]" = {}
 
     def font_for(resources, name):
@@ -1192,11 +1247,16 @@ def _assemble_lines(words: "list[dict]", line_tol: float = 2.0) -> str:
     return "\n".join(out)
 
 
-def pdf_page_text(payload: bytes, line_tol: float = 2.0) -> "list[str]":
+def pdf_page_text(
+    payload: bytes, line_tol: float = 2.0, password: "bytes | str" = b""
+) -> "list[str]":
     """Plain text per page: :func:`extract_pdf_text` records assembled
     into y-clustered, x-ordered lines — the born-digital fast path that
     skips rasterize+OCR entirely when a text layer exists."""
-    return [_assemble_lines(w, line_tol) for w in extract_pdf_text(payload)]
+    return [
+        _assemble_lines(w, line_tol)
+        for w in extract_pdf_text(payload, password=password)
+    ]
 
 
 # -- fixture builder ----------------------------------------------------------
@@ -1224,16 +1284,45 @@ def _ser(v) -> bytes:
     return str(v).encode()
 
 
+def _ser_enc(v, enc, num: int) -> bytes:
+    """Like :func:`_ser` but every string (bytes) leaf is encrypted with
+    the object's number first — how strings are stored in an encrypted
+    PDF (§7.6.2); names, numbers, and refs are never encrypted."""
+    if isinstance(v, dict):
+        return b"<< " + b" ".join(
+            b"/" + k.encode() + b" " + _ser_enc(x, enc, num) for k, x in v.items()
+        ) + b" >>"
+    if isinstance(v, list):
+        return b"[ " + b" ".join(_ser_enc(x, enc, num) for x in v) + b" ]"
+    if isinstance(v, bytes):
+        return _ser(enc.encrypt(v, num))
+    return _ser(v)
+
+
+def _encryptor_for(mode: "str | None", user_pw: bytes = b""):
+    if mode is None:
+        return None
+    from . import pdfcrypt
+
+    return pdfcrypt.StandardEncryptor(mode=mode, user_pw=user_pw)
+
+
 class PdfWriter:
     """Deterministic PDF emitter shared by the fixture builder and the
     searchable-document artifact: numbered objects/streams, then either
     a classic xref table or a PDF 1.5 xref STREAM (optionally packing
-    chosen plain objects into an object STREAM)."""
+    chosen plain objects into an object STREAM). With ``encryptor`` (a
+    :class:`pdfcrypt.StandardEncryptor`) streams and object strings are
+    encrypted per object; the xref stream and the /Encrypt dictionary
+    stay plaintext and objects packed into an object stream keep their
+    strings plain (the container stream's encryption covers them)."""
 
-    def __init__(self):
+    def __init__(self, encryptor=None):
         self.objects: "dict[int, bytes]" = {}
         self.streams: "dict[int, tuple[bytes, bytes]]" = {}
         self._next = 1
+        self.encryptor = encryptor
+        self._plain_ser: "dict[int, bytes]" = {}
 
     def alloc(self) -> int:
         n = self._next
@@ -1241,13 +1330,24 @@ class PdfWriter:
         return n
 
     def put(self, num: int, obj) -> PdfRef:
-        self.objects[num] = _ser(obj)
+        if self.encryptor is not None:
+            self.objects[num] = _ser_enc(obj, self.encryptor, num)
+            self._plain_ser[num] = _ser(obj)
+        else:
+            self.objects[num] = _ser(obj)
         return PdfRef(num, 0)
 
-    def put_stream(self, num: int, dic: dict, raw: bytes) -> PdfRef:
+    def put_stream(
+        self, num: int, dic: dict, raw: bytes, encrypt: bool = True
+    ) -> PdfRef:
         dic = dict(dic)
-        dic["Length"] = len(raw)
-        self.streams[num] = (_ser(dic), raw)
+        if self.encryptor is not None and encrypt:
+            raw = self.encryptor.encrypt(raw, num)
+            dic["Length"] = len(raw)
+            self.streams[num] = (_ser_enc(dic, self.encryptor, num), raw)
+        else:
+            dic["Length"] = len(raw)
+            self.streams[num] = (_ser(dic), raw)
         return PdfRef(num, 0)
 
     def finish(
@@ -1256,6 +1356,12 @@ class PdfWriter:
     ) -> bytes:
         import struct
 
+        enc_ref = None
+        if self.encryptor is not None:
+            enc_num = self.alloc()
+            # deliberately plain _ser: /O /U /UE… are never encrypted
+            self.objects[enc_num] = _ser(self.encryptor.encrypt_dict())
+            enc_ref = PdfRef(enc_num, 0)
         out = bytearray(
             b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else b"%PDF-1.4\n"
         )
@@ -1264,7 +1370,13 @@ class PdfWriter:
         plain = dict(self.objects)
         if xref_stream and objstm_nums:
             objstm_num = self.alloc()
-            bodies = [plain.pop(n) for n in objstm_nums]
+            # members keep plain strings — the container stream's
+            # encryption covers them (§7.6.2)
+            bodies = [
+                self._plain_ser.get(n, plain[n]) for n in objstm_nums
+            ]
+            for n in objstm_nums:
+                del plain[n]
             offs = []
             pos = 0
             for b in bodies:
@@ -1302,6 +1414,9 @@ class PdfWriter:
                 rows += bytes([t]) + struct.pack(">I", a) + bytes([b])
             xdic = {"Type": "XRef", "Size": size, "W": [1, 4, 1],
                     "Index": [0, size], "Root": root, "Length": len(rows)}
+            if enc_ref is not None:
+                xdic["Encrypt"] = enc_ref
+                xdic["ID"] = [self.encryptor.id0, self.encryptor.id0]
             xref_off = len(out)
             out += f"{xref_num} 0 obj\n".encode() + _ser(xdic)
             out += b"\nstream\n" + bytes(rows) + b"\nendstream\nendobj\n"
@@ -1313,22 +1428,28 @@ class PdfWriter:
             out += b"0000000000 65535 f \n"
             for n in range(1, size):
                 out += f"{offsets[n]:010d} 00000 n \n".encode()
-            out += b"trailer\n" + _ser({"Size": size, "Root": root})
+            trailer = {"Size": size, "Root": root}
+            if enc_ref is not None:
+                trailer["Encrypt"] = enc_ref
+                trailer["ID"] = [self.encryptor.id0, self.encryptor.id0]
+            out += b"trailer\n" + _ser(trailer)
             out += b"\nstartxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
         return bytes(out)
 
 
 def build_pdf(
-    pages_spec: "list[list[dict]]", xref_stream: bool = False
+    pages_spec: "list[list[dict]]", xref_stream: bool = False,
+    encrypt: "str | None" = None, user_pw: bytes = b"",
 ) -> bytes:
     """Deterministic PDF fixture builder: one entry per page, each a
     list of image specs {"img": ndarray, "filter": "flate" | "flate_png"
     | "lzw" | "rle" | "ahx" | "a85" | "dct" | "g4" | "raw"}. With
     ``xref_stream`` the file uses a PDF 1.5 cross-reference STREAM and
-    packs the page dicts into an object STREAM — the modern layout."""
+    packs the page dicts into an object STREAM — the modern layout.
+    ``encrypt``: None, or a pdfcrypt mode ("rc4" | "aesv2" | "aesv3")."""
     import zlib
 
-    wr = PdfWriter()
+    wr = PdfWriter(encryptor=_encryptor_for(encrypt, user_pw))
     alloc = wr.alloc
     ser = _ser
 
@@ -1441,14 +1562,15 @@ def encode_tounicode_cmap(mapping: "dict[int, str]", code_bytes: int = 1) -> byt
 
 
 def build_text_pdf(
-    pages_spec: "list[dict]", xref_stream: bool = False
+    pages_spec: "list[dict]", xref_stream: bool = False,
+    encrypt: "str | None" = None, user_pw: bytes = b"",
 ) -> bytes:
     """Deterministic born-digital PDF fixture: one dict per page with
     ``content`` (raw content-stream bytes), ``fonts`` ({resname: plain
     /Font dict; a ``ToUnicodeCMap`` bytes entry becomes a real
     ToUnicode stream ref}), and ``forms`` ({resname: {"content",
     optional "matrix", "bbox", "fonts"}} — written as Form XObjects)."""
-    wr = PdfWriter()
+    wr = PdfWriter(encryptor=_encryptor_for(encrypt, user_pw))
     alloc = wr.alloc
 
     def font_res(fonts) -> dict:
@@ -1515,13 +1637,16 @@ PDF_IMAGE_SCHEMA = StructType(
 
 def pdf_media_table(
     emb: DataFrame, width: int = 8, filters: "tuple[str, ...]" = ("flate", "g4"),
-    xref_stream: bool = False,
+    xref_stream: bool = False, encrypt: "str | None" = None,
 ) -> DataFrame:
     """Deterministic synthetic scanned-PDF media table: each vector
     becomes a one-page PDF whose image XObjects carry the SAME raster
     the other media tables derive — a grayscale image per requested
     filter ("g4" thresholds it bilevel). Real PDF payloads for the
-    extraction path without external data."""
+    extraction path without external data. ``encrypt`` wraps every
+    payload with the standard security handler at an empty user
+    password ("rc4" | "aesv2" | "aesv3") — the DRM-style encrypted-but-
+    openable PDFs a real crawl contains."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1536,7 +1661,9 @@ def pdf_media_table(
                 for filt in filters:
                     img = ((gray >= 128) * np.uint8(255)) if filt == "g4" else gray
                     specs.append({"img": img, "filter": filt})
-                payloads.append(build_pdf([specs], xref_stream=xref_stream))
+                payloads.append(
+                    build_pdf([specs], xref_stream=xref_stream, encrypt=encrypt)
+                )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].astype("int64"),

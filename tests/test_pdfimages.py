@@ -87,9 +87,10 @@ def test_pdf_probe_pages_and_layouts():
 
     with pytest.raises(ValueError, match="missing %PDF"):
         pdfimages.PdfDocument(b"GIF89a nope")
+    # a non-Standard security handler is out of scope and says so
     enc = pdfimages.build_pdf([[{"img": gray, "filter": "flate"}]])
     enc = enc.replace(b"/Root", b"/Encrypt 1 0 R /Root")
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(NotImplementedError, match="security handler"):
         pdfimages.PdfDocument(enc)
 
 
