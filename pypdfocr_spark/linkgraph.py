@@ -355,10 +355,33 @@ def pagerank(
         tele = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
     else:
         tele = F.lit(1.0 / n_nodes)
-    nodes_t = nodes.select("node", tele.alias("tele")).persist()
+    outw = e.groupBy("src").agg(F.sum("w").alias("w_total"))
+    # dangling-ness is a static property of the graph — fold it into the
+    # pinned node relation as one boolean column, so the per-iteration
+    # dangling mass is a conditional sum inside the action that
+    # materializes the ranks, NOT a join. The previous form (a per-
+    # iteration left_semi against a persisted dangler set) planned as a
+    # BroadcastHashJoin under AQE: every iteration collected + built an
+    # O(|V|) broadcast on the driver — a serial cost that neither
+    # shrinks with cores (measured: it was most of the 1.9 s/iter floor
+    # at local[16]) nor exists at 10^12 scale, where |V| cannot
+    # broadcast at all.
+    nodes_t = (
+        nodes.join(
+            outw.select(F.col("src").alias("node"), F.lit(False).alias("d0")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            tele.alias("tele"),
+            F.coalesce(F.col("d0"), F.lit(True)).alias("dang"),
+        )
+        .repartition(p, "node")
+        .persist()
+    )
     nodes_t.count()
 
-    outw = e.groupBy("src").agg(F.sum("w").alias("w_total"))
     # normalized once: frac = w(u,v)/W(u); partitioned by src and pinned
     # so the |E|-row side never reshuffles across iterations
     edges_norm = (
@@ -370,49 +393,51 @@ def pagerank(
         .persist()
     )
     edges_norm.count()
-    danglers = (
-        nodes.join(
-            outw.select(F.col("src").alias("node")), "node", "left_anti"
-        )
-        .repartition(p, "node")
-        .persist()
-    )
-    danglers.count()
 
     d = float(damping)
 
     def dangling_mass_of(r: DataFrame) -> float:
-        # an O(1) scalar per iteration, like the k-means centroid loop.
-        # It is collected by the ACTION THAT MATERIALIZES the ranks it
-        # reads (replacing the bare count()), so an iteration is one
-        # Spark job, not two — at cluster scale that is one driver
-        # barrier per iteration instead of two. Folding it into the
-        # update plan instead, as a broadcast 1-row aggregate (crossJoin
-        # /BNLJ or a constant-key BHJ), was measured ~2x SLOWER per
-        # iteration (19 s vs 9 s for 8 iterations at 2M edges,
-        # local[16]): the in-plan broadcast exchange serializes against
-        # the main stages and the extra join sits on the |V|-row update
-        # path; the literal keeps the update in one codegen span.
-        row = (
-            r.join(danglers, "node", "left_semi")
-            .agg(F.sum("rank").alias("m"))
-            .collect()[0]
-        )
+        # an O(1) scalar per iteration, like the k-means centroid loop:
+        # collected by the ACTION THAT MATERIALIZES the ranks it reads,
+        # so an iteration is one Spark job (one driver barrier). The
+        # scalar stays a plan literal rather than an in-plan broadcast
+        # aggregate — the crossJoin/BNLJ fusion was measured ~2x SLOWER
+        # per iteration (19 s vs 9 s for 8 iterations at 2M edges,
+        # local[16]): the broadcast exchange serializes against the main
+        # stages, while the literal keeps the update in one codegen span.
+        row = r.agg(
+            F.sum(F.when(F.col("dang"), F.col("rank"))).alias("m")
+        ).collect()[0]
         return float(row["m"] or 0.0)
 
-    ranks = nodes_t.select("node", F.col("tele").alias("rank")).persist()
+    ranks = nodes_t.select(
+        "node", F.col("tele").alias("rank"), "dang"
+    ).persist()
     dangling_mass = dangling_mass_of(ranks)
 
     for it in range(iterations):
+        # shuffle_hash hints on the slim sides: both joins are already
+        # co-partitioned (ranks/contribs hashed on node=src/dst at p
+        # partitions), so the SHJ is exchange-free and partition-local.
+        # Without the hint AQE broadcasts the |V|-row side every
+        # iteration (it is under the threshold at test scale) — a serial
+        # driver build that breaks core-count scaling locally and is
+        # impossible at a 10^9-host graph.
         contribs = (
             ranks.withColumnRenamed("node", "src")
+            .drop("dang")
+            .hint("shuffle_hash")
             .join(edges_norm, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
         )
         new_ranks = (
             nodes_t.join(
-                contribs.withColumnRenamed("dst", "node"), "node", "left"
+                contribs.withColumnRenamed("dst", "node").hint(
+                    "shuffle_hash"
+                ),
+                "node",
+                "left",
             )
             .select(
                 "node",
@@ -424,6 +449,7 @@ def pagerank(
                         + F.lit(dangling_mass) * F.col("tele")
                     )
                 ).alias("rank"),
+                "dang",
             )
         )
         if (it + 1) % checkpoint_interval == 0:
@@ -436,10 +462,9 @@ def pagerank(
         ranks = new_ranks
 
     edges_norm.unpersist()
-    danglers.unpersist()
     nodes_t.unpersist()
     nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 # --------------------------------------------------------------------------
