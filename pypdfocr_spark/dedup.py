@@ -46,6 +46,45 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def canonical_url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+) -> DataFrame:
+    """Publisher-declared duplicate groups: pages whose ``<link
+    rel=canonical>`` names the same target are one logical document
+    (the AMP / mobile / print / tracking-variant case), regardless of
+    byte-level differences exact dedup can't see. Group key = the
+    declared canonical when it is an absolute http(s) URL, else the
+    page's own URL (relative/garbage canonicals fall back to self —
+    resolving them needs the page's base and is the metadata
+    extractor's job, not the group-by's); both sides run through
+    :func:`webops.canonicalize_url` so ``:443`` / trailing-slash /
+    utm variants of the SAME declared target still collapse.
+
+    Returns (canon_key, keeper_id, dup_count), min-id keeper — the same
+    contract as :func:`exact_dedup`; one hash aggregation, pure
+    expressions. Compose with ``warc_extract(with_metadata=True)``:
+    ``df.select("doc_id", "url", F.col("page_meta.canonical_url"))``.
+    """
+    from .webops import canonicalize_url
+
+    canon = F.col(canonical_col)
+    declared = F.when(
+        canon.startswith("http://") | canon.startswith("https://"), canon
+    ).otherwise(F.col(url_col))
+    key = canonicalize_url(declared)
+    return (
+        df.select(key.alias("canon_key"), F.col(id_col))
+        .groupBy("canon_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
 # the C4-style canonical form: lowercase, map whitespace runs (incl.
 # newlines/tabs) to single spaces FIRST, then strip punctuation/symbols,
 # then re-collapse (stripping can leave doubled spaces: 'a , b' → 'a  b').

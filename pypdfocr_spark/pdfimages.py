@@ -686,10 +686,117 @@ def _unpack_samples(data: bytes, w: int, h: int, bpc: int, n_comp: int) -> "np.n
     raise NotImplementedError(f"PDF BitsPerComponent {bpc}")
 
 
+# Inline images (§8.9.7): the BI…ID…EI form embeds small rasters
+# directly in the content stream with ABBREVIATED dict keys and color
+# space / filter names. Normalizing both lets the XObject decode path
+# handle them unchanged.
+_INLINE_KEYS = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "IM": "ImageMask", "D": "Decode", "I": "Interpolate", "L": "Length",
+}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+              "I": "Indexed"}
+
+
+def _inline_norm(dic: dict) -> dict:
+    out = {}
+    for k, v in dic.items():
+        k = _INLINE_KEYS.get(k, k)
+        if k == "ColorSpace":
+            if isinstance(v, str):
+                v = _INLINE_CS.get(v, v)
+            elif isinstance(v, list) and v:
+                v = [
+                    _INLINE_CS.get(x, x) if isinstance(x, str) and i < 2 else x
+                    for i, x in enumerate(v)
+                ]
+        out[k] = v
+    return out
+
+
+def iter_inline_images(
+    doc: "PdfDocument", data: bytes, resources=None, depth: int = 0
+) -> "Iterator[tuple[dict, bytes]]":
+    """Yield (normalized dict, raw bytes) for every BI…ID…EI inline
+    image in one content stream, recursing through Form XObjects (Do).
+    The operand walk uses the real lexer, so BI inside strings or
+    arrays can't false-trigger; the data span trusts /L when present
+    and otherwise uses the delimiter-checked EI scan (§8.9.7 Note 2 —
+    the same scan the text walker uses to skip these)."""
+    if depth > 16:
+        raise ValueError("PDF form XObject nesting too deep")
+    lex = _Lexer(data)
+    n = len(data)
+    operands: list = []
+    while True:
+        lex.skip_ws()
+        if lex.pos >= n:
+            break
+        c = data[lex.pos : lex.pos + 1]
+        if c in b"/([<" or c.isdigit() or c in b"+-.":
+            operands.append(_parse_object(lex))
+            continue
+        op = lex.token()
+        if not op:
+            break
+        if op == b"BI":
+            dic: dict = {}
+            while True:
+                lex.skip_ws()
+                if data[lex.pos : lex.pos + 1] == b"/":
+                    key = _parse_object(lex)
+                    dic[key] = _parse_object(lex)
+                    continue
+                if lex.token() != b"ID":
+                    raise ValueError("inline image dict: expected ID")
+                break
+            lex.pos += 1  # the single whitespace byte after ID
+            full = _inline_norm(dic)
+            start = lex.pos
+            ln = doc.resolve(full.get("Length"))
+            raw = None
+            if isinstance(ln, int):
+                raw = data[start : start + ln]
+                lex.pos = start + ln
+            while True:
+                j = data.find(b"EI", lex.pos)
+                if j < 0:
+                    raise ValueError("unterminated inline image (no EI)")
+                after = data[j + 2 : j + 3]
+                if data[j - 1 : j] in _WHITESPACE and (
+                    after == b"" or after in _WHITESPACE or after in _DELIMS
+                ):
+                    if raw is None:
+                        raw = data[start : j - 1]  # minus the ws delimiter
+                    lex.pos = j + 2
+                    break
+                lex.pos = j + 1
+            yield full, raw
+        elif op == b"Do" and operands:
+            name = operands[-1]
+            xobjects = doc.resolve((resources or {}).get("XObject")) or {}
+            ref = xobjects.get(name)
+            if ref is not None:
+                dic2, raw2 = doc.stream(ref)
+                if doc.resolve(dic2.get("Subtype")) == "Form":
+                    body = _apply_byte_filters(raw2, dic2, doc)
+                    yield from iter_inline_images(
+                        doc,
+                        body,
+                        doc.resolve(dic2.get("Resources")) or resources,
+                        depth + 1,
+                    )
+        operands = []
+
+
 def probe_pdf(payload: bytes, password: "bytes | str" = b"") -> dict:
     """Page/image inventory without decoding any raster — the
     ``pdfimages -list`` replacement (ref: pypdfocr_gs.py:121): per-image
-    page number, name, dimensions, bits, and filter chain."""
+    page number, name, dimensions, bits, filter chain, and whether it
+    is an inline (BI…EI) image — ``pdfimages -list`` lists those too.
+    Inline discovery walks the (byte-filtered) content streams but
+    still decodes no raster."""
     doc = PdfDocument(payload, password=password)
     pages = doc.pages()
     images = []
@@ -706,7 +813,20 @@ def probe_pdf(payload: bytes, password: "bytes | str" = b"") -> dict:
                 {"page": no, "name": name, "width": int(dic["Width"]),
                  "height": int(dic["Height"]),
                  "bits": int(dic.get("BitsPerComponent", 1)),
-                 "filters": chain}
+                 "filters": chain, "inline": False}
+            )
+        res = doc.resolve(page.get("Resources")) or {}
+        content = _page_content(doc, page)
+        for i, (dic, _raw) in enumerate(
+            iter_inline_images(doc, content, res)
+        ):
+            images.append(
+                {"page": no, "name": f"~inline{i}",
+                 "width": int(doc.resolve(dic["Width"])),
+                 "height": int(doc.resolve(dic["Height"])),
+                 "bits": int(doc.resolve(dic.get("BitsPerComponent", 1))),
+                 "filters": [f for f, _ in _filter_chain(dic, doc)],
+                 "inline": True}
             )
     return {"n_pages": len(pages), "n_images": len(images), "images": images}
 
@@ -715,9 +835,11 @@ def extract_pdf_images(
     payload: bytes, pages: "list[int] | None" = None,
     password: "bytes | str" = b"",
 ) -> "Iterator[tuple[int, str, np.ndarray]]":
-    """Decode every image XObject on the requested pages, yielding
-    (page_no, name, ndarray) — the extraction half of ``pdfimages``,
-    in-process. Pages not requested cost a dictionary walk, no decode."""
+    """Decode every image on the requested pages — image XObjects first,
+    then inline (BI…EI) images from the content streams, named
+    ``~inline{i}`` in stream order — yielding (page_no, name, ndarray):
+    the extraction half of ``pdfimages``, in-process. Pages not
+    requested cost a dictionary walk, no decode."""
     doc = PdfDocument(payload, password=password)
     want = None if pages is None else set(pages)
     for no, page in enumerate(doc.pages()):
@@ -729,6 +851,12 @@ def extract_pdf_images(
             if doc.resolve(dic.get("Subtype")) != "Image":
                 continue
             yield no, name, _decode_image_xobject(doc, dic, raw)
+        res = doc.resolve(page.get("Resources")) or {}
+        content = _page_content(doc, page)
+        for i, (dic, raw) in enumerate(
+            iter_inline_images(doc, content, res)
+        ):
+            yield no, f"~inline{i}", _decode_image_xobject(doc, dic, raw)
 
 
 def _page_content(doc: "PdfDocument", page: dict) -> bytes:
@@ -1446,7 +1574,13 @@ def build_pdf(
     | "lzw" | "rle" | "ahx" | "a85" | "dct" | "g4" | "raw"}. With
     ``xref_stream`` the file uses a PDF 1.5 cross-reference STREAM and
     packs the page dicts into an object STREAM — the modern layout.
-    ``encrypt``: None, or a pdfcrypt mode ("rc4" | "aesv2" | "aesv3")."""
+    ``encrypt``: None, or a pdfcrypt mode ("rc4" | "aesv2" | "aesv3").
+
+    A spec may also carry ``"inline": True`` (emit the image as a
+    BI…ID…EI segment in the page content stream — filters "raw",
+    "flate", or "ahx"; ``"length": False`` omits /L to exercise the EI
+    scan) or ``"inline": "form"`` (the same segment nested inside a
+    Form XObject invoked with Do)."""
     import zlib
 
     wr = PdfWriter(encryptor=_encryptor_for(encrypt, user_pw))
@@ -1458,7 +1592,45 @@ def build_pdf(
     page_dicts = []
     for page_images in pages_spec:
         xobj = {}
+        content_parts = []
         for i, spec in enumerate(page_images):
+            if spec.get("inline"):
+                img = np.asarray(spec["img"], dtype="uint8")
+                filt = spec.get("filter", "raw")
+                gray = img.ndim == 2
+                h, w = img.shape[:2]
+                raw = img.tobytes()
+                entries = [
+                    f"/W {w}", f"/H {h}", "/BPC 8",
+                    f"/CS /{'G' if gray else 'RGB'}",
+                ]
+                if filt == "flate":
+                    raw = zlib.compress(raw, 6)
+                    entries.append("/F /Fl")
+                elif filt == "ahx":
+                    raw = raw.hex().encode() + b">"
+                    entries.append("/F /AHx")
+                elif filt != "raw":
+                    raise ValueError(f"inline fixture filter {filt!r}")
+                if spec.get("length", True):
+                    entries.append(f"/L {len(raw)}")
+                seg = (
+                    b"BI " + " ".join(entries).encode()
+                    + b" ID " + raw + b" EI"
+                )
+                if spec["inline"] == "form":
+                    fnum = alloc()
+                    wr.put_stream(
+                        fnum,
+                        {"Type": "XObject", "Subtype": "Form",
+                         "BBox": [0, 0, 10, 10]},
+                        b"q " + seg + b" Q",
+                    )
+                    xobj[f"Fm{i}"] = PdfRef(fnum, 0)
+                    content_parts.append(f"/Fm{i} Do".encode())
+                else:
+                    content_parts.append(seg)
+                continue
             img = np.asarray(spec["img"], dtype="uint8")
             filt = spec.get("filter", "flate")
             gray = img.ndim == 2
@@ -1518,12 +1690,14 @@ def build_pdf(
             xobj[f"Im{i}"] = wr.put_stream(alloc(), dic, raw)
         num = alloc()
         page_nums.append(num)
-        wr.put(
-            num,
-            {"Type": "Page", "Parent": PdfRef(pages_num, 0),
-             "MediaBox": [0, 0, 612, 792],
-             "Resources": {"XObject": xobj}},
-        )
+        page_dic = {"Type": "Page", "Parent": PdfRef(pages_num, 0),
+                    "MediaBox": [0, 0, 612, 792],
+                    "Resources": {"XObject": xobj}}
+        if content_parts:
+            cnum = alloc()
+            wr.put_stream(cnum, {}, b"\n".join(content_parts))
+            page_dic["Contents"] = PdfRef(cnum, 0)
+        wr.put(num, page_dic)
     root = wr.put(catalog_num, {"Type": "Catalog", "Pages": PdfRef(pages_num, 0)})
     wr.put(
         pages_num,

@@ -29,6 +29,7 @@ Scale notes (100 TB Common Crawl layout):
 
 from __future__ import annotations
 
+import json
 import re
 import zlib
 from html.parser import HTMLParser
@@ -567,6 +568,281 @@ def html_extract_table(
     return df.mapInPandas(run, HTML_DOC_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Structured metadata: OpenGraph / JSON-LD / microdata / canonical
+# --------------------------------------------------------------------------
+
+_OG_KEYS = (
+    "title", "type", "url", "image", "site_name", "description", "locale",
+)
+
+_ARTICLEISH = frozenset(
+    [
+        "Article", "NewsArticle", "BlogPosting", "Report",
+        "ScholarlyArticle", "TechArticle", "WebPage",
+    ]
+)
+
+
+def _norm_date(s: "str | None") -> "str | None":
+    """Normalize an ISO-8601-ish date string to UTC isoformat; unparsable
+    strings pass through verbatim (the raw value still carries signal —
+    curation can regex-filter on it)."""
+    if not s:
+        return None
+    from datetime import datetime, timezone
+
+    txt = s.strip()
+    try:
+        dt = datetime.fromisoformat(txt.replace("Z", "+00:00"))
+    except ValueError:
+        return txt
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc)
+    return dt.isoformat()
+
+
+def _jsonld_walk(node, types: "list[str]", article: dict) -> None:
+    """Collect every ``@type`` and the first article-ish node's headline/
+    date/author/publisher from a parsed JSON-LD tree (incl. ``@graph``
+    containers and nested/typed author objects — schema.org allows a
+    string, an object, or a list for most of these)."""
+    if isinstance(node, list):
+        for x in node:
+            _jsonld_walk(x, types, article)
+        return
+    if not isinstance(node, dict):
+        return
+    t = node.get("@type")
+    tlist = [t] if isinstance(t, str) else [x for x in (t or []) if isinstance(x, str)]
+    types.extend(tlist)
+    if not article and (
+        any(x in _ARTICLEISH for x in tlist)
+        or "headline" in node
+        or "datePublished" in node
+    ):
+        def name_of(v):
+            if isinstance(v, list):
+                v = v[0] if v else None
+            if isinstance(v, dict):
+                v = v.get("name")
+            return v if isinstance(v, str) else None
+
+        article["headline"] = (
+            node.get("headline") if isinstance(node.get("headline"), str) else None
+        )
+        article["datePublished"] = (
+            node.get("datePublished")
+            if isinstance(node.get("datePublished"), str)
+            else None
+        )
+        article["dateModified"] = (
+            node.get("dateModified")
+            if isinstance(node.get("dateModified"), str)
+            else None
+        )
+        article["author"] = name_of(node.get("author"))
+        article["publisher"] = name_of(node.get("publisher"))
+    if "@graph" in node:
+        _jsonld_walk(node["@graph"], types, article)
+    for key in ("mainEntity", "mainEntityOfPage"):
+        if isinstance(node.get(key), (dict, list)):
+            _jsonld_walk(node[key], types, article)
+
+
+class _MetaParser(HTMLParser):
+    """One pass over the document head+body collecting the machine-
+    readable annotations a curation pipeline keys on: ``<meta property=
+    "og:*">`` (the Open Graph protocol), ``article:*`` times,
+    ``<link rel="canonical">``, ``<script type="application/ld+json">``
+    bodies (script content arrives through handle_data raw — HTMLParser
+    treats script as CDATA, so JSON survives unescaped), and microdata
+    ``itemtype`` declarations."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.og: "dict[str, str]" = {}
+        self.article_meta: "dict[str, str]" = {}
+        self.canonical = None
+        self.jsonld_raw: "list[str]" = []
+        self.microdata_types: "list[str]" = []
+        self.title = ""
+        self._in_title = False
+        self._in_jsonld = False
+        self._jsonld_parts: "list[str]" = []
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if tag == "meta":
+            key = (d.get("property") or d.get("name") or "").strip().lower()
+            content = d.get("content")
+            if content is None:
+                return
+            if key.startswith("og:"):
+                self.og.setdefault(key[3:], content)
+            elif key.startswith("article:"):
+                self.article_meta.setdefault(key[8:], content)
+        elif tag == "link":
+            rels = (d.get("rel") or "").lower().split()
+            if "canonical" in rels and d.get("href") and self.canonical is None:
+                self.canonical = d["href"].strip()
+        elif tag == "script":
+            typ = (d.get("type") or "").strip().lower()
+            if typ == "application/ld+json":
+                self._in_jsonld = True
+                self._jsonld_parts = []
+        elif tag == "title":
+            self._in_title = True
+        if "itemscope" in d and d.get("itemtype"):
+            self.microdata_types.append(d["itemtype"].strip())
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in_jsonld:
+            self._in_jsonld = False
+            self.jsonld_raw.append("".join(self._jsonld_parts))
+        elif tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._in_jsonld:
+            self._jsonld_parts.append(data)
+        elif self._in_title:
+            self.title += data
+
+
+def parse_html_metadata(
+    payload: "bytes | str", http_charset: "str | None" = None
+) -> dict:
+    """Extract the structured-annotation layer of one HTML page:
+    OpenGraph properties, article times, the canonical URL, JSON-LD
+    ``@type``s + first-article fields, and microdata itemtypes.
+
+    The DOM-heuristic complement to :func:`extract_html`: where that
+    scores rendered text blocks, this reads the annotations publishers
+    embed for machines — at curation scale these are the cheapest
+    high-precision signals for page type (Article vs Product vs
+    Forum…), publish date, and canonical-duplicate collapse. Malformed
+    JSON-LD blocks are counted, never fatal."""
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        buf = bytes(payload)
+        charset = http_charset or sniff_charset(buf)
+        try:
+            html = buf.decode(charset, errors="replace")
+        except LookupError:
+            html = buf.decode("utf-8", errors="replace")
+    else:
+        html = payload
+    p = _MetaParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # salvage whatever was collected before the parse error
+    types: "list[str]" = []
+    article: dict = {}
+    n_err = 0
+    for raw in p.jsonld_raw:
+        txt = raw.strip()
+        if not txt:
+            continue
+        try:
+            _jsonld_walk(json.loads(txt), types, article)
+        except ValueError:
+            n_err += 1
+    seen = set()
+    types_uniq = [t for t in types if not (t in seen or seen.add(t))]
+    seen2 = set()
+    micro_uniq = [
+        t for t in p.microdata_types if not (t in seen2 or seen2.add(t))
+    ]
+    published = _norm_date(
+        p.article_meta.get("published_time") or article.get("datePublished")
+    )
+    modified = _norm_date(
+        p.article_meta.get("modified_time") or article.get("dateModified")
+    )
+    return {
+        "title": re.sub(r"\s+", " ", p.title).strip() or None,
+        "canonical_url": p.canonical,
+        "og": p.og,
+        "article_published": published,
+        "article_modified": modified,
+        "jsonld_types": types_uniq,
+        "jsonld_headline": article.get("headline"),
+        "jsonld_author": article.get("author"),
+        "jsonld_publisher": article.get("publisher"),
+        "microdata_types": micro_uniq,
+        "n_jsonld_blocks": len(p.jsonld_raw),
+        "n_jsonld_errors": n_err,
+    }
+
+
+HTML_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("canonical_url", StringType()),
+        StructField("og_title", StringType()),
+        StructField("og_type", StringType()),
+        StructField("og_url", StringType()),
+        StructField("og_image", StringType()),
+        StructField("og_site_name", StringType()),
+        StructField("og_description", StringType()),
+        StructField("og_locale", StringType()),
+        StructField("article_published", StringType()),
+        StructField("article_modified", StringType()),
+        StructField("jsonld_types", ArrayType(StringType())),
+        StructField("jsonld_headline", StringType()),
+        StructField("jsonld_author", StringType()),
+        StructField("jsonld_publisher", StringType()),
+        StructField("microdata_types", ArrayType(StringType())),
+        StructField("n_jsonld_blocks", IntegerType()),
+        StructField("n_jsonld_errors", IntegerType()),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def html_metadata_table(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Structured-metadata extraction over a binary HTML column — one
+    mapInPandas stage, zero shuffle, same scale shape as
+    :func:`html_extract_table`. Corrupt pages come back ok=false."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in HTML_META_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    m = parse_html_metadata(bytes(payload))
+                    og = m["og"]
+                    rows.append(
+                        (
+                            url, m["title"], m["canonical_url"],
+                            *[og.get(k) for k in _OG_KEYS],
+                            m["article_published"], m["article_modified"],
+                            m["jsonld_types"], m["jsonld_headline"],
+                            m["jsonld_author"], m["jsonld_publisher"],
+                            m["microdata_types"], m["n_jsonld_blocks"],
+                            m["n_jsonld_errors"], True, None,
+                        )
+                    )
+                except Exception as exc:  # malformed page ≠ dead task
+                    rows.append(
+                        (url, None, None, None, None, None, None, None,
+                         None, None, None, None, None, None, None, None,
+                         None, None, False, str(exc))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, HTML_META_SCHEMA)
+
+
 WARC_DOC_SCHEMA = StructType(
     [StructField("archive", StringType())] + list(HTML_DOC_SCHEMA.fields)
 )
@@ -586,6 +862,39 @@ _OUTLINK_FIELD = StructField(
 
 WARC_DOC_LINKS_SCHEMA = StructType(list(WARC_DOC_SCHEMA.fields) + [_OUTLINK_FIELD])
 
+_PAGE_META_FIELD = StructField(
+    "page_meta",
+    StructType(
+        [
+            f
+            for f in HTML_META_SCHEMA.fields
+            if f.name not in ("url", "ok", "error")
+        ]
+    ),
+)
+
+
+def _page_meta_struct(body: bytes, charset: "str | None") -> dict:
+    m = parse_html_metadata(body, http_charset=charset)
+    og = m["og"]
+    out = {f"og_{k}": og.get(k) for k in _OG_KEYS}
+    out.update(
+        {
+            "title": m["title"],
+            "canonical_url": m["canonical_url"],
+            "article_published": m["article_published"],
+            "article_modified": m["article_modified"],
+            "jsonld_types": m["jsonld_types"],
+            "jsonld_headline": m["jsonld_headline"],
+            "jsonld_author": m["jsonld_author"],
+            "jsonld_publisher": m["jsonld_publisher"],
+            "microdata_types": m["microdata_types"],
+            "n_jsonld_blocks": m["n_jsonld_blocks"],
+            "n_jsonld_errors": m["n_jsonld_errors"],
+        }
+    )
+    return out
+
 
 def warc_extract(
     df: DataFrame,
@@ -594,6 +903,7 @@ def warc_extract(
     min_words: int = 5,
     max_link_density: float = 0.33,
     with_outlinks: bool = False,
+    with_metadata: bool = False,
 ) -> DataFrame:
     """The fused crawl front door: WARC archives in, ``documents``-shaped
     corpus out (url, fetch_ts, title, lang, text, diagnostics) — record
@@ -611,9 +921,20 @@ def warc_extract(
     ``pagerank`` JVM-side; the array stays bounded by the page's own
     link count. Costs one extra HTML parse per page, which is still far
     cheaper than re-reading and re-decoding 100 TB of WARC bytes in a
-    second job."""
+    second job.
 
-    schema = WARC_DOC_LINKS_SCHEMA if with_outlinks else WARC_DOC_SCHEMA
+    ``with_metadata=True`` additionally emits the structured-annotation
+    layer (:func:`parse_html_metadata`: OpenGraph, article times,
+    canonical URL, JSON-LD, microdata) as one ``page_meta`` struct
+    column — same fusion argument, same single pass over the bytes."""
+
+    fields = list(WARC_DOC_SCHEMA.fields)
+    if with_outlinks:
+        fields.append(_OUTLINK_FIELD)
+    if with_metadata:
+        fields.append(_PAGE_META_FIELD)
+    schema = StructType(fields)
+    n_extra = int(with_outlinks) + int(with_metadata)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .linkgraph import extract_outlinks
@@ -635,9 +956,7 @@ def warc_extract(
                                    h.get("warc-date"), None, None, None,
                                    None, None, None, None, None, None,
                                    False, str(exc))
-                            rows.append(
-                                err + (None,) if with_outlinks else err
-                            )
+                            rows.append(err + (None,) * n_extra)
                             continue
                         mime = (hct or "").split(";")[0].strip().lower()
                         if status != 200 or mime not in (
@@ -670,11 +989,13 @@ def warc_extract(
                                     http_charset=charset,
                                 ),
                             )
+                        if with_metadata:
+                            row = row + (_page_meta_struct(body, charset),)
                         rows.append(row)
                 except (ValueError, zlib.error) as exc:
                     err = (url, url, None, None, None, None, None, None,
                            None, None, None, None, False, str(exc))
-                    rows.append(err + (None,) if with_outlinks else err)
+                    rows.append(err + (None,) * n_extra)
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema)

@@ -3698,3 +3698,33 @@ def test_chunk_df_lossless_at_full_stride(spark):
     for doc_id, text in docs:
         parts = [t for _, t in sorted(rebuilt[doc_id])]
         assert " ".join(parts) == " ".join(text.split(" "))
+
+
+def test_canonical_url_dedup_groups_declared_variants(spark):
+    """Pages declaring the same rel=canonical collapse into one group
+    (through canonicalize_url, so :443 / utm / trailing-slash spellings
+    of the target still merge); relative or junk canonicals fall back
+    to the page's own URL; keeper = min doc_id."""
+    from pypdfocr_spark import dedup
+
+    rows = [
+        # three variants all declaring the same canonical target
+        (1, "https://m.ex.com/story", "https://ex.com/story"),
+        (2, "https://ex.com/story?utm_source=x", "https://ex.com:443/story/"),
+        (3, "https://ex.com/amp/story", "https://ex.com/story"),
+        # self-canonical page, distinct target
+        (4, "https://ex.com/other", "https://ex.com/other"),
+        # relative canonical → falls back to own url (does NOT join grp 1)
+        (5, "https://ex.com/story/print", "/story"),
+        # no canonical at all
+        (6, "https://ex.com/plain", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, canonical_url string"
+    )
+    out = {r["keeper_id"]: r for r in dedup.canonical_url_dedup(df).collect()}
+    assert out[1]["dup_count"] == 3
+    assert out[1]["canon_key"] == "https://ex.com/story"
+    assert out[4]["dup_count"] == 1
+    assert out[5]["dup_count"] == 1 and out[6]["dup_count"] == 1
+    assert len(out) == 4

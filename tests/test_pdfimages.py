@@ -63,7 +63,7 @@ def test_pdf_probe_pages_and_layouts():
     assert meta["n_pages"] == 3 and meta["n_images"] == 3
     assert meta["images"][2] == {
         "page": 1, "name": "Im0", "width": 33, "height": 20, "bits": 1,
-        "filters": ["CCITTFaxDecode"],
+        "filters": ["CCITTFaxDecode"], "inline": False,
     }
     got = list(pdfimages.extract_pdf_images(pay, pages=[1]))
     assert len(got) == 1 and got[0][0] == 1 and (got[0][2] == bil).all()
@@ -332,3 +332,42 @@ def test_pdf_page_text_assembly_and_spark_table(spark):
     assert rows[0].text == "hello world\nsecond line"
     assert rows[0].n_words == 3 and rows[1].text == "page2"
     assert rows[0].vec_id == 7
+
+
+def test_pdf_inline_images_bi_id_ei():
+    """Inline (BI…ID…EI) images decode identically to XObjects across
+    abbreviated keys/filters (§8.9.7): /L-framed Flate RGB, no-/L
+    ASCIIHex (the delimiter-checked EI scan), a Form-XObject-nested
+    segment reached through Do, raw samples whose bytes CONTAIN ' EI '
+    (only /L framing saves those), and probe_pdf listing them without
+    decoding — in both classic and xref-stream layouts."""
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    spec = [[
+        {"img": gray, "filter": "flate"},
+        {"img": rgb, "inline": True, "filter": "flate"},
+        {"img": gray, "inline": True, "filter": "ahx", "length": False},
+        {"img": rgb, "inline": "form", "filter": "raw"},
+    ]]
+    for xref_stream in (False, True):
+        pay = pdfimages.build_pdf(spec, xref_stream=xref_stream)
+        got = list(pdfimages.extract_pdf_images(pay))
+        assert [g[1] for g in got] == ["Im0", "~inline0", "~inline1",
+                                       "~inline2"]
+        assert (got[0][2] == gray).all() and (got[1][2] == rgb).all()
+        assert (got[2][2] == gray).all() and (got[3][2] == rgb).all()
+        meta = pdfimages.probe_pdf(pay)
+        assert meta["n_images"] == 4
+        by_name = {i["name"]: i for i in meta["images"]}
+        assert not by_name["Im0"]["inline"]
+        assert by_name["~inline1"]["inline"]
+        assert by_name["~inline1"]["filters"] == ["ASCIIHexDecode"]
+
+    tricky = np.frombuffer(
+        b"xx EI x" + bytes(11), dtype=np.uint8
+    ).reshape(2, 9).copy()
+    pay = pdfimages.build_pdf([[{"img": tricky, "inline": True,
+                                 "filter": "raw"}]])
+    ((_, name, out),) = list(pdfimages.extract_pdf_images(pay))
+    assert name == "~inline0" and (out == tricky).all()

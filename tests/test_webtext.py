@@ -586,3 +586,122 @@ def test_warc_extract_with_outlinks(spark):
     )
     got = {(r["src"], r["dst"]): r["n_links"] for r in g.collect()}
     assert got == {("a.example", "a.example"): 5}
+
+
+META_PAGE = b"""<!doctype html><html lang="en"><head>
+<meta charset="utf-8"><title> The  Story </title>
+<link rel="canonical" href="https://ex.com/story">
+<meta property="og:title" content="OG Story">
+<meta property="og:type" content="article">
+<meta property="og:url" content="https://ex.com/story?utm=x">
+<meta property="og:site_name" content="Example">
+<meta property="og:locale" content="en_US">
+<meta property="article:published_time" content="2024-03-05T10:00:00Z">
+<meta property="article:modified_time" content="2024-03-06T08:30:00+02:00">
+<script type="application/ld+json">
+{"@context":"https://schema.org","@graph":[
+  {"@type":"NewsArticle","headline":"LD Story",
+   "datePublished":"2024-03-05T09:00:00+01:00",
+   "author":{"@type":"Person","name":"A. Writer"},
+   "publisher":{"name":"Example"}},
+  {"@type":"BreadcrumbList"}]}
+</script>
+<script type="application/ld+json">{this is not json</script>
+</head><body>
+<div itemscope itemtype="https://schema.org/Product">
+  <span itemprop="name">Widget</span></div>
+<p>body text</p></body></html>"""
+
+
+def test_parse_html_metadata_og_jsonld_microdata():
+    """OpenGraph, article times (normalized to UTC), canonical, JSON-LD
+    @graph walk (types, headline, typed author/publisher), microdata
+    itemtypes, and malformed-JSON-LD counting — one pass, no fatal."""
+    m = webtext.parse_html_metadata(META_PAGE)
+    assert m["title"] == "The Story"
+    assert m["canonical_url"] == "https://ex.com/story"
+    assert m["og"]["title"] == "OG Story"
+    assert m["og"]["type"] == "article"
+    assert m["og"]["site_name"] == "Example"
+    assert m["og"]["locale"] == "en_US"
+    # meta article:published_time wins over JSON-LD datePublished and is
+    # normalized to UTC isoformat
+    assert m["article_published"] == "2024-03-05T10:00:00+00:00"
+    assert m["article_modified"] == "2024-03-06T06:30:00+00:00"
+    assert m["jsonld_types"] == ["NewsArticle", "BreadcrumbList"]
+    assert m["jsonld_headline"] == "LD Story"
+    assert m["jsonld_author"] == "A. Writer"
+    assert m["jsonld_publisher"] == "Example"
+    assert m["microdata_types"] == ["https://schema.org/Product"]
+    assert m["n_jsonld_blocks"] == 2
+    assert m["n_jsonld_errors"] == 1
+
+
+def test_parse_html_metadata_edge_shapes():
+    """Pages with no annotations; type lists; author as string list;
+    unparsable dates pass through verbatim; JSON-LD fallback for the
+    publish date when no article:published_time meta exists."""
+    empty = webtext.parse_html_metadata(b"<p>plain</p>")
+    assert empty["og"] == {} and empty["jsonld_types"] == []
+    assert empty["article_published"] is None
+
+    h = (b'<script type="application/ld+json">'
+         b'[{"@type":["Article","CreativeWork"],"author":["X","Y"],'
+         b'"datePublished":"not-a-date"}]</script>')
+    m = webtext.parse_html_metadata(h)
+    assert m["jsonld_types"] == ["Article", "CreativeWork"]
+    assert m["jsonld_author"] == "X"
+    assert m["article_published"] == "not-a-date"  # verbatim passthrough
+
+    # naive datetime: no zone math invented
+    h2 = b'<meta property="article:published_time" content="2023-01-02T03:04:05">'
+    assert (webtext.parse_html_metadata(h2)["article_published"]
+            == "2023-01-02T03:04:05")
+
+
+def test_html_metadata_table_spark(spark):
+    """The Spark op: typed columns, corrupt rows ok=false, and the plan
+    is one mapInPandas stage with zero Exchange."""
+    rows = [
+        ("https://ex.com/story", bytearray(META_PAGE)),
+        ("https://ex.com/plain", bytearray(b"<html><body>hi</body></html>")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = webtext.html_metadata_table(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["url"]: r for r in out.collect()}
+    story = got["https://ex.com/story"]
+    assert story["ok"] and story["og_title"] == "OG Story"
+    assert story["article_published"] == "2024-03-05T10:00:00+00:00"
+    assert story["jsonld_types"] == ["NewsArticle", "BreadcrumbList"]
+    assert story["n_jsonld_errors"] == 1
+    plain = got["https://ex.com/plain"]
+    assert plain["ok"] and plain["og_title"] is None
+    assert plain["jsonld_types"] == []
+
+
+def test_warc_extract_with_metadata(spark):
+    """with_metadata=True surfaces the structured-annotation layer as a
+    page_meta struct in the SAME fused pass (composes with
+    with_outlinks); corrupt archives carry a null struct."""
+    records = [
+        {"type": "response", "uri": "https://ex.com/story",
+         "block": webtext.encode_http_response(META_PAGE)},
+    ]
+    arc = webtext.encode_warc(records, gzip_members=True)
+    df = spark.createDataFrame(
+        [("s3://crawl/meta.warc.gz", bytearray(arc)),
+         ("s3://crawl/bad.warc", bytearray(b"junk"))],
+        "url string, payload binary",
+    )
+    out = webtext.warc_extract(df, with_outlinks=True, with_metadata=True)
+    assert "outlinks" in out.columns and "page_meta" in out.columns
+    rows = {r["url"]: r for r in out.collect()}
+    pm = rows["https://ex.com/story"]["page_meta"]
+    assert pm["og_title"] == "OG Story"
+    assert pm["canonical_url"] == "https://ex.com/story"
+    assert pm["article_published"] == "2024-03-05T10:00:00+00:00"
+    assert list(pm["jsonld_types"]) == ["NewsArticle", "BreadcrumbList"]
+    assert pm["n_jsonld_errors"] == 1
+    assert rows["s3://crawl/bad.warc"]["page_meta"] is None
