@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -645,11 +647,43 @@ def _decode_image_xobject(doc: "PdfDocument", dic: dict, raw: bytes) -> "np.ndar
             raise ValueError("PDF indexed sample beyond palette hival")
         out = pal[idx]
         return np.ascontiguousarray(out[:, :, 0] if n_comp == 1 else out)
+    invert_gray = False
+    if isinstance(cs, list) and cs:
+        head = doc.resolve(cs[0])
+        if head == "ICCBased" and len(cs) > 1:
+            # §8.6.5.5: render via /N (or /Alternate) — the profile only
+            # refines colorimetry, the component count fixes the layout
+            ref = cs[1]
+            icc = (doc.stream(ref)[0] if isinstance(ref, PdfRef)
+                   else ref[0] if isinstance(ref, tuple) else ref)
+            alt = doc.resolve(icc.get("Alternate"))
+            if alt is not None:
+                cs = alt if isinstance(alt, str) else doc.resolve(alt[0])
+            else:
+                cs = {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(
+                    int(doc.resolve(icc.get("N", 0)))
+                )
+            if not isinstance(cs, str):
+                raise NotImplementedError("ICCBased with non-device alternate")
+        elif head == "Separation" or (
+            head == "DeviceN" and len(doc.resolve(cs[1]) or []) == 1
+        ):
+            # one colorant: sample = tint (1.0 = full ink). Rendered as
+            # coverage-inverted gray WITHOUT evaluating the tint
+            # transform function — the documented approximation (exact
+            # rendering needs the PDF function machinery; coverage is
+            # what OCR preprocessing needs)
+            cs = "DeviceGray"
+            invert_gray = True
+        else:
+            cs = head  # CalRGB/CalGray dict forms land in the map below
     n_comp = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1,
               "DeviceCMYK": 4}.get(cs if isinstance(cs, str) else "DeviceGray")
     if n_comp is None:
         raise NotImplementedError(f"PDF color space {cs}")
     samples = _unpack_samples(data, w, h, bpc, n_comp)
+    if invert_gray:
+        samples = ((1 << bpc) - 1) - samples
     if n_comp == 4:  # CMYK raw samples → RGB, same composite as JPEG
         f = samples.astype("float64")
         maxv = (1 << bpc) - 1
@@ -829,6 +863,142 @@ def probe_pdf(payload: bytes, password: "bytes | str" = b"") -> dict:
                  "inline": True}
             )
     return {"n_pages": len(pages), "n_images": len(images), "images": images}
+
+
+def _pdf_text(v) -> "str | None":
+    """Decode a PDF text string (§7.9.2.2): UTF-16BE with BOM, UTF-8
+    with BOM (PDF 2.0), else PDFDocEncoding (≈ latin-1 for the printable
+    range — the approximation poppler makes too)."""
+    if isinstance(v, str):
+        return v
+    if not isinstance(v, (bytes, bytearray, memoryview)):
+        return None
+    b = bytes(v)
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8", errors="replace")
+    return b.decode("latin-1")
+
+
+def _pdf_date(v) -> "str | None":
+    """``D:YYYYMMDDHHmmSS±HH'mm'`` (§7.9.4) → ISO-8601; missing trailing
+    fields default per spec; unparsable values pass through verbatim
+    (same contract as webtext's _norm_date)."""
+    import re as _re
+
+    s = _pdf_text(v)
+    if not s:
+        return None
+    m = _re.match(
+        r"D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+        r"(?:([+\-Z])(?:(\d{2})'?)?(?:(\d{2})'?)?)?",
+        s.strip(),
+    )
+    if not m:
+        return s
+    y = int(m.group(1))
+    mo, d = int(m.group(2) or 1), int(m.group(3) or 1)
+    hh, mi, ss = (int(m.group(i) or 0) for i in (4, 5, 6))
+    if not (1 <= mo <= 12 and 1 <= d <= 31 and hh < 24 and mi < 60 and ss < 60):
+        return s
+    iso = f"{y:04d}-{mo:02d}-{d:02d}T{hh:02d}:{mi:02d}:{ss:02d}"
+    o = m.group(7)
+    if o == "Z":
+        return iso + "+00:00"
+    if o in ("+", "-"):
+        return iso + f"{o}{int(m.group(8) or 0):02d}:{int(m.group(9) or 0):02d}"
+    return iso
+
+
+_INFO_KEYS = ("Title", "Author", "Subject", "Keywords", "Creator", "Producer")
+
+
+def pdf_info(payload: bytes, password: "bytes | str" = b"") -> dict:
+    """Document-level metadata + outbound links: the PDF counterpart of
+    ``webtext.parse_html_metadata``. Reads the trailer /Info dictionary
+    (title/author/subject/keywords/creator/producer, creation and
+    modification dates ISO-normalized) and every page's /Link
+    annotations with /URI actions — the PDF's outlink set, which feeds
+    the same link-graph ops the HTML path feeds."""
+    doc = PdfDocument(payload, password=password)
+    pages = doc.pages()
+    info = doc.resolve(doc.trailer.get("Info")) or {}
+    out = {k.lower(): _pdf_text(doc.resolve(info.get(k))) for k in _INFO_KEYS}
+    out["creation_date"] = _pdf_date(doc.resolve(info.get("CreationDate")))
+    out["mod_date"] = _pdf_date(doc.resolve(info.get("ModDate")))
+    out["n_pages"] = len(pages)
+    links: "list[dict]" = []
+    for no, page in enumerate(pages):
+        for aref in doc.resolve(page.get("Annots")) or []:
+            annot = doc.resolve(aref)
+            if not isinstance(annot, dict):
+                continue
+            if doc.resolve(annot.get("Subtype")) != "Link":
+                continue
+            action = doc.resolve(annot.get("A")) or {}
+            if doc.resolve(action.get("S")) != "URI":
+                continue
+            uri = _pdf_text(doc.resolve(action.get("URI")))
+            if uri:
+                links.append({"page": no, "uri": uri})
+    out["links"] = links
+    return out
+
+
+PDF_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("subject", StringType()),
+        StructField("keywords", StringType()),
+        StructField("creator", StringType()),
+        StructField("producer", StringType()),
+        StructField("creation_date", StringType()),
+        StructField("mod_date", StringType()),
+        StructField("link_uris", ArrayType(StringType())),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def pdf_meta_table(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """:func:`pdf_info` over a binary PDF column — one mapInPandas
+    stage, zero shuffle, corrupt payloads → ok=false rows; link URIs
+    deduplicated in first-seen order. ``F.explode(link_uris)`` feeds
+    ``linkgraph.host_graph`` exactly like HTML outlinks do."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cols = [f.name for f in PDF_META_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    m = pdf_info(bytes(payload))
+                    seen: "set[str]" = set()
+                    uris = [
+                        x["uri"] for x in m["links"]
+                        if not (x["uri"] in seen or seen.add(x["uri"]))
+                    ]
+                    rows.append(
+                        (url, m["n_pages"], m["title"], m["author"],
+                         m["subject"], m["keywords"], m["creator"],
+                         m["producer"], m["creation_date"], m["mod_date"],
+                         uris, True, None)
+                    )
+                except Exception as exc:  # malformed PDF ≠ dead task
+                    rows.append(
+                        (url, None, None, None, None, None, None, None,
+                         None, None, None, False, str(exc))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, PDF_META_SCHEMA)
 
 
 def extract_pdf_images(
@@ -1481,6 +1651,7 @@ class PdfWriter:
     def finish(
         self, root: PdfRef, xref_stream: bool = False,
         objstm_nums: "list[int] | None" = None,
+        info: "PdfRef | None" = None,
     ) -> bytes:
         import struct
 
@@ -1542,6 +1713,8 @@ class PdfWriter:
                 rows += bytes([t]) + struct.pack(">I", a) + bytes([b])
             xdic = {"Type": "XRef", "Size": size, "W": [1, 4, 1],
                     "Index": [0, size], "Root": root, "Length": len(rows)}
+            if info is not None:
+                xdic["Info"] = info
             if enc_ref is not None:
                 xdic["Encrypt"] = enc_ref
                 xdic["ID"] = [self.encryptor.id0, self.encryptor.id0]
@@ -1557,6 +1730,8 @@ class PdfWriter:
             for n in range(1, size):
                 out += f"{offsets[n]:010d} 00000 n \n".encode()
             trailer = {"Size": size, "Root": root}
+            if info is not None:
+                trailer["Info"] = info
             if enc_ref is not None:
                 trailer["Encrypt"] = enc_ref
                 trailer["ID"] = [self.encryptor.id0, self.encryptor.id0]
@@ -1568,6 +1743,8 @@ class PdfWriter:
 def build_pdf(
     pages_spec: "list[list[dict]]", xref_stream: bool = False,
     encrypt: "str | None" = None, user_pw: bytes = b"",
+    info: "dict | None" = None,
+    annots: "list[list[str]] | None" = None,
 ) -> bytes:
     """Deterministic PDF fixture builder: one entry per page, each a
     list of image specs {"img": ndarray, "filter": "flate" | "flate_png"
@@ -1580,7 +1757,10 @@ def build_pdf(
     BI…ID…EI segment in the page content stream — filters "raw",
     "flate", or "ahx"; ``"length": False`` omits /L to exercise the EI
     scan) or ``"inline": "form"`` (the same segment nested inside a
-    Form XObject invoked with Do)."""
+    Form XObject invoked with Do), or ``"cs"`` ("icc" | "sep") to wrap
+    the image's color space. ``info`` writes a document information
+    dictionary (trailer /Info); ``annots`` is an optional per-page list
+    of URI strings emitted as /Link annotations."""
     import zlib
 
     wr = PdfWriter(encryptor=_encryptor_for(encrypt, user_pw))
@@ -1638,6 +1818,18 @@ def build_pdf(
             dic = {"Type": "XObject", "Subtype": "Image", "Width": w,
                    "Height": h, "BitsPerComponent": 8,
                    "ColorSpace": "DeviceGray" if gray else "DeviceRGB"}
+            cs_kind = spec.get("cs")
+            if cs_kind == "icc":
+                icc_ref = wr.put_stream(
+                    alloc(), {"N": 1 if gray else 3}, b"\x00" * 16
+                )
+                dic["ColorSpace"] = ["ICCBased", icc_ref]
+            elif cs_kind == "sep":
+                if not gray:
+                    raise ValueError("sep fixture needs a gray tint image")
+                fn = wr.put(alloc(), {"FunctionType": 2, "Domain": [0, 1],
+                                      "C0": [1], "C1": [0], "N": 1})
+                dic["ColorSpace"] = ["Separation", "Ink", "DeviceGray", fn]
             raw = img.tobytes()
             if filt == "flate":
                 dic["Filter"] = "FlateDecode"
@@ -1697,6 +1889,21 @@ def build_pdf(
             cnum = alloc()
             wr.put_stream(cnum, {}, b"\n".join(content_parts))
             page_dic["Contents"] = PdfRef(cnum, 0)
+        page_uris = (
+            annots[len(page_nums) - 1]
+            if annots and len(page_nums) <= len(annots)
+            else []
+        )
+        if page_uris:
+            page_dic["Annots"] = [
+                wr.put(
+                    alloc(),
+                    {"Type": "Annot", "Subtype": "Link",
+                     "Rect": [0, 0, 100, 20],
+                     "A": {"S": "URI", "URI": uri.encode("latin-1")}},
+                )
+                for uri in page_uris
+            ]
         wr.put(num, page_dic)
     root = wr.put(catalog_num, {"Type": "Catalog", "Pages": PdfRef(pages_num, 0)})
     wr.put(
@@ -1704,9 +1911,17 @@ def build_pdf(
         {"Type": "Pages", "Count": len(page_nums),
          "Kids": [PdfRef(n, 0) for n in page_nums]},
     )
+    info_ref = None
+    if info is not None:
+        info_ref = wr.put(
+            alloc(),
+            {k: (v.encode("latin-1") if isinstance(v, str) else v)
+             for k, v in info.items()},
+        )
     # the modern layout packs the page dicts into an object stream
     return wr.finish(root, xref_stream=xref_stream,
-                     objstm_nums=page_nums if xref_stream else None)
+                     objstm_nums=page_nums if xref_stream else None,
+                     info=info_ref)
 
 
 def encode_tounicode_cmap(mapping: "dict[int, str]", code_bytes: int = 1) -> bytes:

@@ -1525,6 +1525,192 @@ def sitemap_table(
     return df.mapInPandas(run, SITEMAP_SCHEMA)
 
 
+def _feed_date(s: "str | None") -> "str | None":
+    """Feed timestamps → UTC ISO: RFC 822 (RSS pubDate) via
+    email.utils, else ISO-8601 (Atom / dc:date) via _norm_date;
+    unparsable values pass through verbatim, same contract as
+    :func:`_norm_date`."""
+    if not s:
+        return None
+    txt = s.strip()
+    from email.utils import parsedate_to_datetime
+
+    try:
+        dt = parsedate_to_datetime(txt)
+    except (TypeError, ValueError):
+        dt = None
+    if dt is not None:
+        from datetime import timezone
+
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc)
+        return dt.isoformat()
+    return _norm_date(txt)
+
+
+def parse_feed(payload: bytes) -> dict:
+    """An RSS 2.0 / RSS 1.0 (RDF) / Atom 1.0 document →
+    ``{"kind", "title", "link", "entries": [...]}`` — the third frontier
+    seed source next to sitemaps and outlinks, and a curation-grade
+    document source (feeds carry clean titles/dates/authors for exactly
+    the pages a crawler wants next). Namespace-tolerant local-name
+    matching like :func:`parse_sitemap` (real feeds use every prefix
+    imaginable: plain RSS, content:/dc:-decorated RSS, RDF-rooted RSS
+    1.0, default-namespaced Atom); gzip unwrapped; dates normalized to
+    UTC ISO (RFC 822 and ISO-8601 forms) with verbatim passthrough.
+    Each entry: (title, link, entry_id, published, updated, author,
+    summary, categories)."""
+    import xml.etree.ElementTree as ET
+
+    buf = bytes(payload)
+    if buf[:2] == b"\x1f\x8b":
+        buf = zlib.decompress(buf, 47)
+    root = ET.fromstring(buf)
+
+    def L(el) -> str:
+        return el.tag.rsplit("}", 1)[-1].lower()
+
+    def text(el) -> "str | None":
+        return (el.text or "").strip() or None if el is not None else None
+
+    kind_local = L(root)
+    entries = []
+    feed_title = feed_link = None
+    if kind_local == "feed":  # Atom 1.0
+        kind = "atom"
+        for el in root:
+            n = L(el)
+            if n == "title" and feed_title is None:
+                feed_title = text(el)
+            elif n == "link" and feed_link is None:
+                if el.get("rel", "alternate") == "alternate":
+                    feed_link = el.get("href")
+            elif n == "entry":
+                e = {"categories": []}
+                for c in el:
+                    m = L(c)
+                    if m == "title":
+                        e.setdefault("title", text(c))
+                    elif m == "link":
+                        if c.get("rel", "alternate") == "alternate":
+                            e.setdefault("link", c.get("href"))
+                    elif m == "id":
+                        e.setdefault("entry_id", text(c))
+                    elif m == "published":
+                        e.setdefault("published", text(c))
+                    elif m == "updated":
+                        e.setdefault("updated", text(c))
+                    elif m in ("summary", "content"):
+                        e.setdefault("summary", text(c))
+                    elif m == "author":
+                        for cc in c:
+                            if L(cc) == "name":
+                                e.setdefault("author", text(cc))
+                    elif m == "category":
+                        if c.get("term"):
+                            e["categories"].append(c.get("term"))
+                entries.append(e)
+    elif kind_local in ("rss", "rdf"):  # RSS 2.0 / RSS 1.0
+        kind = "rss" if kind_local == "rss" else "rdf"
+        for el in root.iter():
+            if L(el) == "channel":
+                for c in el:
+                    n = L(c)
+                    if n == "title" and feed_title is None:
+                        feed_title = text(c)
+                    elif n == "link" and feed_link is None:
+                        feed_link = text(c)
+                break
+        for item in root.iter():
+            if L(item) != "item":
+                continue
+            e = {"categories": []}
+            for c in item:
+                m = L(c)
+                if m == "title":
+                    e.setdefault("title", text(c))
+                elif m == "link":
+                    e.setdefault("link", text(c))
+                elif m == "guid":
+                    e.setdefault("entry_id", text(c))
+                elif m in ("pubdate", "date"):  # pubDate / dc:date
+                    e.setdefault("published", text(c))
+                elif m in ("author", "creator"):  # author / dc:creator
+                    e.setdefault("author", text(c))
+                elif m == "description":
+                    e.setdefault("summary", text(c))
+                elif m == "category":
+                    if text(c):
+                        e["categories"].append(text(c))
+            if kind == "rdf" and "link" not in e:
+                e["link"] = item.get(
+                    "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}about"
+                )
+            entries.append(e)
+    else:
+        raise ValueError(f"not a feed document: root <{kind_local}>")
+    out_entries = [
+        (
+            e.get("title"), e.get("link"), e.get("entry_id"),
+            _feed_date(e.get("published")), _feed_date(e.get("updated")),
+            e.get("author"), e.get("summary"), e["categories"],
+        )
+        for e in entries
+    ]
+    return {"kind": kind, "title": feed_title, "link": feed_link,
+            "entries": out_entries}
+
+
+FEED_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("kind", StringType()),
+        StructField("feed_title", StringType()),
+        StructField("feed_link", StringType()),
+        StructField("title", StringType()),
+        StructField("link", StringType()),
+        StructField("entry_id", StringType()),
+        StructField("published", StringType()),
+        StructField("updated", StringType()),
+        StructField("author", StringType()),
+        StructField("summary", StringType()),
+        StructField("categories", ArrayType(StringType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def feed_table(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """Fetched feed documents (binary, possibly gzipped) → one row per
+    entry — same shape and scale notes as :func:`sitemap_table` (one
+    mapInPandas stage, zero shuffle, corrupt documents → one error
+    row). The link column feeds the frontier; title/published/author
+    feed curation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEED_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for src, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    x = parse_feed(bytes(payload))
+                    for e in x["entries"]:
+                        rows.append(
+                            (src, x["kind"], x["title"], x["link"]) + e
+                            + (None,)
+                        )
+                except Exception as exc:
+                    rows.append(
+                        (src, None, None, None, None, None, None, None,
+                         None, None, None, None, str(exc))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, FEED_SCHEMA)
+
+
 WET_SCHEMA = StructType(
     [
         StructField("archive", StringType()),

@@ -371,3 +371,77 @@ def test_pdf_inline_images_bi_id_ei():
                                  "filter": "raw"}]])
     ((_, name, out),) = list(pdfimages.extract_pdf_images(pay))
     assert name == "~inline0" and (out == tricky).all()
+
+
+def test_pdf_icc_separation_colorspaces():
+    """ICCBased renders via /N (or /Alternate) — the profile only
+    refines colorimetry, so pixels round-trip exactly — and a
+    one-colorant Separation space renders as coverage-inverted gray
+    (documented approximation: the tint transform is not evaluated)."""
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(7, 8), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    pay = pdfimages.build_pdf([[
+        {"img": gray, "filter": "flate", "cs": "icc"},
+        {"img": rgb, "filter": "flate", "cs": "icc"},
+        {"img": gray, "filter": "flate", "cs": "sep"},
+    ]])
+    got = list(pdfimages.extract_pdf_images(pay))
+    assert (got[0][2] == gray).all()
+    assert (got[1][2] == rgb).all()
+    assert (got[2][2] == 255 - gray).all()
+
+
+def test_pdf_info_and_links():
+    """Trailer /Info metadata (PDFDoc + UTF-16BE strings, §7.9.4 dates
+    ISO-normalized with offset forms, verbatim passthrough for garbage)
+    and per-page /Link-URI outlinks, in both xref layouts."""
+    g = np.zeros((4, 4), dtype=np.uint8)
+    info = {"Title": "Scan 0042", "Author": "A. Writer",
+            "Producer": "fixture", "CreationDate": "D:20240305100000Z",
+            "ModDate": "D:20240306083000+02'00'"}
+    annots = [["https://ex.com/a", "https://ex.com/b"],
+              ["https://ex.com/a"]]
+    for xref_stream in (False, True):
+        pay = pdfimages.build_pdf([[{"img": g}], []], info=info,
+                                  annots=annots, xref_stream=xref_stream)
+        m = pdfimages.pdf_info(pay)
+        assert m["title"] == "Scan 0042" and m["n_pages"] == 2
+        assert m["creation_date"] == "2024-03-05T10:00:00+00:00"
+        assert m["mod_date"] == "2024-03-06T08:30:00+02:00"
+        assert m["links"] == [
+            {"page": 0, "uri": "https://ex.com/a"},
+            {"page": 0, "uri": "https://ex.com/b"},
+            {"page": 1, "uri": "https://ex.com/a"},
+        ]
+    t = "Café — résumé"
+    b16 = (b"\xfe\xff" + t.encode("utf-16-be")).decode("latin-1")
+    pay = pdfimages.build_pdf([[]], info={"Title": b16})
+    assert pdfimages.pdf_info(pay)["title"] == t
+    pay = pdfimages.build_pdf([[]], info={"CreationDate": "yesterday"})
+    assert pdfimages.pdf_info(pay)["creation_date"] == "yesterday"
+    assert pdfimages.pdf_info(pay)["links"] == []
+
+
+def test_pdf_meta_table_spark(spark):
+    """The Spark op: metadata columns + first-seen-deduped link_uris,
+    corrupt payloads as ok=false rows, zero Exchange in the plan."""
+    g = np.zeros((4, 4), dtype=np.uint8)
+    pay = pdfimages.build_pdf(
+        [[{"img": g}]], info={"Title": "Doc"},
+        annots=[["u:1", "u:2", "u:1"]],
+    )
+    df = spark.createDataFrame(
+        [("s3://c/a.pdf", bytearray(pay)),
+         ("s3://c/bad.pdf", bytearray(b"not a pdf"))],
+        "url string, payload binary",
+    )
+    out = pdfimages.pdf_meta_table(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["url"]: r for r in out.collect()}
+    good = rows["s3://c/a.pdf"]
+    assert good["ok"] and good["title"] == "Doc"
+    assert list(good["link_uris"]) == ["u:1", "u:2"]
+    bad = rows["s3://c/bad.pdf"]
+    assert bad["ok"] is False and bad["error"]

@@ -705,3 +705,88 @@ def test_warc_extract_with_metadata(spark):
     assert list(pm["jsonld_types"]) == ["NewsArticle", "BreadcrumbList"]
     assert pm["n_jsonld_errors"] == 1
     assert rows["s3://crawl/bad.warc"]["page_meta"] is None
+
+
+RSS_FEED = b"""<?xml version="1.0"?>
+<rss version="2.0" xmlns:dc="http://purl.org/dc/elements/1.1/">
+<channel><title>Ex Blog</title><link>https://ex.com/</link>
+<item><title>Post One</title><link>https://ex.com/1</link>
+ <guid isPermaLink="false">p1</guid>
+ <pubDate>Tue, 05 Mar 2024 10:00:00 GMT</pubDate>
+ <dc:creator>A. Writer</dc:creator>
+ <description>First post.</description>
+ <category>news</category><category>tech</category></item>
+<item><title>Post Two</title><link>https://ex.com/2</link>
+ <dc:date>2024-03-06T08:30:00+02:00</dc:date></item>
+</channel></rss>"""
+
+ATOM_FEED = b"""<feed xmlns="http://www.w3.org/2005/Atom">
+<title>Atom Ex</title>
+<link rel="self" href="https://ex.com/feed.xml"/>
+<link href="https://ex.com/"/>
+<entry><title>E1</title><id>tag:e1</id>
+ <link rel="alternate" href="https://ex.com/e1"/>
+ <published>2024-03-05T09:00:00Z</published>
+ <updated>2024-03-05T11:00:00Z</updated>
+ <author><name>B</name></author>
+ <summary>Sum</summary>
+ <category term="x"/></entry></feed>"""
+
+
+def test_parse_feed_rss_atom_rdf():
+    """RSS 2.0 (dc:-decorated), Atom 1.0 (rel-aware links, author/name),
+    and RDF-rooted RSS 1.0 (rdf:about fallback link) all normalize to
+    the same entry shape; RFC 822 AND ISO dates → UTC ISO; gzip
+    unwrapped; non-feed XML gates."""
+    import gzip as _gzip
+
+    m = webtext.parse_feed(RSS_FEED)
+    assert m["kind"] == "rss" and m["title"] == "Ex Blog"
+    t, link, eid, pub, upd, author, summary, cats = m["entries"][0]
+    assert (t, link, eid, author) == ("Post One", "https://ex.com/1",
+                                      "p1", "A. Writer")
+    assert pub == "2024-03-05T10:00:00+00:00"  # RFC 822 → UTC ISO
+    assert cats == ["news", "tech"]
+    assert m["entries"][1][3] == "2024-03-06T06:30:00+00:00"  # dc:date
+
+    m = webtext.parse_feed(ATOM_FEED)
+    assert m["kind"] == "atom" and m["link"] == "https://ex.com/"
+    t, link, eid, pub, upd, author, summary, cats = m["entries"][0]
+    assert (t, link, eid, author, summary, cats) == (
+        "E1", "https://ex.com/e1", "tag:e1", "B", "Sum", ["x"])
+    assert upd == "2024-03-05T11:00:00+00:00"
+
+    rdf = (b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+           b' xmlns="http://purl.org/rss/1.0/">'
+           b'<channel rdf:about="https://ex.com/"><title>R</title></channel>'
+           b'<item rdf:about="https://ex.com/r1"><title>R1</title></item>'
+           b"</rdf:RDF>")
+    m = webtext.parse_feed(rdf)
+    assert m["kind"] == "rdf" and m["entries"][0][1] == "https://ex.com/r1"
+
+    assert webtext.parse_feed(_gzip.compress(ATOM_FEED))["kind"] == "atom"
+    with pytest.raises(ValueError, match="not a feed"):
+        webtext.parse_feed(b"<html></html>")
+
+
+def test_feed_table_spark(spark):
+    """One row per entry with feed-level columns carried; corrupt
+    documents → one error row; zero Exchange."""
+    df = spark.createDataFrame(
+        [("https://ex.com/rss", bytearray(RSS_FEED)),
+         ("https://ex.com/atom", bytearray(ATOM_FEED)),
+         ("https://ex.com/bad", bytearray(b"nope"))],
+        "url string, payload binary",
+    )
+    out = webtext.feed_table(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["https://ex.com/rss"]) == 2
+    assert by_src["https://ex.com/rss"][0]["feed_title"] == "Ex Blog"
+    assert by_src["https://ex.com/atom"][0]["link"] == "https://ex.com/e1"
+    (bad,) = by_src["https://ex.com/bad"]
+    assert bad["error"] and bad["kind"] is None
