@@ -913,6 +913,59 @@ def _pdf_date(v) -> "str | None":
 
 _INFO_KEYS = ("Title", "Author", "Subject", "Keywords", "Creator", "Producer")
 
+# XMP property → pdf_info key, per the XMP/Info equivalences the spec
+# tabulates (§14.3.3 Table 347): dc:title↔Title, dc:creator↔Author,
+# dc:description↔Subject, pdf:Keywords↔Keywords, xmp:CreatorTool↔Creator,
+# pdf:Producer↔Producer, xmp:CreateDate/ModifyDate↔the dates.
+_XMP_MAP = {
+    "title": "title", "creator": "author", "description": "subject",
+    "Keywords": "keywords", "CreatorTool": "creator",
+    "Producer": "producer", "CreateDate": "creation_date",
+    "ModifyDate": "mod_date",
+}
+
+
+def _parse_xmp(xml: bytes) -> dict:
+    """Best-effort XMP packet read: both the element form (possibly
+    wrapped in rdf:Alt/Seq/Bag li items) and the attribute form on
+    rdf:Description; namespace-tolerant local-name matching. Malformed
+    XML → empty dict, never fatal."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return {}
+
+    def L(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    out: dict = {}
+    for el in root.iter():
+        name = L(el.tag)
+        if name == "Description":
+            for k, v in el.attrib.items():
+                key = _XMP_MAP.get(L(k))
+                if key and key not in out and v.strip():
+                    out[key] = v.strip()
+            continue
+        key = _XMP_MAP.get(name)
+        if key and key not in out:
+            txt = (el.text or "").strip()
+            if not txt:
+                for li in el.iter():
+                    if L(li.tag) == "li" and (li.text or "").strip():
+                        txt = li.text.strip()
+                        break
+            if txt:
+                out[key] = txt
+    for k in ("creation_date", "mod_date"):
+        if k in out:
+            from .webtext import _norm_date
+
+            out[k] = _norm_date(out[k])
+    return out
+
 
 def pdf_info(payload: bytes, password: "bytes | str" = b"") -> dict:
     """Document-level metadata + outbound links: the PDF counterpart of
@@ -920,13 +973,26 @@ def pdf_info(payload: bytes, password: "bytes | str" = b"") -> dict:
     (title/author/subject/keywords/creator/producer, creation and
     modification dates ISO-normalized) and every page's /Link
     annotations with /URI actions — the PDF's outlink set, which feeds
-    the same link-graph ops the HTML path feeds."""
+    the same link-graph ops the HTML path feeds. Fields /Info does not
+    supply fall back to the catalog's XMP /Metadata packet (§14.3.3
+    equivalences) — modern producers often write XMP only."""
     doc = PdfDocument(payload, password=password)
     pages = doc.pages()
     info = doc.resolve(doc.trailer.get("Info")) or {}
     out = {k.lower(): _pdf_text(doc.resolve(info.get(k))) for k in _INFO_KEYS}
     out["creation_date"] = _pdf_date(doc.resolve(info.get("CreationDate")))
     out["mod_date"] = _pdf_date(doc.resolve(info.get("ModDate")))
+    if not all(out.values()):
+        md = (doc.resolve(doc.trailer.get("Root")) or {}).get("Metadata")
+        if md is not None:
+            try:
+                dic, raw = doc.stream(md)
+                xmp = _parse_xmp(_apply_byte_filters(raw, dic, doc))
+            except (ValueError, KeyError):
+                xmp = {}
+            for k, v in xmp.items():
+                if not out.get(k):
+                    out[k] = v
     out["n_pages"] = len(pages)
     links: "list[dict]" = []
     for no, page in enumerate(pages):
@@ -1745,6 +1811,7 @@ def build_pdf(
     encrypt: "str | None" = None, user_pw: bytes = b"",
     info: "dict | None" = None,
     annots: "list[list[str]] | None" = None,
+    xmp: "dict | None" = None,
 ) -> bytes:
     """Deterministic PDF fixture builder: one entry per page, each a
     list of image specs {"img": ndarray, "filter": "flate" | "flate_png"
@@ -1760,7 +1827,10 @@ def build_pdf(
     Form XObject invoked with Do), or ``"cs"`` ("icc" | "sep") to wrap
     the image's color space. ``info`` writes a document information
     dictionary (trailer /Info); ``annots`` is an optional per-page list
-    of URI strings emitted as /Link annotations."""
+    of URI strings emitted as /Link annotations; ``xmp`` (keys title /
+    author / creation_date) writes a catalog /Metadata XMP packet —
+    title in the rdf:Alt element form, author in rdf:Seq, the date in
+    the attribute form, so both read paths get exercised."""
     import zlib
 
     wr = PdfWriter(encryptor=_encryptor_for(encrypt, user_pw))
@@ -1905,7 +1975,37 @@ def build_pdf(
                 for uri in page_uris
             ]
         wr.put(num, page_dic)
-    root = wr.put(catalog_num, {"Type": "Catalog", "Pages": PdfRef(pages_num, 0)})
+    catalog = {"Type": "Catalog", "Pages": PdfRef(pages_num, 0)}
+    if xmp is not None:
+        attrs = ""
+        if xmp.get("creation_date"):
+            attrs = f' xmp:CreateDate="{xmp["creation_date"]}"'
+        els = ""
+        if xmp.get("title"):
+            els += (
+                '<dc:title><rdf:Alt><rdf:li xml:lang="x-default">'
+                f'{xmp["title"]}</rdf:li></rdf:Alt></dc:title>'
+            )
+        if xmp.get("author"):
+            els += (
+                "<dc:creator><rdf:Seq><rdf:li>"
+                f'{xmp["author"]}</rdf:li></rdf:Seq></dc:creator>'
+            )
+        packet = (
+            '<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+            '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+            '<rdf:RDF xmlns:rdf='
+            '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+            "<rdf:Description "
+            'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+            'xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
+            f"{attrs}>{els}</rdf:Description>"
+            '</rdf:RDF></x:xmpmeta><?xpacket end="w"?>'
+        ).encode("utf-8")
+        catalog["Metadata"] = wr.put_stream(
+            alloc(), {"Type": "Metadata", "Subtype": "XML"}, packet
+        )
+    root = wr.put(catalog_num, catalog)
     wr.put(
         pages_num,
         {"Type": "Pages", "Count": len(page_nums),

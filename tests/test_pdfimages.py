@@ -445,3 +445,23 @@ def test_pdf_meta_table_spark(spark):
     assert list(good["link_uris"]) == ["u:1", "u:2"]
     bad = rows["s3://c/bad.pdf"]
     assert bad["ok"] is False and bad["error"]
+
+
+def test_pdf_xmp_metadata_fallback():
+    """Fields /Info does not supply come from the catalog's XMP
+    /Metadata packet (§14.3.3 equivalences): rdf:Alt/Seq element forms
+    AND the attribute form on rdf:Description; /Info wins where both
+    exist; malformed XMP is ignored, never fatal."""
+    pay = pdfimages.build_pdf(
+        [[]], xmp={"title": "XMP Title", "author": "X. Author",
+                   "creation_date": "2024-03-05T10:00:00Z"})
+    m = pdfimages.pdf_info(pay)
+    assert m["title"] == "XMP Title" and m["author"] == "X. Author"
+    assert m["creation_date"] == "2024-03-05T10:00:00+00:00"
+
+    pay = pdfimages.build_pdf([[]], info={"Title": "Info Title"},
+                              xmp={"title": "XMP Title", "author": "X"})
+    m = pdfimages.pdf_info(pay)
+    assert m["title"] == "Info Title" and m["author"] == "X"
+
+    assert pdfimages._parse_xmp(b"<not xml") == {}
