@@ -40,14 +40,53 @@ from pypdfocr_spark.corpus import HEAVY_REPEAT
 LSH_MAX_BUCKET = 64
 
 # ----------------------------------------------------------------- helpers
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a single-file fixture table across the cluster (r6).
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    The driver's documents/embeddings/events parquet files are ONE file
+    with ONE row group — an unsplittable scan (the parquet reader can
+    only split at row-group boundaries), so every map-side stage over
+    them ran on a single task regardless of core count: the whole
+    per-row compute of simhash, the embedding cosines, the sliding-
+    window explode, the shingle/minhash pipeline etc. serialized onto
+    one core. Guide §2.5 ("input skew: one huge unsplittable file …
+    repartition immediately after the read"): one round-robin exchange
+    of the small fixture relation, sized by the cluster's parallelism
+    (scale-adaptive — local[N] here, executor total on a cluster; never
+    a constant). The library operators themselves stay repartition-
+    free: a production table arrives with real splits, this belongs to
+    the fixture reader. Round-robin keeps Spark's sort-before-
+    repartition determinism; every aggregation downstream of these
+    three tables is order-insensitive (counts/longs, per-row floats, or
+    deterministic rank windows), so results are bit-identical. The
+    TPC-H tables (lineitem/orders/customer) are deliberately NOT
+    spread: their queries round() double sums whose value depends on
+    partial-aggregation grouping — reordering those would risk flipping
+    a rounding boundary vs the frozen oracle.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+# Which queries opt in (measured at sf1.0, BENCH/r06_before_sf1.0.jsonl →
+# OPTIMIZATION_r06.md): the exchange costs ~0.15-0.3 s on these tables,
+# so it pays only where the map-side per-row work it parallelizes is the
+# dominant cost (simhash −73%, shingle/minhash pipelines, embedding
+# cosines, the sliding-window explode, the decontamination intersect's
+# corpus side). Cheap scan-project queries (route/source/filename/...)
+# and slim-relation queries (pack_windows — its +2.5 s regression under
+# a blanket spread is what forced the opt-in design) stay on the raw
+# single-task scan, which is faster than paying the exchange.
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df) if spread else df
+
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(df) if spread else df
+
+def _events(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(df) if spread else df
 
 def _corpus_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -259,6 +298,9 @@ def _q_top_orders_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread: the session window's own exchange on user_id is the
+    # first real operator — a pre-spread would be a second, pure-overhead
+    # exchange (measured +0.4 s at sf0.1)
     out = events.sessionize(_events(spark, sf_dir), gap_seconds=300)
     return out.select(
         "user_id",
@@ -318,7 +360,7 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df prunes ubiquitous shingles before the self-join — candidate
     # fan-out control, the knob that keeps this linear-ish at corpus scale
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), k=2, threshold=0.5, max_df=150
+        _docs(spark, sf_dir, spread=True), k=2, threshold=0.5, max_df=150
     ).select("id_a", "id_b", "n_common", F.round("jaccard", 9).alias("jaccard"))
 
 
@@ -326,14 +368,16 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: connected components over the n-gram Jaccard
     near-dup pair graph (iterative min-label propagation — checked
     against a DuckDB recursive-CTE transitive closure)."""
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.5, max_df=150)
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir, spread=True), k=2, threshold=0.5, max_df=150
+    )
     return dedup.connected_components(pairs).select("node", "component")
 
 
 def _q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-to-end dedup composite: exact → near-dup clusters → keepers
     return dedup.dedup_keepers(
-        _docs(spark, sf_dir), k=2, threshold=0.5, max_df=150
+        _docs(spark, sf_dir, spread=True), k=2, threshold=0.5, max_df=150
     )
 
 
@@ -342,17 +386,19 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is mirrored in the oracle's HAVING prune, so the row stays
     # hash-verified whether or not the cap binds at this scale.
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=16, bands=4, k=3,
+        _docs(spark, sf_dir, spread=True), num_hashes=16, bands=4, k=3,
         max_bucket=LSH_MAX_BUCKET,
     )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_signatures(_docs(spark, sf_dir))
+    return dedup.simhash_signatures(_docs(spark, sf_dir, spread=True))
 
 
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.brute_force_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+    out = similarity.brute_force_topk(
+        _emb(spark, sf_dir, spread=True), query_ids=list(range(10)), k=5
+    )
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
         F.round("cosine", 9).alias("cosine"),
@@ -361,7 +407,7 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_topk(
-        _emb(spark, sf_dir), query_ids=list(range(10)), k=5,
+        _emb(spark, sf_dir, spread=True), query_ids=list(range(10)), k=5,
         n_centroids=16, n_probe=4,
     )
     return out.select(
@@ -375,7 +421,7 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates, exact-cosine filtered. Oracle reproduces the identical
     # candidate rule via bit_count(xor(bucket_a, bucket_b)) <= 1.
     return dedup.embedding_near_dup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.3, n_planes=8, probe_bits=1,
+        _emb(spark, sf_dir, spread=True), threshold=0.3, n_planes=8, probe_bits=1,
         max_bucket=LSH_MAX_BUCKET,
     ).select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
@@ -444,7 +490,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trip byte-for-byte. (The md5 checksum column stays in
     # FEATURE_SCHEMA and is pytest-verified; IEEE-754 bit extraction is
     # not expressible in DuckDB SQL.)
-    media = multimodal.media_table(_emb(spark, sf_dir))
+    media = multimodal.media_table(_emb(spark, sf_dir, spread=True))
     return multimodal.extract_features(media).select(
         "vec_id",
         "n_bytes",
@@ -531,7 +577,7 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    canon = _docs(spark, sf_dir).select(
+    canon = _docs(spark, sf_dir, spread=True).select(
         "n_chars",
         webops.canonicalize_url(_dirty_url_col()).alias("canon_url"),
     )
@@ -603,9 +649,10 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stand-in eval set: every 50th doc; the corpus is everything else
-    docs = _docs(spark, sf_dir)
-    bench = docs.where(F.col("doc_id") % 50 == 0)
-    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    # bench side feeds a tiny driver collect — raw 1-task scan; only
+    # the corpus side (the per-doc overlap compute) is spread
+    bench = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    corpus = _docs(spark, sf_dir, spread=True).where(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate(corpus, bench, k=2, min_overlap=3)
 
 
@@ -655,7 +702,7 @@ def _q_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents pattern (exact integer sums) + epoch-integer window keys,
     # both TZ-proof — see _q_tumbling_events
     def build() -> DataFrame:
-        ev = _events(spark, sf_dir).withColumn(
+        ev = _events(spark, sf_dir, spread=True).withColumn(
             "value_cents", F.round(F.col("value") * 100).cast("long")
         )
         return events.sliding_counts(
@@ -703,9 +750,8 @@ def _q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fused single-scan curation run (parity-pinned vs the composed
     # form): eval set = every 50th doc (same framing as the decontaminate
     # query), corpus = the rest
-    docs = _docs(spark, sf_dir)
-    bench = docs.where(F.col("doc_id") % 50 == 0)
-    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bench = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    corpus = _docs(spark, sf_dir, spread=True).where(F.col("doc_id") % 50 != 0)
     return recipe.curate(corpus, bench, min_tokens=30)
 
 

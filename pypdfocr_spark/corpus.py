@@ -216,8 +216,10 @@ def extract_doc(payload: bytes) -> tuple[list[str], str]:
         geom = codec.detect_geometry(pages)
         raster = codec.rasterize(pages, geom["output_dpi"])
         hocr_doc = hocr.emit_hocr(raster)
-        spans_by_page = hocr.parse_hocr_all(hocr_doc, geom["height_pt"], geom["output_dpi"])
-        return ([hocr.page_text_from_spans(s) for s in spans_by_page], "ok")
+        # r6: text-only parse — identical admission rules and text, skips
+        # the placement/fontspec work the text surface discards (the
+        # span-level pipeline keeps the full parse in extract_doc_spans)
+        return (hocr.page_texts_from_hocr(hocr_doc), "ok")
     head = payload.lstrip()[:15].lower()
     if head.startswith(b"<!doctype") or head.startswith(b"<html"):
         try:

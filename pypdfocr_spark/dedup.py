@@ -71,8 +71,12 @@ def canonical_url_dedup(
     from .webops import canonicalize_url
 
     canon = F.col(canonical_col)
+    # case-insensitive scheme test (ADVICE r5): RFC 3986 schemes are
+    # case-insensitive, so an uppercase-scheme canonical (HTTP://…) must
+    # still count as an absolute declared target — canonicalize_url
+    # lowercases the head afterwards either way
     declared = F.when(
-        canon.startswith("http://") | canon.startswith("https://"), canon
+        canon.rlike("(?i)^https?://"), canon
     ).otherwise(F.col(url_col))
     key = canonicalize_url(declared)
     return (
@@ -712,7 +716,7 @@ def embedding_near_dup_pairs(
     Cosine is computed with JVM higher-order functions (zip_with +
     aggregate in doubles) — no Python.
     """
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
     if max_rows is not None:
         # bounded probe: column-pruned limit(N+1).count() short-circuits
@@ -725,12 +729,24 @@ def embedding_near_dup_pairs(
                 "would build an O(n²) cross join (guard: max_rows); use "
                 "embedding_near_dup_pairs_lsh or pass max_rows=None"
             )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # r6: per-side norms — computed once per row, not once per pair;
+    # cosine = dot/(na·nb) is arithmetically identical (same fold, same
+    # multiply order), see similarity.dot_expr
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
+    cosine = dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr("va", "vb"))
+        .withColumn("cosine", cosine)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -774,7 +790,7 @@ def embedding_near_dup_pairs_lsh(
     by exact_dedup; with ``n_tables > 1`` a vector pruned in one table
     still participates via its other tables.
     """
-    from .similarity import bucket_index, cosine_expr, infer_dim, probe_masks
+    from .similarity import bucket_index, dot_expr, infer_dim, norm_expr, probe_masks
 
     if dim is None:
         dim = infer_dim(emb, vec_col)
@@ -810,12 +826,25 @@ def embedding_near_dup_pairs_lsh(
     )
     if n_tables > 1:
         cand = cand.distinct()  # a pair may collide in several tables
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # r6: per-side norms (once per vector, not once per candidate pair) —
+    # bit-identical arithmetic, see similarity.dot_expr
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_expr("va", "vb"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -80,14 +80,16 @@ def sliding_counts(
     # approaching 2^53. The final µs→s division goes through decimal
     # (the numerator is a multiple of 10^6, so the quotient is exact).
     base_us = us - F.pmod(us, F.lit(s_us))
+    # r6: the m window starts are unrolled into a plain array literal of
+    # expressions — F.sequence + F.transform are CodegenFallback
+    # (interpreted lambda per element per row); the array of m
+    # subtractions is flat codegen. Values are identical: j·S is folded
+    # into one long literal per slot.
     exploded = df.select(
         F.col(by_col),
         F.col(value_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: base_us - j.cast("long") * F.lit(s_us),
-            )
+            F.array(*[base_us - F.lit(j * s_us) for j in range(m)])
         ).alias("_ws_us"),
     )
     return (

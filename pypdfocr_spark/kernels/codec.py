@@ -35,6 +35,28 @@ from __future__ import annotations
 import json
 import math
 
+try:  # r6: orjson (public, C-accelerated) when present — strictly a
+    # fast path: it is stricter than stdlib json (rejects NaN/Infinity,
+    # >64-bit ints), so any orjson failure falls back to json.loads and
+    # the accepted-input set / parsed values are exactly stdlib's
+    import orjson as _fastjson
+except Exception:  # pragma: no cover - orjson absent
+    _fastjson = None
+
+
+def loads_json(data):
+    """``json.loads`` with an orjson fast path (bytes or str input).
+    Raises exactly when stdlib ``json.loads`` would."""
+    if _fastjson is not None:
+        try:
+            return _fastjson.loads(data)
+        except Exception:
+            pass
+    if isinstance(data, (bytes, bytearray)):
+        data = data.decode("utf-8")
+    return json.loads(data)
+
+
 MAGIC = b"%SYNPDF2%"
 MIN_DPI = 300  # rasterization floor (ref: pypdfocr/pypdfocr_gs.py:60,156)
 
@@ -81,7 +103,7 @@ def decode_doc(payload: bytes) -> list[dict] | None:
     if lines is None:
         return None
     try:
-        pages = [json.loads(ln.decode("utf-8")) for ln in lines]
+        pages = [loads_json(ln) for ln in lines]
         return pages if all(isinstance(p, dict) for p in pages) else None
     except Exception:
         return None

@@ -213,6 +213,53 @@ def _parse_page_element(page: Element, height: float, dpi: float) -> list[dict]:
     return lines
 
 
+def page_texts_from_hocr(hocr_xml: str) -> list[str]:
+    """Per-page text directly from the hOCR tree — the text-only
+    projection of ``parse_hocr_all`` + ``page_text_from_spans`` (r6
+    optimization, guide §1.2 "don't compute things you throw away"):
+    the text surface never uses placement math, fontspec, baseline,
+    textangle, or the bbox float values, so this path skips parsing them.
+    Word/line admission is UNCHANGED — the same class checks and the
+    same ``REGEX_BBOX`` gate on the same titles — so the emitted text is
+    byte-identical (pinned by test_kernels parity + the extract_text
+    oracle). Parse failure → ``[]``, exactly like ``parse_hocr_all``.
+    """
+    try:
+        root = fromstring(hocr_xml)
+    except Exception:
+        return []
+    bbox_search = REGEX_BBOX.search
+    out: list[str] = []
+    for page in _find_body(root):
+        if page.attrib.get("class") != "ocr_page":
+            continue
+        parts: list[str] = []
+        for line in page.iter(_SPAN_TAG):
+            la = line.attrib
+            if la.get("class") != "ocr_line":
+                continue
+            if bbox_search(la.get("title", "")) is None:
+                continue
+            texts: list[str] = []
+            for word in line:
+                wa = word.attrib
+                if wa.get("class") != "ocrx_word":
+                    continue
+                if bbox_search(wa.get("title", "")) is None:
+                    continue
+                if len(word) == 0:
+                    wt = word.text or ""
+                else:
+                    wt = " ".join(t for t in (c.text for c in word.iter()) if t)
+                wt = wt.strip()
+                if wt:
+                    texts.append(wt)
+            if texts:
+                parts.append(" ".join(texts))
+        out.append("\n".join(parts))
+    return out
+
+
 def page_text_from_spans(lines: list[dict]) -> str:
     """Reassemble page text: word texts joined by ``' '`` within a line,
     lines joined by ``'\\n'`` — the deterministic text surface the byte-
@@ -253,26 +300,36 @@ def emit_hocr(pages: list[dict]) -> str:
         by_line: dict[int, list[dict]] = {}
         for w in page["words"]:
             by_line.setdefault(int(w["l"]), []).append(w)
+        # r6 hot-loop shave (same emitted bytes, pinned by golden tests):
+        # one pass computes the line box instead of four genexpr passes,
+        # and each word emits via a single f-string append
+        append = parts.append
         for lno in sorted(by_line):
             ws = by_line[lno]
-            x0 = min(w["b"][0] for w in ws)
-            y0 = min(w["b"][1] for w in ws)
-            x1 = max(w["b"][2] for w in ws)
-            y1 = max(w["b"][3] for w in ws)
+            b = ws[0]["b"]
+            x0, y0, x1, y1 = b[0], b[1], b[2], b[3]
+            for w in ws[1:]:
+                b = w["b"]
+                if b[0] < x0:
+                    x0 = b[0]
+                if b[1] < y0:
+                    y0 = b[1]
+                if b[2] > x1:
+                    x1 = b[2]
+                if b[3] > y1:
+                    y1 = b[3]
             title = f"bbox {x0} {y0} {x1} {y1}; baseline 0 -2"
             if angle:
                 title += f"; textangle {angle}"
-            parts.append(f'<span class="ocr_line" title="{title}">')
+            append(f'<span class="ocr_line" title="{title}">')
             for w in ws:
                 b = w["b"]
-                wt = (
-                    f'bbox {b[0]} {b[1]} {b[2]} {b[3]}; '
-                    f"x_wconf 95; x_font Helvetica; x_fsize {int(w.get('fs', 10))}"
+                append(
+                    f'<span class="ocrx_word" title="bbox {b[0]} {b[1]} {b[2]} {b[3]}; '
+                    f"x_wconf 95; x_font Helvetica; x_fsize {int(w.get('fs', 10))}\">"
+                    f'{escape(w["t"])}</span>'
                 )
-                parts.append(
-                    f'<span class="ocrx_word" title="{wt}">{escape(w["t"])}</span>'
-                )
-            parts.append("</span>")
+            append("</span>")
         parts.append("</div>")
     parts.append("</body></html>")
     return "".join(parts)

@@ -786,6 +786,15 @@ def iter_inline_images(
                     raise ValueError("inline image dict: expected ID")
                 break
             lex.pos += 1  # the single whitespace byte after ID
+            # CRLF-emitting writers put TWO bytes after ID (ADVICE r5);
+            # skip the LF half only when the consumed delimiter was CR —
+            # binary image data may legitimately begin with 0x0A after
+            # any other single-byte delimiter
+            if (
+                data[lex.pos - 1 : lex.pos] == b"\r"
+                and data[lex.pos : lex.pos + 1] == b"\n"
+            ):
+                lex.pos += 1
             full = _inline_norm(dic)
             start = lex.pos
             ln = doc.resolve(full.get("Length"))
@@ -1470,6 +1479,12 @@ def extract_pdf_text(
                     raise ValueError("inline image dict: expected ID")
                 break
             lex.pos += 1  # the single whitespace byte after ID
+            # same CRLF-after-ID tolerance as iter_inline_images
+            if (
+                data[lex.pos - 1 : lex.pos] == b"\r"
+                and data[lex.pos : lex.pos + 1] == b"\n"
+            ):
+                lex.pos += 1
             ln = doc.resolve(dic.get("L", dic.get("Length")))
             if isinstance(ln, int):
                 lex.pos += ln

@@ -131,8 +131,13 @@ def _extract_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             )
         except Exception as exc:  # data error → row, never task failure
             text, n_pages, status, route = "", 0, f"error:{type(exc).__name__}", cfg.default_route
+        # doc norm = per-page norms joined by space — equal to
+        # normalize_page_text(text) because ascii-ignore distributes over
+        # concat and the joining '\n' itself normalizes to ' ' (the same
+        # S6 identity _jvm_reassemble relies on); avoids re-normalizing
+        # the whole document text a second time (r6)
         out.append(
-            (url, ts, lang, text, normalize_page_text(text), route, n_pages, status, len(payload))
+            (url, ts, lang, text, " ".join(norm_pages), route, n_pages, status, len(payload))
         )
     # per-row share of this batch's Python compute → lineage wall_ms
     share = (time.monotonic() - t0) * 1000.0 / max(len(out), 1)
@@ -171,7 +176,7 @@ def _explode_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 )
                 continue
             try:
-                first = json.loads(decoded[0])
+                first = codec.loads_json(decoded[0])
             except Exception:
                 first = {}
             geom = codec.detect_geometry([first] if first else [])
@@ -260,7 +265,7 @@ def _page_text_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     ):
         status = "ok"
         try:
-            page = json.loads(pjson)
+            page = codec.loads_json(pjson)
             if not isinstance(page, dict):
                 page = None  # parity: corpus.decode_doc → None → decode_error
         except Exception:
@@ -327,8 +332,12 @@ def _page_text_rows(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 else:
                     raster = codec.rasterize([page], int(dpi))
                     hocr_doc = hocr.emit_hocr(raster)
-                    spans = hocr.parse_hocr_page(hocr_doc, 1, float(height), int(dpi))
-                    text = hocr.page_text_from_spans(spans)
+                    # r6: text-only parse (see hocr.page_texts_from_hocr);
+                    # emit_hocr of a single page always emits one
+                    # page_1 div, so index 0 is the page parse_hocr_page
+                    # would have selected by id
+                    texts = hocr.page_texts_from_hocr(hocr_doc)
+                    text = texts[0] if texts else ""
             except Exception as exc:  # data error → row, never task failure
                 text, status = "", f"error:{type(exc).__name__}"
         norm = normalize_page_text(text)
@@ -533,15 +542,37 @@ def materialize_corpus(spark: SparkSession, sf_dir: str, path: str) -> DataFrame
     from re-running the (expensive) payload construction: each branch
     re-scans parquet with its own pushed filter instead.
 
-    Rows are sorted by ``n_bytes`` within each output file so row groups
-    are size-homogeneous — the light branch's pushed ``n_bytes <= T``
-    filter then actually skips the heavy row groups (and vice versa)
-    instead of matching min/max stats everywhere. Iceberg mapping: a
-    sort order / z-order on the size column at ingest.
+    r6 layout (guide §6 "partitioning and sort order on write determine
+    how well readers can skip data"): light and heavy rows are written
+    as SEPARATE file sets (one overwrite + one append into the same
+    directory — same schema, no partition column). The former layout
+    round-robined heavy docs across every file and only sorted within
+    partitions, so each file's n_bytes min/max spanned the whole range
+    and NEITHER branch's pushed filter could skip anything — both
+    branches scanned (and Arrow-shipped) the full corpus. Now the light
+    branch's ``n_bytes <= T`` prunes every heavy file at file level and
+    vice versa. Heavy rows get ~par/8 files (they are few but fat — at
+    sf1.0, 1% of docs carry ~60% of bytes), light rows the rest.
+    Iceberg mapping: a size-class partition / z-order at ingest.
     """
-    build_corpus_df(spark, sf_dir).sortWithinPartitions("n_bytes").write.mode(
+    from .config import HEAVY_PAYLOAD_BYTES
+
+    df = build_corpus_df(spark, sf_dir).persist()
+    par = spark.sparkContext.defaultParallelism
+    light = df.where(F.col("n_bytes") <= HEAVY_PAYLOAD_BYTES)
+    heavy = df.where(F.col("n_bytes") > HEAVY_PAYLOAD_BYTES)
+    # both classes get one file per core: heavy docs are few but carry
+    # most bytes, and the heavy branch's page-explode stage parallelizes
+    # at FILE granularity (measured: 4 heavy files pinned the explode to
+    # 4 tasks ≈ 3 s; par files → sub-second). At warehouse scale the
+    # equivalent knob is the table's target file size, not a file count.
+    light.repartition(par).sortWithinPartitions("n_bytes").write.mode(
         "overwrite"
     ).parquet(path)
+    heavy.repartition(par).sortWithinPartitions("n_bytes").write.mode(
+        "append"
+    ).parquet(path)
+    df.unpersist()
     return spark.read.parquet(path)
 
 

@@ -36,6 +36,33 @@ def cosine_expr(a: str, b: str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Column-taking spellings of the same HOF fold, for call sites that
+# precompute per-side norms (r6). An unrolled flat expression chain
+# (((0.0 + a[0]*b[0]) + a[1]*b[1]) + …) was tried first and MEASURED
+# SLOWER by 3-25× at dim 64: the generated method blows past the JIT's
+# huge-method limit, so the "codegen" runs as interpreted bytecode,
+# while the HOF fold's per-element lambda dispatch is a tight loop
+# (guide §1.1 — the first-principles plan lost to the gotcha; numbers in
+# OPTIMIZATION_r06.md). The algorithmic win that survived measurement is
+# computing each side's norm ONCE PER ROW instead of once per pair.
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(c: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def plane_weights(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane weights, uniform in [-1, 1]:
     weight(plane p of table t, dim d) = md5-derived hash of the global
@@ -67,7 +94,11 @@ def hyperplane_bucket(
     doubles (sequential, bit-reproducible by the DuckDB oracle).
 
     ``table`` selects an independent plane set — the OR-construction:
-    L tables of m planes trade index size (×L) for recall 1−(1−p^m)^L."""
+    L tables of m planes trade index size (×L) for recall 1−(1−p^m)^L.
+
+    (r6 note: an unrolled per-element expression chain was tried here and
+    measured 25× SLOWER than this HOF fold — huge-method JIT collapse;
+    see dot_expr.)"""
     bits = []
     for p, w in enumerate(plane_weights(n_planes, dim, table)):
         wlit = F.array(*[F.lit(x) for x in w])
@@ -143,17 +174,31 @@ def brute_force_topk(
     Plan shape: the query side is a handful of rows → ``broadcast`` —
     the scan side streams once, no shuffle until the tiny top-k window.
     Ties broken by neighbor id for determinism.
+
+    r6: each side's norm is computed ONCE per row instead of once per
+    pair — cosine = dot/(qn·nn) is the identical arithmetic (same
+    sqrt-of-fold values, same multiply order), just not recomputed n×
+    per query vector (~35% off the scoring pass at sf1.0).
     """
     from pyspark.sql.window import Window
 
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
+    )
+    nbr = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm_expr(F.col(vec_col)).alias("_nn"),
     )
     scored = (
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-        .join(F.broadcast(q))
+        nbr.join(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr("qv", "nv"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -212,13 +257,20 @@ def kmeans_centroids(
 
     centroids = [(i, unit([float(x) for x in r["v"]])) for i, r in enumerate(init)]
     dim = len(centroids[0][1])
+    # r6: per-side norms — the vector norm is computed once per row per
+    # iteration instead of once per (row × centroid) pair
+    vecs_n = vecs.withColumn("_vn", norm_expr(F.col("v")))
     for _ in range(n_iter):
         cent_df = spark.createDataFrame(
             centroids, "centroid_id INT, cv ARRAY<DOUBLE>"
-        )
+        ).withColumn("_cn", norm_expr(F.col("cv")))
         assigned = (
-            vecs.join(F.broadcast(cent_df))
-            .withColumn("ccos", cosine_expr("v", "cv"))
+            vecs_n.join(F.broadcast(cent_df))
+            .withColumn(
+                "ccos",
+                dot_expr(F.col("v"), F.col("cv"))
+                / (F.col("_vn") * F.col("_cn")),
+            )
             .groupBy("id")
             .agg(
                 # argmax by (cosine, lower centroid id) — ties break the
@@ -308,21 +360,35 @@ def ivf_index(
 
     Returns the slim index (id, centroid_id). Plan shape: the centroid
     table broadcasts (it is tiny by construction), the corpus streams
-    once through the scoring join, and the argmin is a per-id window on
-    k rows — the standard one-pass IVF build. At 10^12 rows this index
-    is materialized once to a table, not rebuilt per query.
+    once through the scoring join, and the argmax is a map-side-
+    combinable ``max(struct(ccos, -centroid_id))`` aggregate (r6 — the
+    former per-id row_number window shuffled and sorted every
+    (vector × centroid) row; the aggregate ships one partial row per id
+    and picks the same winner: max cosine, ties → lower centroid id,
+    with Spark's NaN-greatest double ordering matching the window's
+    NaN-first descending order). At 10^12 rows this index is
+    materialized once to a table, not rebuilt per query.
     """
-    from pyspark.sql.window import Window
-
-    cent = _centroid_frame(emb, n_centroids, id_col, vec_col, centroid_strategy, centroids)
-    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    cent = _centroid_frame(
+        emb, n_centroids, id_col, vec_col, centroid_strategy, centroids
+    ).withColumn("_cn", norm_expr(F.col("cv")))
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("_vn"),
+    )
+    scored = vecs.join(F.broadcast(cent)).withColumn(
+        "ccos",
+        dot_expr(F.col("v"), F.col("cv")) / (F.col("_vn") * F.col("_cn")),
+    )
     return (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(cent))
-        .withColumn("ccos", cosine_expr("v", "cv"))
-        .withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") == 1)
-        .select("id", "centroid_id")
+        scored.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos").alias("c"), (-F.col("centroid_id")).alias("nc"))
+            ).alias("_m")
+        )
+        .select("id", (-F.col("_m.nc")).alias("centroid_id"))
     )
 
 
@@ -359,6 +425,9 @@ def ivf_topk(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id")
     )
+    # the probe side is a handful of (query × centroid) rows — the HOF
+    # cosine is fine here; the unrolled form below is for the candidate
+    # scoring pass, which touches ~n·n_probe/n_centroids rows per query
     qprobe = (
         q.join(F.broadcast(cent))
         .withColumn("ccos", cosine_expr("qv", "cv"))
@@ -366,13 +435,19 @@ def ivf_topk(
         .where(F.col("crank") <= n_probe)
         .select("query_id", "qv", "centroid_id")
     )
-    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm_expr(F.col(vec_col)).alias("_nn"),
+    )
+    qprobe = qprobe.withColumn("_qn", norm_expr(F.col("qv")))
+    cosine = dot_expr(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn"))
     cand = (
         idx.withColumnRenamed("id", "neighbor_id")
         .join(F.broadcast(qprobe), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(nv, "neighbor_id")
-        .withColumn("cosine", cosine_expr("qv", "nv"))
+        .withColumn("cosine", cosine)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -439,13 +514,22 @@ def lsh_bucket_topk(
         # are distinct), so the dedup shuffle is only needed across tables
         cand = cand.distinct()
     qv = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
     )
-    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm_expr(F.col(vec_col)).alias("_nn"),
+    )
     scored = (
         cand.join(nv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", cosine_expr("qv", "nv"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -226,18 +226,26 @@ def top_terms_df(
     (tf desc, df asc) lexicographic order preserves tf-idf's intent with
     integer-only comparisons.
 
-    Distributed shape: one token explode → combinable (doc,term) tf agg →
-    combinable term df agg (from the distinct doc-term pairs already in
-    hand) → join tf×df on term (vocabulary-sized build side, AQE decides
-    broadcast vs shuffle) → per-doc top-k window. At 100 TB the df table
-    is the classic skew point (stopword terms are hot) — the join is on
-    term with the SMALL side being the df aggregate, so AQE's skew-join
-    split applies to the probe side.
+    Distributed shape (r6 restructure — guide §2.4 "two operations keyed
+    the same way can share one exchange"): the docs are hash-partitioned
+    by id BEFORE the token explode (the exchange ships documents, not
+    ~tokens× (doc, term) rows), so the (doc, term) tf aggregation needs
+    NO exchange (HashPartitioning(id) satisfies the (id, term)
+    clustering) and the final per-doc top-k window needs NO exchange or
+    re-sort shuffle either — it reuses the same partitioning. Only the
+    vocabulary-sized df aggregate still shuffles (slim, map-side
+    combined), and it joins back on term (AQE decides broadcast vs
+    shuffle; at 100 TB the df side is the classic stopword skew point
+    and AQE's skew-join split applies to the probe side). The former
+    shape exchanged the fat tf relation twice more (once for the agg,
+    once back to doc partitioning for the window).
     """
     from pyspark.sql.window import Window
 
     tf = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
         .where(F.col("term") != "")  # space runs split into '' pseudo-terms
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -747,7 +747,11 @@ def parse_html_metadata(
             continue
         try:
             _jsonld_walk(json.loads(txt), types, article)
-        except ValueError:
+        except (ValueError, RecursionError):
+            # RecursionError: a crafted page with thousands of nested
+            # JSON-LD brackets ('['*2000) blows the parser's recursion
+            # limit — hostile input must count as a block error, not
+            # kill the task (ADVICE r5)
             n_err += 1
     seen = set()
     types_uniq = [t for t in types if not (t in seen or seen.add(t))]
@@ -833,10 +837,12 @@ def html_metadata_table(
                         )
                     )
                 except Exception as exc:  # malformed page ≠ dead task
+                    # width derived from the schema (ADVICE r5: a
+                    # hand-counted tuple was one None short, turning the
+                    # documented ok=false contract into a task-killing
+                    # DataFrame-width error)
                     rows.append(
-                        (url, None, None, None, None, None, None, None,
-                         None, None, None, None, None, None, None, None,
-                         None, None, False, str(exc))
+                        (url,) + (None,) * (len(cols) - 3) + (False, str(exc))
                     )
             yield pd.DataFrame(rows, columns=cols)
 

@@ -3728,3 +3728,23 @@ def test_canonical_url_dedup_groups_declared_variants(spark):
     assert out[4]["dup_count"] == 1
     assert out[5]["dup_count"] == 1 and out[6]["dup_count"] == 1
     assert len(out) == 4
+
+
+def test_canonical_url_dedup_uppercase_scheme(spark):
+    """RFC 3986 schemes are case-insensitive: an uppercase-scheme
+    canonical (HTTPS://…) must still group with its lowercase spelling
+    instead of silently falling back to self-URL grouping (ADVICE r5)."""
+    from pypdfocr_spark import dedup
+
+    rows = [
+        (1, "https://m.ex.com/story", "https://ex.com/story"),
+        (2, "https://ex.com/story/mobile", "HTTPS://EX.COM/story"),
+        (3, "https://ex.com/amp", "HTTP://ex.com/amp"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, canonical_url string"
+    )
+    out = {r["keeper_id"]: r for r in dedup.canonical_url_dedup(df).collect()}
+    assert out[1]["dup_count"] == 2
+    assert out[1]["canon_key"] == "https://ex.com/story"
+    assert out[3]["canon_key"] == "http://ex.com/amp"

@@ -465,3 +465,35 @@ def test_pdf_xmp_metadata_fallback():
     assert m["title"] == "Info Title" and m["author"] == "X"
 
     assert pdfimages._parse_xmp(b"<not xml") == {}
+
+
+def test_pdf_inline_image_crlf_after_id():
+    """Writers emitting CRLF after ID (ADVICE r5): the LF half is part
+    of the delimiter, not the image data — both the decoder and the
+    text walker's structural skip must consume it. A lone LF (or any
+    single whitespace byte) still means the data starts right after."""
+    fonts = {"F1": {"Subtype": "Type1", "BaseFont": "Helvetica"}}
+    content = (
+        b"BT /F1 10 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 1 /H 1 /BPC 8 /CS /G /L 1 ID\r\nZ\r\nEI\n"
+        b"BT /F1 10 Tf 72 680 Td (after) Tj ET"
+    )
+    pay = _one_page(content, fonts)
+    got = list(pdfimages.extract_pdf_images(pay))
+    assert len(got) == 1
+    img = got[0][2]
+    assert img.shape == (1, 1) and int(img[0, 0]) == ord("Z")
+    # the text walker skips the same framing without desyncing
+    (page,) = pdfimages.extract_pdf_text(pay)
+    assert [w["text"] for w in page] == ["before", "after"]
+
+    # single-LF delimiter: data byte follows immediately (no CR, no skip)
+    content_lf = (
+        b"BI /W 1 /H 1 /BPC 8 /CS /G /L 1 ID\nQ\nEI\n"
+        b"BT /F1 10 Tf 72 680 Td (tail) Tj ET"
+    )
+    pay2 = _one_page(content_lf, fonts)
+    got2 = list(pdfimages.extract_pdf_images(pay2))
+    assert int(got2[0][2][0, 0]) == ord("Q")
+    (page2,) = pdfimages.extract_pdf_text(pay2)
+    assert [w["text"] for w in page2] == ["tail"]

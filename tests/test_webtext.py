@@ -790,3 +790,33 @@ def test_feed_table_spark(spark):
     assert by_src["https://ex.com/atom"][0]["link"] == "https://ex.com/e1"
     (bad,) = by_src["https://ex.com/bad"]
     assert bad["error"] and bad["kind"] is None
+
+
+def test_parse_html_metadata_hostile_jsonld_recursion():
+    """A crafted page with thousands of nested JSON-LD brackets must
+    count as a block error (RecursionError from json.loads), never
+    propagate — hostile-input DoS guard on the crawl front door
+    (ADVICE r5)."""
+    h = (b'<script type="application/ld+json">' + b"[" * 3000
+         + b'</script><p>body</p>')
+    m = webtext.parse_html_metadata(h)
+    assert m["n_jsonld_blocks"] == 1
+    assert m["n_jsonld_errors"] == 1
+    assert m["jsonld_types"] == []
+
+
+def test_html_metadata_table_error_row_width(spark):
+    """The except branch emits a schema-width row with ok=false
+    (ADVICE r5: a hand-counted tuple was one element short, so any
+    payload hitting the branch killed the task instead of honoring the
+    documented ok=false contract)."""
+    rows = [
+        ("https://ex.com/story", bytearray(META_PAGE)),
+        ("https://ex.com/null", None),  # bytes(None) raises → error row
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in webtext.html_metadata_table(df).collect()}
+    bad = got["https://ex.com/null"]
+    assert bad["ok"] is False and bad["error"]
+    assert bad["title"] is None and bad["n_jsonld_blocks"] is None
+    assert got["https://ex.com/story"]["ok"] is True
