@@ -40,8 +40,19 @@ from pypdfocr_spark.corpus import HEAVY_REPEAT
 LSH_MAX_BUCKET = 64
 
 # ----------------------------------------------------------------- helpers
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, denom: int = 2) -> DataFrame:
     """Spread a single-file fixture table across the cluster (r6).
+
+    ``denom`` divides the partition count (which is always derived from
+    the cluster's parallelism, never a constant). Default 2: this host
+    exposes 2 SMT threads per physical core, and the spread's consumers
+    are dense compute (JVM expressions, numpy batches) that saturates at
+    the PHYSICAL core count — measured at both sf0.1 and sf1.0,
+    par/2 partitions beat par on every opted-in query (less exchange,
+    scheduling, and cached-block overhead at identical throughput;
+    e.g. sf1.0 simhash 0.77→0.61 s, host_stats 0.95→0.70 s,
+    decontaminate 1.31→0.93 s). On a cluster whose executors expose one
+    thread per core, pass denom=1.
 
     The driver's documents/embeddings/events parquet files are ONE file
     with ONE row group — an unsplittable scan (the parquet reader can
@@ -64,7 +75,8 @@ def _spread(df: DataFrame) -> DataFrame:
     partial-aggregation grouping — reordering those would risk flipping
     a rounding boundary vs the frozen oracle.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(par // denom, 1))
 
 
 # Which queries opt in (measured at sf1.0, BENCH/r06_before_sf1.0.jsonl →

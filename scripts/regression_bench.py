@@ -4,10 +4,10 @@ outlier rejection (VERDICT r4 #7): run the full bench N times in fresh
 subprocesses (cold JVM each run — the same condition the driver measures
 under), drop runs whose HEADLINE deviates more than 3× MAD from the
 run median (co-tenant interference polluted half the r4 medians), and
-write BENCH/REGRESSION_r5.md with median / min / spread columns plus
-deltas vs the round-4 medians (parsed from BENCH/REGRESSION_r4.md).
+write BENCH/REGRESSION_r6.md with median / min / spread columns plus
+deltas vs the previous round medians (parsed from BENCH/REGRESSION_r5.md).
 ALL raw runs — including rejected ones — are kept in
-BENCH/regression_runs_r5.json so the rejection is auditable.
+BENCH/regression_runs_r6.json so the rejection is auditable.
 
 Usage: python scripts/regression_bench.py [n_runs=5]
 """
@@ -21,7 +21,7 @@ import sys
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PREV_ROUND, THIS_ROUND = "r4", "r5"
+PREV_ROUND, THIS_ROUND = "r5", "r6"
 MAD_K = 3.0  # reject runs with |headline - median| > MAD_K * MAD
 
 
@@ -102,7 +102,7 @@ def main() -> int:
     if dropped:
         print(f"WARN: {len(dropped)} queries missing from some runs: {dropped}")
     lines = [
-        f"# BENCH regression table — round 5 vs round 4",
+        f"# BENCH regression table — round 6 vs round 5",
         "",
         f"Protocol: {n_runs} full bench runs, each a FRESH JVM (cold start,",
         "like the driver); within each run every query is already a",
@@ -111,10 +111,10 @@ def main() -> int:
         f"(kept {len(kept)}/{n_runs}; raw runs incl. rejected in",
         f"BENCH/regression_runs_{THIS_ROUND}.json — VERDICT r4 #7).",
         "Columns: per-kept-run medians aggregated as median / min /",
-        "spread(=max−min). The r4 column is the committed 5-run median",
+        "spread(=max−min). The r5 column is the committed 8-run median",
         f"from BENCH/REGRESSION_{PREV_ROUND}.md.",
         "",
-        "| query | r4 median | r5 median | r5 min | r5 spread | delta (median vs r4) |",
+        "| query | r5 median | r6 median | r6 min | r6 spread | delta (median vs r5) |",
         "|---|---|---|---|---|---|",
     ]
     for name in names:
@@ -131,19 +131,18 @@ def main() -> int:
         f"Headline extract throughput over the {len(kept)} kept runs: "
         f"median {statistics.median(k_values):.1f} docs/sec, "
         f"best {max(k_values):.1f}, spread {max(k_values) - min(k_values):.1f} "
-        "(r4 builder median: 1632; r3: 1361).",
+        "(r5 builder median: 1971; r4: 1632).",
         "",
-        "Round-5 changes in the measured set: map-only decontaminate",
-        "(collected eval set -> array_intersect column, zero exchanges —",
-        "also the corpus_curate / curation_report mover), LSH bucket caps",
-        "(max_bucket anti-join + persisted band/bucket index in",
-        "minhash_lsh_pairs + embedding_neardup_lsh, value-no-op at this",
-        "scale), n_tokens cast in repetition_stats.",
-        "",
-        "embedding_ivf_topk closure (VERDICT r4 #4): the r4 +52% was",
-        "estimator noise — an isolated clean bench this round read 1.487 s,",
-        "matching the r3 median (1.485 s) to 0.1%; batch medians move with",
-        "the box's co-tenant load (every map-only query shifts together).",
+        "Round-6 changes in the measured set (the optimization round):",
+        "single-row-group fixture scans spread to cluster parallelism",
+        "(par/2 = physical cores) before heavy map-side work; per-side",
+        "cosine norms (once per row, not per pair) across every embedding",
+        "query; ivf centroid assignment via combinable max(struct) agg",
+        "instead of a row_number window; top_terms one-exchange",
+        "restructure; sliding-window starts as a flat array literal;",
+        "light/heavy size-class corpus file layout (each extract branch",
+        "now prunes the other's files); text-only hOCR parse + emitter",
+        "hot-loop + orjson in the extraction kernels.",
     ]
     out_path = os.path.join(REPO, "BENCH", f"REGRESSION_{THIS_ROUND}.md")
     with open(out_path, "w") as f:
