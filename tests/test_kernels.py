@@ -350,3 +350,41 @@ def test_strip_boilerplate_dom_threshold_and_garbage():
     assert isinstance(htmlx.strip_boilerplate_dom("\x00<not html"), str)
     # skip subtrees still never count
     assert htmlx.strip_boilerplate_dom("<nav><a href='/'>x</a></nav><p>body text</p>") == "body text"
+
+
+def test_page_texts_from_hocr_matches_full_parse():
+    """r6: the text-only parse must reproduce the full span parse's text
+    surface on adversarial hOCR — garbage XML, lines without bbox, words
+    without bbox, nested word spans, textangle pages, childless words,
+    whitespace-only words — byte for byte, page for page."""
+    adversarial = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head><title/></head><body>'
+        '<div class="ocr_page" id="page_1" title="bbox 0 0 100 100">'
+        '<span class="ocr_line" title="bbox 0 0 50 10; textangle 90">'
+        '<span class="ocrx_word" title="bbox 0 0 10 10">rotated</span>'
+        '<span class="ocrx_word" title="no box here">dropped</span>'
+        '<span class="ocrx_word" title="bbox 1 1 2 2">  </span>'
+        '<span class="ocrx_word" title="bbox 2 2 3 3">a<b>b</b>c</span>'
+        "</span>"
+        '<span class="ocr_line" title="missing bbox entirely">'
+        '<span class="ocrx_word" title="bbox 0 0 1 1">ghost</span></span>'
+        '<span class="ocr_line" title="bbox 0 20 50 30">'
+        '<span class="other">skip</span>'
+        '<span class="ocrx_word" title="bbox 5 5 6 6"></span></span>'
+        "</div>"
+        '<div class="ocr_page" id="page_2" title="bbox 0 0 100 100">'
+        '<span class="ocr_line" title="bbox 0 0 9 9; baseline 0 -2">'
+        '<span class="ocrx_word" title="bbox 0 0 4 4; x_font F; x_fsize 9">ok'
+        "</span></span></div>"
+        "</body></html>"
+    )
+    ref = [
+        hocr.page_text_from_spans(spans)
+        for spans in hocr.parse_hocr_all(adversarial, 792.0, 300)
+    ]
+    assert hocr.page_texts_from_hocr(adversarial) == ref
+    assert ref[1] == "ok"  # sanity: real content survives
+    # garbage tolerance parity
+    assert hocr.page_texts_from_hocr("<<<not xml") == []
+    assert hocr.page_texts_from_hocr("") == []

@@ -3748,3 +3748,36 @@ def test_canonical_url_dedup_uppercase_scheme(spark):
     assert out[1]["dup_count"] == 2
     assert out[1]["canon_key"] == "https://ex.com/story"
     assert out[3]["canon_key"] == "http://ex.com/amp"
+
+
+def test_ivf_index_argmax_matches_window_semantics(spark):
+    """r6: ivf_index's combinable max(struct(ccos, -centroid_id))
+    replaces a per-id row_number window; on a tie-heavy fixture
+    (duplicate centroids -> exactly equal cosines) both must pick the
+    LOWER centroid id."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, [float(i % 3 + 1), 1.0, 0.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    # centroids 0 and 1 are IDENTICAL vectors -> every vector ties on them
+    cents = [(0, [1.0, 1.0, 0.0]), (1, [1.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    idx = {
+        r["id"]: r["centroid_id"]
+        for r in similarity.ivf_index(emb, n_centroids=3, centroids=cents).collect()
+    }
+    # reference: the old window formulation
+    cent = spark.createDataFrame(cents, "centroid_id INT, cv ARRAY<DOUBLE>")
+    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    ref = {
+        r["id"]: r["centroid_id"]
+        for r in (
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+            .join(F.broadcast(cent))
+            .withColumn("ccos", similarity.cosine_expr("v", "cv"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("id", "centroid_id")
+        ).collect()
+    }
+    assert idx == ref
+    assert set(idx.values()) <= {0, 2} and 1 not in idx.values()

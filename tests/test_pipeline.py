@@ -180,3 +180,33 @@ def test_heavy_path_failures_reach_status_and_lineage(spark):
     assert "https://a.example/corrupt.pdf" in failed
     assert "https://a.example/blob.bin" in failed
     assert "https://a.example/good.pdf" not in failed
+
+
+def test_materialize_corpus_size_class_file_layout(spark, tmp_path):
+    """r6 layout: light and heavy rows land in DISJOINT files (each
+    file's n_bytes range sits entirely on one side of the threshold, so
+    the branches' pushed filters prune at file level), and the reader
+    returns exactly the same row set as the direct corpus build."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from pypdfocr_spark.config import HEAVY_PAYLOAD_BYTES
+
+    path = str(tmp_path / "corpus")
+    out = pipeline.materialize_corpus(spark, "/root/testdata/sf0.001", path)
+    direct = pipeline.build_corpus_df(spark, "/root/testdata/sf0.001")
+    assert sorted(r["url"] for r in out.select("url").collect()) == sorted(
+        r["url"] for r in direct.select("url").collect()
+    )
+    mixed = []
+    for f in _glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                c = g.column(i)
+                if c.path_in_schema == "n_bytes":
+                    lo, hi = c.statistics.min, c.statistics.max
+                    if lo <= HEAVY_PAYLOAD_BYTES < hi:
+                        mixed.append((f, lo, hi))
+    assert mixed == [], f"files mixing size classes: {mixed}"
