@@ -88,9 +88,11 @@ def _spread(df: DataFrame, denom: int = 2) -> DataFrame:
 # and slim-relation queries (pack_windows — its +2.5 s regression under
 # a blanket spread is what forced the opt-in design) stay on the raw
 # single-task scan, which is faster than paying the exchange.
-def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = False, denom: int = 2
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _spread(df) if spread else df
+    return _spread(df, denom) if spread else df
 
 def _emb(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -371,8 +373,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df prunes ubiquitous shingles before the self-join — candidate
     # fan-out control, the knob that keeps this linear-ish at corpus scale
+    # denom=4: the persisted shingle relation's cached reps (what the
+    # bench median measures) pay fixed per-block overhead in each of the
+    # three downstream consumers; 8 blocks matched the raw scan's cached
+    # cost while keeping the uncached explode ~7x faster than 1-task
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir, spread=True), k=2, threshold=0.5, max_df=150
+        _docs(spark, sf_dir, spread=True, denom=4), k=2, threshold=0.5, max_df=150
     ).select("id_a", "id_b", "n_common", F.round("jaccard", 9).alias("jaccard"))
 
 
@@ -381,7 +387,7 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph (iterative min-label propagation — checked
     against a DuckDB recursive-CTE transitive closure)."""
     pairs = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir, spread=True), k=2, threshold=0.5, max_df=150
+        _docs(spark, sf_dir, spread=True, denom=4), k=2, threshold=0.5, max_df=150
     )
     return dedup.connected_components(pairs).select("node", "component")
 
@@ -389,7 +395,7 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-to-end dedup composite: exact → near-dup clusters → keepers
     return dedup.dedup_keepers(
-        _docs(spark, sf_dir, spread=True), k=2, threshold=0.5, max_df=150
+        _docs(spark, sf_dir, spread=True, denom=4), k=2, threshold=0.5, max_df=150
     )
 
 
